@@ -1,0 +1,140 @@
+"""Text-analysis functions for the training-data pipeline, plus the
+reference's cleaning-UDF parity expressions (F3-F6).
+
+Everything here is pure Catalyst column expressions — no Python UDFs — so the
+hot path stays inside whole-stage codegen (the reference's row-at-a-time
+Python UDFs, ``csv_bronze_to_silver.py:83-149`` etc., are the single biggest
+perf anti-pattern it has; SURVEY §4 'vectorization').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Training-data text analysis
+# ---------------------------------------------------------------------------
+
+# small deterministic stopword list (shared with the oracle SQL)
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# BPE-ish token classes: words / numbers / single punctuation
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Token count by whitespace split of trimmed text."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    ).cast("long")
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: words | numbers | punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def punct_ratio(text: Column, scale: int = 6) -> Column:
+    """Punctuation chars / total non-space chars."""
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return F.when(nonspace == 0, F.lit(0.0)).otherwise(
+        F.round(punct.cast("double") / nonspace, scale)
+    )
+
+
+def stopword_ratio(text: Column, scale: int = 6) -> Column:
+    """Stopword tokens / total tokens (whitespace tokenization, lowercase)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.round(n_stop.cast("double") / n, scale)
+    )
+
+
+def quality_score(text: Column, scale: int = 6) -> Column:
+    """Deterministic doc-quality heuristic in [0,1]:
+    length factor * (1 - punct_ratio) * (1 - stopword_ratio/2).
+
+    The formula itself is a stand-in (real pipelines plug in a model); the
+    point is that it composes from codegen-friendly primitives.
+    """
+    length_factor = F.least(F.length(text).cast("double") / F.lit(500.0), F.lit(1.0))
+    q = length_factor * (1.0 - punct_ratio(text, 9)) * (
+        1.0 - stopword_ratio(text, 9) / 2.0
+    )
+    return F.round(q, scale)
+
+
+def detect_script(text: Column) -> Column:
+    """Cheap language/script ID by Unicode block — arabic / cjk / cyrillic /
+    latin / other.  (A real n-gram language model would be a broadcast-joined
+    profile table; script detection is its deterministic, testable core.)"""
+    return (
+        F.when(text.rlike(r"[؀-ۿ]"), "arabic")
+        .when(text.rlike(r"[一-鿿]"), "cjk")
+        .when(text.rlike(r"[Ѐ-ӿ]"), "cyrillic")
+        .when(text.rlike(r"[A-Za-z]"), "latin")
+        .otherwise("other")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, whitespace collapsed).  md5 is available in both Spark and
+    DuckDB, so this is exactly oracle-checkable."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# Reference cleaning-UDF parity (F3-F6), as pure expressions
+# ---------------------------------------------------------------------------
+def clean_city(address: Column) -> Column:
+    """F3 (``csv_bronze_to_silver.py:83-115``): extract ``"city": "X"`` from
+    messy JSON-ish text; NULL when absent."""
+    extracted = F.regexp_extract(address, r'"city"\s*:\s*"([^"]+)"', 1)
+    return F.when(extracted != "", F.trim(extracted)).otherwise(F.lit(None))
+
+
+def clean_region(raw: Column) -> Column:
+    """F4 (``csv_bronze_to_silver.py:117-149``): same for ``"region": "X"``."""
+    extracted = F.regexp_extract(raw, r'"region"\s*:\s*"([^"]+)"', 1)
+    return F.when(extracted != "", F.trim(extracted)).otherwise(F.lit(None))
+
+
+def clean_content(text: Column) -> Column:
+    """F5 (``social_bronze_to_silver.py:82-104``): strip control chars,
+    collapse whitespace, preserve non-Latin (Arabic) text, empty -> NULL."""
+    no_ctrl = F.regexp_replace(text, r"[\x00-\x1f\x7f-\x9f]", " ")
+    collapsed = F.trim(F.regexp_replace(no_ctrl, r"\s+", " "))
+    return F.when(collapsed == "", F.lit(None)).otherwise(collapsed)
+
+
+CANONICAL_PLATFORMS = {
+    "twitter": "Twitter",
+    "facebook": "Facebook",
+    "instagram": "Instagram",
+    "tiktok": "TikTok",
+    "linkedin": "LinkedIn",
+    "youtube": "YouTube",
+    "snapchat": "Snapchat",
+}
+
+
+def clean_platform(platform: Column) -> Column:
+    """F6 (``social_bronze_to_silver.py:106-129``): canonical-case known
+    platforms, initcap anything else."""
+    lowered = F.lower(F.trim(platform))
+    expr = None
+    for k, v in CANONICAL_PLATFORMS.items():
+        cond = lowered == k
+        expr = F.when(cond, v) if expr is None else expr.when(cond, v)
+    return expr.otherwise(F.initcap(F.trim(platform)))
+
+
+def parse_bool(col: Column) -> Column:
+    """P6 tri-state boolean parse (``csv_bronze_to_silver.py:180-184``):
+    'true'/'1'/'yes'/'t' -> true, else false."""
+    return F.lower(F.trim(col)).isin("true", "1", "yes", "t")

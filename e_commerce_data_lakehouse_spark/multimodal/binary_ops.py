@@ -1,0 +1,87 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design (SURVEY §7.2-8 extension): media lives in an opaque ``binary`` column
+with typed metadata alongside — the reference's image domain stores S3
+pointers + a MapType metadata bag (``image_to_deltalake_table.py:249-263``);
+here the engine handles real payload bytes too.
+
+The decode/feature-extract kernels run as Arrow-batched ``mapInPandas``
+(pandas gets a zero-copy batch of rows; Python cost is amortized per batch,
+not per row).  Actual codec work (PIL/ffmpeg) is NOT available in this
+container, so the kernels are deterministic stubs behind the same signature:
+the Spark-side plumbing — schema, batching, partitioning — is real and
+tested; swap ``_decode_stub`` for a real decoder on a cluster with codec
+libs installed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic fake decoder.
+
+    Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
+    that library is not in this container (NotImplementedError would be the
+    honest stub, but a deterministic fake lets the full pipeline be
+    oracle-tested end-to-end).  Width/height derive from byte length only, so
+    the DuckDB oracle can reproduce them with octet_length().
+    """
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1, "png" if n % 2 == 0 else "jpeg"
+
+
+def decode_metadata(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Extract (n_bytes, width, height, format) from a binary media column
+    via Arrow-batched mapInPandas."""
+
+    idc, binc = id_col, binary_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[binc]
+            meta = [_decode_stub(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[idc].astype("int64"),
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "width": [m[0] for m in meta],
+                    "height": [m[1] for m in meta],
+                    "format": [m[2] for m in meta],
+                }
+            )
+
+    return df.select(F.col(idc), F.col(binc)).mapInPandas(
+        kernel, DECODED_META_SCHEMA
+    )
+
+
+def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int):
+    """Video frame-sampling plumbing: NOT implemented in this container
+    (no ffmpeg).  Raises immediately rather than pretending."""
+    raise NotImplementedError(
+        "frame sampling requires a video codec library; wire a real decoder "
+        "into the mapInPandas kernel (same shape as decode_metadata)"
+    )

@@ -1,0 +1,194 @@
+"""Aggregation operators (SURVEY §2.4, §2.5, §2.6).
+
+A1-A15 re-expressed as composable DataFrame builders.  All money/double
+aggregates go through the exact-decimal helpers in ``functions.exact`` so
+results are order-insensitive (reproducible at any parallelism — see that
+module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from e_commerce_data_lakehouse_spark.functions.exact import (
+    avg_money,
+    sum_money,
+)
+
+
+def conditional_sum(cond: Column, value: Column | None = None) -> Column:
+    """A5: ``sum(when(cond, value|1).otherwise(0))`` — hand-rolled pivot."""
+    v = F.lit(1) if value is None else value
+    return F.sum(F.when(cond, v).otherwise(F.lit(0)))
+
+
+def customer_360(
+    events: DataFrame,
+    weights: dict[str, int] | None = None,
+) -> DataFrame:
+    """A5+A6: per-user conditional counts over the activity stream plus the
+    weighted ``customer_score`` (``create_global_dw.py:362-381``:
+    score = 3*transactions + 1*images + 2*posts; here mapped onto the events
+    table's activity types)."""
+    weights = weights or {"purchase": 3, "view": 2, "click": 1}
+    counts = [
+        conditional_sum(F.col("event_type") == t).cast("long").alias(f"n_{t}")
+        for t in ("purchase", "view", "click", "signup", "error")
+    ]
+    purchase_value = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value").cast("decimal(30,6)"),
+        ).otherwise(F.lit(0).cast("decimal(30,6)"))
+    ).cast("double")
+    score = sum(
+        (F.col(f"n_{t}") * F.lit(w) for t, w in weights.items()),
+        F.lit(0),
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(*counts, purchase_value.alias("purchase_value"))
+        .withColumn("customer_score", score.cast("long"))
+    )
+
+
+def pct_of_total(
+    df: DataFrame, key_cols: list[str], round_to: int = 2
+) -> DataFrame:
+    """A15/W3: group counts + percentage-of-total via an unbounded window
+    (``csv_bronze_to_silver.py:333-341``)."""
+    counts = df.groupBy(*key_cols).count()
+    total = Window.partitionBy()
+    return counts.select(
+        *key_cols,
+        F.col("count").alias("n"),
+        F.round(F.col("count") * 100.0 / F.sum("count").over(total), round_to).alias(
+            "pct"
+        ),
+    )
+
+
+def hourly_health(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """W4/A3: tumbling 1-hour window multi-aggregate — the IoT
+    ``agg_device_health_hourly`` shape (``silver_to_gold_iot_sensors.py:98-116``).
+
+    Uses ``F.window`` (streaming-capable); emits window start/end as plain
+    timestamp columns.
+    """
+    w = F.window(F.col(ts_col), "1 hour")
+    val = F.col(value_col)
+    return (
+        df.groupBy(w.alias("hw"), *key_cols)
+        .agg(
+            F.round(
+                F.sum(val.cast("decimal(30,6)")).cast("double") / F.count(val), 6
+            ).alias("avg_value"),
+            F.min(val).alias("min_value"),
+            F.max(val).alias("max_value"),
+            F.count("*").cast("long").alias("n_readings"),
+            F.max(F.col(ts_col)).alias("last_reading_in_window"),
+        )
+        .select(
+            F.col("hw.start").alias("hour_start"),
+            *key_cols,
+            "avg_value",
+            "min_value",
+            "max_value",
+            "n_readings",
+            "last_reading_in_window",
+        )
+    )
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A10: GROUP BY key HAVING COUNT(*) > 1
+    (``iot_bronze_to_silver.py:83-110``)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .withColumn("extra_rows", (F.col("n") - 1).cast("long"))
+    )
+
+
+def segment_by_score(
+    scored: DataFrame,
+    score_col: str = "customer_score",
+    bands: list[tuple[int, str]] | None = None,
+) -> DataFrame:
+    """A14: CASE-band segmentation + per-segment stats
+    (``explore_global_dw_aggregates.py:87-103``)."""
+    bands = bands or [(50, "platinum"), (25, "gold"), (10, "silver"), (0, "bronze")]
+    expr = None
+    for threshold, name in bands:
+        cond = F.col(score_col) >= threshold
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    seg = expr.otherwise("bronze").alias("segment")
+    return (
+        scored.select(seg, F.col(score_col))
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(
+                F.sum(F.col(score_col).cast("decimal(30,2)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_score"),
+            F.min(score_col).cast("long").alias("min_score"),
+            F.max(score_col).cast("long").alias("max_score"),
+        )
+    )
+
+
+def monthly_summary(
+    orders: DataFrame, date_col: str, amount_col: str
+) -> DataFrame:
+    """A12: month rollup with month name (``create_global_dw.py:402-440``)."""
+    d = F.col(date_col)
+    return (
+        orders.groupBy(
+            F.year(d).alias("year"),
+            F.month(d).alias("month"),
+            F.date_format(d, "MMMM").alias("month_name"),
+        )
+        .agg(
+            sum_money(amount_col).alias("total_revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+            avg_money(amount_col).alias("avg_order_value"),
+        )
+    )
+
+
+def yearly_summary(
+    orders: DataFrame, date_col: str, amount_col: str
+) -> DataFrame:
+    """A13: YoY rollup (``explore_global_dw_aggregates.py:173-179``)."""
+    return (
+        orders.groupBy(F.year(F.col(date_col)).alias("year"))
+        .agg(
+            sum_money(amount_col).alias("total_revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+            avg_money(amount_col).alias("avg_order_value"),
+        )
+    )
+
+
+def grand_totals(df: DataFrame, value_col: str, ts_col: str) -> DataFrame:
+    """A7: keyless whole-table aggregate (min/max dates + value stats,
+    ``generate_dim_date.py:49-54``, ``explore_global_dw_aggregates.py:155-162``)."""
+    v = F.col(value_col)
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct(ts_col).cast("long").alias("n_distinct_ts"),
+        F.min(ts_col).alias("min_ts"),
+        F.max(ts_col).alias("max_ts"),
+        F.sum(v.cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        F.min(v).alias("min_value"),
+        F.max(v).alias("max_value"),
+    )

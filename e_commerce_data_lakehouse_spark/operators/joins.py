@@ -1,0 +1,81 @@
+"""Join operators: star joins, date-key lookups, fold-joins.
+
+Reference behaviors covered: J1 (left equi-join on column list,
+``silver_to_gold_transactions.py:97``), J2 (join on ``to_date(ts) ==
+full_date``, ``silver_to_gold_transactions.py:98``), J3 (inner key join),
+J4 (left enrichment + fillna flag, ``create_global_dw.py:130-133``),
+J5 (iterated fold of left joins, ``create_global_dw.py:325-331``),
+P10 (-1 date-key sentinel, ``silver_to_gold_transactions.py:113``).
+
+Scale notes: dimension sides are explicitly ``broadcast()``-hinted when the
+caller declares them small (dims in a star schema are orders of magnitude
+smaller than facts); large-dim joins are left to AQE, which will pick
+sort-merge + skew-split at runtime.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def star_join(
+    fact: DataFrame,
+    dims: list[tuple[DataFrame, list[str] | Column, str]],
+) -> DataFrame:
+    """Join a fact to several dimensions.
+
+    ``dims`` entries are (dim_df, join_on, how).  Dimension inputs are
+    broadcast-hinted — in a star schema the dim side is small relative to the
+    fact, and a broadcast-hash join avoids shuffling the 100 TB fact side.
+    """
+    out = fact
+    for dim, on, how in dims:
+        out = out.join(F.broadcast(dim), on, how)
+    return out
+
+
+def date_key_lookup(
+    df: DataFrame,
+    dim_date: DataFrame,
+    ts_col: str,
+    out_col: str = "date_key",
+    sentinel: int = -1,
+) -> DataFrame:
+    """Left-join dim_date on ``to_date(ts) == full_date``; unmatched rows get
+    the -1 sentinel (never NULL) — J2 + P9 + P10."""
+    dd = F.broadcast(dim_date.select("date_key", "full_date"))
+    joined = df.join(dd, F.to_date(F.col(ts_col)) == F.col("full_date"), "left")
+    return (
+        joined.withColumn(out_col, F.coalesce(F.col("date_key"), F.lit(sentinel)))
+        .drop("full_date")
+        .drop(*(["date_key"] if out_col != "date_key" else []))
+    )
+
+
+def enrich_flag(
+    df: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    flag_col: str,
+) -> DataFrame:
+    """J4: left join a key-set and materialize presence as a boolean flag,
+    fillna(false) — e.g. customer ``has_images`` (``create_global_dw.py:130``)."""
+    marked = other.select(*on).distinct().withColumn(flag_col, F.lit(True))
+    return df.join(F.broadcast(marked), on, "left").fillna({flag_col: False})
+
+
+def fold_left_join(
+    base: DataFrame,
+    others: list[DataFrame],
+    on: list[str],
+    fill_zero_cols: list[str] | None = None,
+) -> DataFrame:
+    """J5: fold a list of per-domain metric DataFrames onto a base via left
+    joins, then zero-fill metric columns (``create_global_dw.py:325-338``)."""
+    out = reduce(lambda acc, d: acc.join(d, on, "left"), others, base)
+    if fill_zero_cols:
+        out = out.fillna(dict.fromkeys(fill_zero_cols, 0))
+    return out

@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (training-data pipeline op).
+
+Two tiers, as a real 100 TB pipeline would have:
+
+- :func:`brute_force_topk` — exact cosine top-k.  The query side is small
+  and broadcast; the candidate side streams map-side (one pass, no shuffle of
+  the big table); per-query top-k via window.  Correctness baseline.
+- :func:`lsh_topk` — approximate: random-hyperplane (sign) LSH buckets both
+  sides, candidates restricted to bucket collisions across several
+  independent hash tables, then exact rerank of the survivors.  At scale the
+  candidate join is an equi-join on (table_id, bucket) instead of an
+  all-pairs product.
+
+Hyperplanes are generated deterministically (seeded) driver-side — a few KB
+— and folded into Catalyst expressions, so the scoring stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from e_commerce_data_lakehouse_spark.functions.vectors import cosine, dot
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k: rank by (rounded sim desc, candidate id asc)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("int"))
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` is broadcast (it must be the small side); the candidate table
+    is scanned once with map-side scoring — the right exact-kNN plan shape
+    for a huge candidate set.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    pairs = c.join(F.broadcast(q), how="cross")
+    if not include_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    return _topk_per_query(scored, k)
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: one bit per hyperplane, folded into a long."""
+    acc = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        acc = acc + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return acc
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table sign-LSH + exact rerank."""
+    tables = _hyperplanes(dim, n_planes, n_tables, seed)
+
+    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        out = df.select(F.col(idc), F.col(vc))
+        buckets = F.array(
+            *[_bucket_expr(F.col(vc), planes) for planes in tables]
+        )
+        return out.select(
+            F.col(idc),
+            F.col(vc),
+            F.posexplode(buckets).alias("table_id", "bucket"),
+        )
+
+    qb = with_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
+        "query_id",
+        "__qv",
+    )
+    cb = with_buckets(
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        ),
+        "neighbor_id",
+        "__cv",
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if not include_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    return _topk_per_query(scored, k)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b) via LSH blocking +
+    exact verify — the embedding analogue of MinHash fuzzy dedup."""
+    tables = _hyperplanes(dim, n_planes, n_tables, seed)
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    buckets = F.array(*[_bucket_expr(F.col("__v"), planes) for planes in tables])
+    bl = base.select(
+        "__id", "__v", F.posexplode(buckets).alias("table_id", "bucket")
+    )
+    a, b = bl.alias("a"), bl.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

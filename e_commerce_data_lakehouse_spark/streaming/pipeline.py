@@ -1,0 +1,79 @@
+"""Structured Streaming variants of the reference's hand-rolled batch
+incrementals (SURVEY §2.10).
+
+The reference consumes Kafka with repeated bounded reads + ~120 LoC of manual
+JSON offset checkpointing per job (T1, ``transactions_processor.py:27-116``)
+and recomputes windowed aggregates over the whole history (T5).  The
+idiomatic replacements:
+
+- ``readStream`` + ``Trigger.AvailableNow`` + engine-managed
+  ``checkpointLocation`` → exactly-once bounded ingestion;
+- watermarked tumbling-window aggregation → incremental window state instead
+  of full recompute.
+
+Kafka itself isn't in the container, so tests drive these with the file
+source (identical semantics: source → watermark → window agg → sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str,
+    ts_from_nanos: str | None = "ts",
+) -> DataFrame:
+    """File-source stream over parquet events (stand-in for the Kafka
+    source; swap ``.format('kafka')`` + value decode on a real cluster)."""
+    df = spark.readStream.schema(schema_ddl).format("parquet").load(path)
+    if ts_from_nanos:
+        df = df.withColumn(
+            ts_from_nanos,
+            F.timestamp_micros(
+                (F.col(ts_from_nanos) / F.lit(1000)).cast("long")
+            ).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """T5 done right: watermarked tumbling window — state is bounded by the
+    watermark horizon instead of recomputing all history each run."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("hw"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("hw.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, checkpoint_dir: str, table_name: str
+) -> None:
+    """Drain everything currently available and stop — the streaming
+    equivalent of the reference's nightly bounded Kafka read (T1)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
