@@ -301,3 +301,302 @@ def event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``csv_bronze_to_silver.py:333-341``)."""
     ev = load(spark, sf_dir, "events")["events"]
     return agg.pct_of_total(ev, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Dimension layer + date-key plumbing (S19, J2, P9, P10)
+# ---------------------------------------------------------------------------
+
+from e_commerce_data_lakehouse_spark.functions.dates import (  # noqa: E402
+    build_dim_date,
+    oracle_dim_date_sql,
+)
+
+DIM_DATE_START, DIM_DATE_END = "1995-01-01", "2000-12-31"
+
+
+@register("dim_date", oracle_dim_date_sql(DIM_DATE_START, DIM_DATE_END))
+def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 done distributed: explode(sequence(...)) + column expressions for
+    all 25 attributes (replaces the reference's driver-side Python loop,
+    ``generate_dim_date.py:86-157``)."""
+    load(spark, sf_dir)  # apply session settings for consistency
+    return build_dim_date(spark, DIM_DATE_START, DIM_DATE_END)
+
+
+@register(
+    "date_key_lookup",
+    f"""
+WITH dd AS (
+  SELECT CAST(datediff('day', DATE '{DIM_DATE_START}', CAST(gs AS DATE)) + 1 AS INT)
+             AS date_key,
+         CAST(gs AS DATE) AS full_date
+  FROM generate_series(DATE '{DIM_DATE_START}', DATE '{DIM_DATE_END}',
+                       INTERVAL 1 DAY) t(gs)
+)
+SELECT o.o_orderkey AS order_key,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       COALESCE(dd.date_key, -1) AS order_date_key
+FROM orders o LEFT JOIN dd ON CAST(o.o_orderdate AS DATE) = dd.full_date
+""",
+)
+def date_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+P10: broadcast date-dim lookup with the -1 sentinel for unmatched
+    dates (``silver_to_gold_transactions.py:98,113``).  The dim range stops
+    at 2000-12-31 so 2001 orders exercise the sentinel path."""
+    orders = load(spark, sf_dir, "orders")["orders"]
+    dd = build_dim_date(spark, DIM_DATE_START, DIM_DATE_END)
+    out = jn.date_key_lookup(
+        orders.select(
+            F.col("o_orderkey").alias("order_key"),
+            F.to_date("o_orderdate").alias("order_date"),
+        ),
+        dd,
+        "order_date",
+        out_col="order_date_key",
+    )
+    return out.select("order_key", "order_date", "order_date_key")
+
+
+# ---------------------------------------------------------------------------
+# Global-DW shapes: activity union, sequences, fold join, rollups (U1, W2,
+# J5, A12-A14, A5-A7)
+# ---------------------------------------------------------------------------
+
+from e_commerce_data_lakehouse_spark.operators.union import (  # noqa: E402
+    union_conform,
+)
+
+
+@register(
+    "union_activity",
+    """
+WITH unioned AS (
+  SELECT o_custkey AS actor_id, o_orderkey AS activity_id,
+         'order' AS activity_type, o_orderdate AS activity_ts,
+         o_totalprice AS amount, CAST(NULL AS VARCHAR) AS props
+  FROM orders
+  UNION ALL
+  SELECT user_id, event_id, event_type, ts, value, props FROM events
+)
+SELECT actor_id, activity_id, activity_type, activity_ts, amount, props,
+       CAST(row_number() OVER (
+            PARTITION BY actor_id
+            ORDER BY activity_ts, activity_type, activity_id) AS INT)
+           AS activity_sequence
+FROM unioned
+""",
+)
+def union_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1+W2: schema-conformed activity union (by NAME with typed null
+    padding — the reference aligns positionally, ``create_global_dw.py:
+    196-253``) plus the per-actor activity_sequence window
+    (``create_global_dw.py:256-258``)."""
+    t = load(spark, sf_dir, "orders", "events")
+    orders_act = t["orders"].select(
+        F.col("o_custkey").alias("actor_id"),
+        F.col("o_orderkey").alias("activity_id"),
+        F.lit("order").alias("activity_type"),
+        F.col("o_orderdate").alias("activity_ts"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    events_act = t["events"].select(
+        F.col("user_id").alias("actor_id"),
+        F.col("event_id").alias("activity_id"),
+        F.col("event_type").alias("activity_type"),
+        F.col("ts").alias("activity_ts"),
+        F.col("value").alias("amount"),
+        F.col("props"),
+    )
+    from pyspark.sql import Window
+
+    unioned = union_conform([orders_act, events_act])
+    w = Window.partitionBy("actor_id").orderBy(
+        "activity_ts", "activity_type", "activity_id"
+    )
+    return unioned.withColumn(
+        "activity_sequence", F.row_number().over(w).cast("int")
+    )
+
+
+@register(
+    "operational_daily",
+    f"""
+WITH spine AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS activity_date FROM orders
+  UNION SELECT DISTINCT CAST(ts AS DATE) FROM events
+),
+om AS (
+  SELECT CAST(o_orderdate AS DATE) AS activity_date,
+         {sql_sum_money('o_totalprice')} AS order_revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+em AS (
+  SELECT CAST(ts AS DATE) AS activity_date,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS event_value,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT s.activity_date,
+       COALESCE(om.order_revenue, 0) AS order_revenue,
+       COALESCE(om.n_orders, 0) AS n_orders,
+       COALESCE(em.event_value, 0) AS event_value,
+       COALESCE(em.n_events, 0) AS n_events
+FROM spine s
+LEFT JOIN om ON s.activity_date = om.activity_date
+LEFT JOIN em ON s.activity_date = em.activity_date
+""",
+)
+def operational_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+P9: fold per-domain daily metrics onto a date spine with zero-fill
+    (``create_global_dw.py:279-338``)."""
+    t = load(spark, sf_dir, "orders", "events")
+    om = (
+        t["orders"]
+        .groupBy(F.to_date("o_orderdate").alias("activity_date"))
+        .agg(
+            sum_money("o_totalprice").alias("order_revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    em = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("activity_date"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("event_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    spine = (
+        t["orders"]
+        .select(F.to_date("o_orderdate").alias("activity_date"))
+        .union(t["events"].select(F.to_date("ts").alias("activity_date")))
+        .distinct()
+    )
+    return jn.fold_left_join(
+        spine,
+        [om, em],
+        ["activity_date"],
+        fill_zero_cols=["order_revenue", "n_orders", "event_value", "n_events"],
+    )
+
+
+@register(
+    "duplicate_user_event_keys",
+    """
+SELECT user_id, event_type, COUNT(*) AS n, COUNT(*) - 1 AS extra_rows
+FROM events GROUP BY 1, 2 HAVING COUNT(*) > 1
+""",
+)
+def duplicate_user_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: duplicate detection via HAVING (``iot_bronze_to_silver.py:83-110``)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return agg.duplicate_keys(ev, ["user_id", "event_type"])
+
+
+@register(
+    "distinct_counts",
+    """
+SELECT COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+FROM events
+""",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: COUNT(DISTINCT) verification aggregates
+    (``iot_bronze_to_silver.py:244-249``)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+
+
+@register(
+    "customer_segmentation",
+    """
+WITH c360 AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 3
+           + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 2
+           + SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1
+           AS customer_score
+  FROM events GROUP BY user_id
+)
+SELECT CASE WHEN customer_score >= 50 THEN 'platinum'
+            WHEN customer_score >= 25 THEN 'gold'
+            WHEN customer_score >= 10 THEN 'silver'
+            ELSE 'bronze' END AS segment,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(customer_score AS DECIMAL(30,2))) AS DOUBLE)
+             / COUNT(*), 4) AS avg_score,
+       MIN(customer_score) AS min_score,
+       MAX(customer_score) AS max_score
+FROM c360 GROUP BY 1
+""",
+)
+def customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: score-band segmentation (``explore_global_dw_aggregates.py:87-103``)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return agg.segment_by_score(agg.customer_360(ev))
+
+
+@register(
+    "monthly_summary",
+    f"""
+SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+       monthname(o_orderdate) AS month_name,
+       {sql_sum_money('o_totalprice')} AS total_revenue,
+       COUNT(*) AS n_orders,
+       {sql_avg_money('o_totalprice')} AS avg_order_value
+FROM orders GROUP BY 1, 2, 3
+""",
+)
+def monthly_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: monthly rollup (``create_global_dw.py:402-440``)."""
+    orders = load(spark, sf_dir, "orders")["orders"]
+    out = agg.monthly_summary(orders, "o_orderdate", "o_totalprice")
+    return out.withColumn("year", F.col("year").cast("long")).withColumn(
+        "month", F.col("month").cast("long")
+    )
+
+
+@register(
+    "yearly_summary",
+    f"""
+SELECT year(o_orderdate) AS year,
+       {sql_sum_money('o_totalprice')} AS total_revenue,
+       COUNT(*) AS n_orders,
+       {sql_avg_money('o_totalprice')} AS avg_order_value
+FROM orders GROUP BY 1
+""",
+)
+def yearly_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: yearly (YoY) rollup (``explore_global_dw_aggregates.py:173-179``)."""
+    orders = load(spark, sf_dir, "orders")["orders"]
+    out = agg.yearly_summary(orders, "o_orderdate", "o_totalprice")
+    return out.withColumn("year", F.col("year").cast("long"))
+
+
+@register(
+    "grand_totals",
+    """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT ts) AS n_distinct_ts,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+""",
+)
+def grand_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: keyless whole-table aggregate (``generate_dim_date.py:49-54``)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return agg.grand_totals(ev, "value", "ts")
