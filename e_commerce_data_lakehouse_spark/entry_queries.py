@@ -600,3 +600,310 @@ def grand_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: keyless whole-table aggregate (``generate_dim_date.py:49-54``)."""
     ev = load(spark, sf_dir, "events")["events"]
     return agg.grand_totals(ev, "value", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Cleaning parity (F3-F6, P5, P6) and JSON envelope parsing (S8)
+# ---------------------------------------------------------------------------
+
+from e_commerce_data_lakehouse_spark.functions import text as tx  # noqa: E402
+
+
+def _messy_address(key: F.Column, city: F.Column) -> F.Column:
+    """Synthesize the reference's dirty shipping_address shapes
+    (FIXTURES.md §1 quirks) deterministically from a key."""
+    return (
+        F.when(key % 7 == 0, F.lit("garbage address with no json at all"))
+        .when(key % 7 == 3, F.concat(F.lit('{"city" :  "'), city, F.lit('", "zip": "99"}')))
+        .when(key % 7 == 5, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit('{"city": "'), city, F.lit('"}')))
+    )
+
+
+@register(
+    "clean_city_region",
+    """
+WITH raw AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'garbage address with no json at all'
+              WHEN c_custkey % 7 = 3 THEN '{"city" :  "City_' || (c_custkey % 50) || '", "zip": "99"}'
+              WHEN c_custkey % 7 = 5 THEN NULL
+              ELSE '{"city": "City_' || (c_custkey % 50) || '"}'
+         END AS shipping_address,
+         CASE WHEN c_custkey % 11 = 0 THEN 'not a region payload'
+              ELSE '{"region": "R' || (c_custkey % 5) || '"}'
+         END AS timestamp_raw,
+         CASE WHEN c_custkey % 6 = 0 THEN 'true' WHEN c_custkey % 6 = 1 THEN '1'
+              WHEN c_custkey % 6 = 2 THEN 'YES' WHEN c_custkey % 6 = 3 THEN ' t '
+              WHEN c_custkey % 6 = 4 THEN 'false' ELSE 'junk'
+         END AS is_returned_raw
+  FROM customer
+)
+SELECT c_custkey AS customer_id,
+       CASE WHEN TRIM(regexp_extract(shipping_address,
+                 '"city"\\s*:\\s*"([^"]+)"', 1)) = ''
+            THEN NULL
+            ELSE TRIM(regexp_extract(shipping_address,
+                 '"city"\\s*:\\s*"([^"]+)"', 1)) END AS city,
+       CASE WHEN TRIM(regexp_extract(timestamp_raw,
+                 '"region"\\s*:\\s*"([^"]+)"', 1)) = ''
+            THEN NULL
+            ELSE TRIM(regexp_extract(timestamp_raw,
+                 '"region"\\s*:\\s*"([^"]+)"', 1)) END AS region,
+       lower(trim(is_returned_raw)) IN ('true', '1', 'yes', 't')
+           AS is_returned_flag
+FROM raw
+""",
+)
+def clean_city_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 city/region extraction from messy JSON-ish text
+    (``csv_bronze_to_silver.py:83-149``) + P6 tri-state boolean parse
+    (``:180-184``), as pure Catalyst expressions — no Python UDFs, unlike
+    the reference's row-at-a-time UDFs."""
+    cust = load(spark, sf_dir, "customer")["customer"]
+    key = F.col("c_custkey")
+    city_val = F.concat(F.lit("City_"), (key % 50).cast("string"))
+    raw = cust.select(
+        key,
+        _messy_address(key, city_val).alias("shipping_address"),
+        F.when(key % 11 == 0, F.lit("not a region payload"))
+        .otherwise(
+            F.concat(F.lit('{"region": "R'), (key % 5).cast("string"), F.lit('"}'))
+        )
+        .alias("timestamp_raw"),
+        F.when(key % 6 == 0, "true")
+        .when(key % 6 == 1, "1")
+        .when(key % 6 == 2, "YES")
+        .when(key % 6 == 3, " t ")
+        .when(key % 6 == 4, "false")
+        .otherwise("junk")
+        .alias("is_returned_raw"),
+    )
+    return raw.select(
+        F.col("c_custkey").alias("customer_id"),
+        tx.clean_city(F.col("shipping_address")).alias("city"),
+        tx.clean_region(F.col("timestamp_raw")).alias("region"),
+        tx.parse_bool(F.col("is_returned_raw")).alias("is_returned_flag"),
+    )
+
+
+@register(
+    "clean_platform_content",
+    """
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 8 WHEN 0 THEN 'TWITTER' WHEN 1 THEN 'facebook'
+              WHEN 2 THEN 'InStAgRaM' WHEN 3 THEN 'tiktok'
+              WHEN 4 THEN 'LINKEDIN' WHEN 5 THEN ' youtube '
+              WHEN 6 THEN 'SnapChat' ELSE 'myspace' END AS platform,
+         CASE WHEN doc_id % 5 = 0 THEN chr(7) || text || chr(8) || '   trailing'
+              WHEN doc_id % 5 = 1 THEN '   '
+              ELSE text END AS content
+  FROM documents
+)
+SELECT doc_id,
+       CASE lower(trim(platform))
+            WHEN 'twitter' THEN 'Twitter' WHEN 'facebook' THEN 'Facebook'
+            WHEN 'instagram' THEN 'Instagram' WHEN 'tiktok' THEN 'TikTok'
+            WHEN 'linkedin' THEN 'LinkedIn' WHEN 'youtube' THEN 'YouTube'
+            WHEN 'snapchat' THEN 'Snapchat'
+            ELSE upper(substr(trim(platform), 1, 1)) ||
+                 lower(substr(trim(platform), 2)) END AS platform,
+       NULLIF(trim(regexp_replace(
+           regexp_replace(content, '[\\x00-\\x1f\\x7f-\\x9f]', ' ', 'g'),
+           '\\s+', ' ', 'g')), '') AS content
+FROM raw
+""",
+)
+def clean_platform_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6: control-char stripping + whitespace collapse with empty->NULL
+    (``social_bronze_to_silver.py:82-104``) and canonical platform casing
+    (``:106-129``)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    key = F.col("doc_id")
+    raw = docs.select(
+        key,
+        F.when(key % 8 == 0, "TWITTER")
+        .when(key % 8 == 1, "facebook")
+        .when(key % 8 == 2, "InStAgRaM")
+        .when(key % 8 == 3, "tiktok")
+        .when(key % 8 == 4, "LINKEDIN")
+        .when(key % 8 == 5, " youtube ")
+        .when(key % 8 == 6, "SnapChat")
+        .otherwise("myspace")
+        .alias("platform"),
+        F.when(key % 5 == 0, F.concat(F.lit("\x07"), F.col("text"), F.lit("\x08   trailing")))
+        .when(key % 5 == 1, F.lit("   "))
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    return raw.select(
+        "doc_id",
+        tx.clean_platform(F.col("platform")).alias("platform"),
+        tx.clean_content(F.col("content")).alias("content"),
+    )
+
+
+@register(
+    "envelope_parse",
+    """
+SELECT event_id, event_type, value, ts AS parsed_ts,
+       event_id AS kafka_offset, event_id % 4 AS kafka_partition
+FROM events
+""",
+)
+def envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: the double-from_json Kafka-envelope pattern
+    (``sensor_to_deltalake_table.py:186-292``).  We round-trip events through
+    a synthesized envelope (payload JSON nested inside an envelope JSON) and
+    parse both layers back; the oracle is the identity projection, proving
+    the parse is lossless."""
+    ev = load(spark, sf_dir, "events")["events"]
+    enveloped = ev.select(
+        F.to_json(
+            F.struct(
+                F.to_json(
+                    F.struct("event_id", "event_type", "value", F.col("ts").cast("string").alias("ts"))
+                ).alias("json_data"),
+                F.col("event_id").alias("kafka_offset"),
+                (F.col("event_id") % 4).alias("kafka_partition"),
+            )
+        ).alias("raw_line")
+    )
+    env_schema = "json_data string, kafka_offset long, kafka_partition long"
+    payload_schema = "event_id long, event_type string, value double, ts string"
+    parsed = enveloped.select(
+        F.from_json("raw_line", env_schema).alias("env")
+    ).select("env.*")
+    return parsed.select(
+        F.from_json("json_data", payload_schema).alias("p"),
+        "kafka_offset",
+        "kafka_partition",
+    ).select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.event_type").alias("event_type"),
+        F.col("p.value").alias("value"),
+        F.to_timestamp("p.ts").cast("timestamp_ntz").alias("parsed_ts"),
+        "kafka_offset",
+        "kafka_partition",
+    )
+
+
+@register(
+    "props_json_bands",
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 75 THEN 'high'
+            WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 25 THEN 'mid'
+            ELSE 'low' END AS k_band
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+""",
+)
+def props_json_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/P5: single-layer JSON payload parse + CASE banding
+    (``sensor_to_deltalake_table.py:264-286`` + ``image_to_deltalake_table.py:
+    299-305`` conditional fallbacks)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k long").alias("p")
+    ).select("event_id", F.col("p.k").alias("k"))
+    return parsed.filter(F.col("k").isNotNull()).select(
+        "event_id",
+        "k",
+        F.when(F.col("k") >= 75, "high")
+        .when(F.col("k") >= 25, "mid")
+        .otherwise("low")
+        .alias("k_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge / incremental (S14, S15, T2/T3)
+# ---------------------------------------------------------------------------
+
+from e_commerce_data_lakehouse_spark.operators import merge as mg  # noqa: E402
+
+
+@register(
+    "scd1_merge_dim",
+    """
+WITH updates AS (
+  SELECT c_custkey, c_name, 'VIP' AS c_mktsegment
+  FROM customer WHERE c_acctbal > 5000
+)
+SELECT c_custkey AS customer_id, c_name AS customer_name,
+       c_mktsegment AS segment
+FROM updates
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+""",
+)
+def scd1_merge_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 SCD-1 MERGE semantics (``silver_to_gold_transactions.py:71-90``)
+    expressed relationally: updates ∪ (target anti-join updates).  On a
+    Delta-enabled cluster ``DeltaTable.merge`` is the drop-in physical op."""
+    cust = load(spark, sf_dir, "customer")["customer"]
+    target = cust.select("c_custkey", "c_name", "c_mktsegment")
+    updates = (
+        cust.filter(F.col("c_acctbal") > 5000)
+        .select("c_custkey", "c_name", F.lit("VIP").alias("c_mktsegment"))
+    )
+    merged = mg.scd1_merge(target, updates, ["c_custkey"])
+    return merged.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+@register(
+    "insert_only_merge_dim",
+    """
+SELECT s_suppkey AS supplier_id, s_name AS supplier_name
+FROM supplier
+UNION ALL
+SELECT s_suppkey + 1000000, 'NEW_' || s_name
+FROM supplier WHERE s_suppkey % 2 = 0
+""",
+)
+def insert_only_merge_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 insert-only MERGE for immutable dims
+    (``silver_to_gold_customer_images.py:77-79``): existing keys keep their
+    row; only genuinely new keys are appended."""
+    sup = load(spark, sf_dir, "supplier")["supplier"]
+    target = sup.select(
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+    )
+    updates = sup.select(
+        (F.col("s_suppkey") + 1000000).alias("supplier_id"),
+        F.concat(F.lit("NEW_"), F.col("s_name")).alias("supplier_name"),
+    ).filter(F.col("supplier_id") % 2 == 0).unionByName(
+        # colliding keys with changed names — must be IGNORED by insert-only
+        target.withColumn("supplier_name", F.lit("SHOULD_NOT_APPEAR"))
+    )
+    merged = mg.insert_only_merge(target, updates, ["supplier_id"])
+    return merged
+
+
+@register(
+    "incremental_watermark",
+    """
+SELECT event_id, user_id, event_type, ts, value
+FROM events
+WHERE ts > (SELECT MAX(ts) FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+""",
+)
+def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 high-watermark incremental (``csv_bronze_to_silver.py:54-78``):
+    'already loaded' = events before Jan 15; the op selects only source rows
+    newer than MAX(ts) of the target, as a typed pushed-down predicate
+    instead of string-interpolated SQL."""
+    ev = load(spark, sf_dir, "events")["events"]
+    target = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz"))
+    inc = mg.incremental_rows(ev, target, "ts")
+    return inc.select("event_id", "user_id", "event_type", "ts", "value")
