@@ -907,3 +907,319 @@ def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp_ntz"))
     inc = mg.incremental_rows(ev, target, "ts")
     return inc.select("event_id", "user_id", "event_type", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup family (exact / jaccard / MinHash / SimHash)
+# ---------------------------------------------------------------------------
+
+NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- synthetic duplicates: same content modulo case/whitespace
+  SELECT doc_id + 10000000, '  ' || upper(text) || '  ' FROM documents
+  WHERE doc_id % 3 = 0
+)
+SELECT md5({NORM_SQL.format(c='text')}) AS fingerprint,
+       MIN(doc_id) AS doc_id,
+       COUNT(*) AS dup_count
+FROM corpus
+GROUP BY 1
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: one survivor (min id) per
+    fingerprint.  Generalizes W1 to content identity; single hash-agg
+    shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    dups = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    return dd.exact_dedup(corpus, "text", "doc_id")
+
+
+@register(
+    "near_dup_token_jaccard",
+    f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split({NORM_SQL.format(c='text')}, ' ')) AS tset,
+         string_split({NORM_SQL.format(c='text')}, ' ')[1] AS tok1
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.tset, b.tset)) * 1.0 /
+             (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset))),
+             6) AS jaccard
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+WHERE ROUND(len(list_intersect(a.tset, b.tset)) * 1.0 /
+            (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset))),
+            6) >= 0.9
+""",
+)
+def near_dup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup with explicit blocking on (lang, first
+    token) — the oracle-checkable fuzzy-dedup baseline.  Blocking keeps the
+    self-join an equi-join; the probabilistic scale path is
+    ``near_dup_minhash_lsh``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(dd.normalize_text(F.col("text")), " ")
+    base = docs.select(
+        "doc_id", "lang", toks.getItem(0).alias("tok1"), F.col("text")
+    )
+    return dd.token_jaccard_pairs(
+        base, "doc_id", "text", ["lang", "tok1"], threshold=0.9
+    )
+
+
+@register("near_dup_minhash_lsh", None)  # Spark-internal hashing -> rows-only
+def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH fuzzy dedup — the scale path (shingle →
+    32 minhashes → 8 band keys → equi-join on band key → verify by true
+    shingle Jaccard).  Blocking uses Spark's xxhash64, so the driver records
+    the rows-only check (DuckDB can't reproduce Spark's hash family)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5,
+        verify_threshold=0.5,
+    )
+
+
+@register("near_dup_simhash", None)  # Spark-internal hashing -> rows-only
+def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit token-vote fingerprint, 16-bit band blocking
+    (pigeonhole guarantees recall for hamming<=3), hamming verify."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=3, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (lang-ID, quality, token stats, fingerprint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_text_stats",
+    f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS n_tokens_bpeish,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       ROUND(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 /
+             NULLIF(length(regexp_replace(text, '\\s', '', 'g')), 0), 6)
+           AS punct_ratio,
+       ROUND(len(list_filter(string_split(trim(lower(text)), ' '),
+                 t -> t IN ('the','a','and','of','to','in','is','it'))) * 1.0 /
+             NULLIF(len(string_split(trim(lower(text)), ' ')), 0), 6)
+           AS stopword_ratio,
+       CASE WHEN regexp_matches(text, '[\\x{{0600}}-\\x{{06FF}}]') THEN 'arabic'
+            WHEN regexp_matches(text, '[\\x{{4E00}}-\\x{{9FFF}}]') THEN 'cjk'
+            WHEN regexp_matches(text, '[\\x{{0400}}-\\x{{04FF}}]') THEN 'cyrillic'
+            WHEN regexp_matches(text, '[A-Za-z]') THEN 'latin'
+            ELSE 'other' END AS script,
+       md5({NORM_SQL.format(c='text')}) AS fingerprint
+FROM documents
+""",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis suite over documents: whitespace + BPE-ish token
+    counts, punctuation/stopword ratios, script-based language ID, md5
+    content fingerprint — all pure Catalyst expressions (no UDFs)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.whitespace_token_count(text).alias("n_tokens_ws"),
+        tx.regex_token_count(text).alias("n_tokens_bpeish"),
+        F.length(text).cast("long").alias("n_chars"),
+        tx.punct_ratio(text).alias("punct_ratio"),
+        tx.stopword_ratio(text).alias("stopword_ratio"),
+        tx.detect_script(text).alias("script"),
+        tx.fingerprint(text).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (brute-force baseline + LSH scale path)
+# ---------------------------------------------------------------------------
+
+from e_commerce_data_lakehouse_spark.operators import similarity as sim  # noqa: E402
+
+
+@register(
+    "ann_cosine_topk",
+    """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       ROUND(list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+             6) AS cosine_sim,
+       CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY ROUND(list_dot_product(q.v, c.v) /
+                  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                  c.vec_id ASC) AS INT) AS rank
+FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id != q.vec_id
+QUALIFY rank <= 5
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (exact kNN baseline): small query set
+    broadcast against the candidate table, map-side scoring, per-query top-k
+    window.  Approximate scale path: ``ann_lsh_topk``."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@register("ann_lsh_topk", None)  # hyperplane buckets not SQL-reproducible
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table random-hyperplane LSH + exact
+    rerank of bucket-collision candidates — candidate generation is an
+    equi-join on (table_id, bucket), never an all-pairs product."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.lsh_topk(
+        queries, emb, "vec_id", "embedding", dim=64, k=5,
+        n_planes=10, n_tables=8,
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= 0.35
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with label blocking (cluster id as the
+    blocking key — an equi-join, not a cross join).  The unsupervised scale
+    path with hyperplane-LSH blocking is ``embedding_near_dup_lsh``."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("__va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("__vb")
+    )
+    from e_commerce_data_lakehouse_spark.functions.vectors import cosine
+
+    pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= 0.35)
+    )
+
+
+@register("embedding_near_dup_lsh", None)  # hyperplane buckets not SQL-reproducible
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised embedding near-dup: hyperplane-LSH bucket blocking +
+    exact cosine verify (no label needed, same equi-join shape)."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return sim.near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, n_planes=8, n_tables=10,
+        dim=64,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (decode stub over mapInPandas)
+# ---------------------------------------------------------------------------
+
+from e_commerce_data_lakehouse_spark.multimodal.binary_ops import (  # noqa: E402
+    decode_metadata,
+)
+
+
+@register(
+    "multimodal_decode",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
+       CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height,
+       CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END
+           AS format
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text bytes stand in for image payloads in an
+    opaque ``binary`` column; metadata extraction runs as an Arrow-batched
+    mapInPandas kernel (real codec work is stubbed deterministically — the
+    schema/batching/partitioning path is the part under test; see
+    ``multimodal/binary_ops.py``)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return decode_metadata(with_payload, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (T1/T5 done idiomatically)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_hourly_counts",
+    """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A genuine Structured Streaming query: file-source stream over the
+    events parquet (stand-in for the reference's Kafka topic), watermarked
+    tumbling 1-hour window, AvailableNow trigger draining to a memory sink —
+    the idiomatic replacement for the reference's hand-rolled offset
+    checkpointing + full recompute (T1/T5,
+    ``transactions_processor.py:27-116``)."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        hourly_event_counts,
+        run_available_now,
+        stream_events,
+    )
+
+    load(spark, sf_dir)  # session settings (nanosAsLong for the schema below)
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
+    result = hourly_event_counts(stream, watermark="2 hours")
+    table = f"hourly_counts_{uuid.uuid4().hex[:8]}"
+    run_available_now(result, tempfile.mkdtemp(prefix="ckpt_"), table)
+    out = spark.table(table)
+    return out.withColumn(
+        "hour_start", F.col("hour_start").cast("timestamp_ntz")
+    )

@@ -166,6 +166,14 @@ def minhash_lsh_pairs(
     imply near-identical docs.
     """
     rows_per_band = num_hashes // bands
+
+    def _seeded_min(seed: int):
+        # closure, NOT a default arg: a 2-param lambda would make PySpark
+        # pass the array index as the second arg, silently replacing the seed
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda sh: F.xxhash64(sh, F.lit(seed)))
+        )
+
     sig = df.select(
         F.col(id_col).alias("__id"),
         shingle_array(F.col(text_col), shingle_n).alias("__sh"),
@@ -174,17 +182,7 @@ def minhash_lsh_pairs(
         "__sh",
         *[
             F.xxhash64(
-                *[
-                    F.array_min(
-                        F.transform(
-                            F.col("__sh"),
-                            lambda sh, i=(b * rows_per_band + r): F.xxhash64(
-                                sh, F.lit(i)
-                            ),
-                        )
-                    )
-                    for r in range(rows_per_band)
-                ]
+                *[_seeded_min(b * rows_per_band + r) for r in range(rows_per_band)]
             ).alias(f"band_{b}")
             for b in range(bands)
         ],
@@ -236,19 +234,16 @@ def simhash64(text_col: Column) -> Column:
     """
     toks = F.array_distinct(F.split(normalize_text(text_col), " "))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def _voter(mask):
+        # closure (not default arg): PySpark infers HOF arity from the
+        # lambda signature, so it must stay two-parameter
+        return lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
     bits = []
     for bit in range(64):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << bit).cast("long")) != 0, 1).otherwise(
-                -1
-            ),
-        )
-        bits.append(
-            F.when(vote > 0, F.lit(1 << bit).cast("long")).otherwise(F.lit(0))
-        )
+        mask = F.shiftleft(F.lit(1).cast("long"), bit)  # JVM shift: bit 63 ok
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(mask))
+        bits.append(F.when(vote > 0, mask).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)

@@ -26,16 +26,25 @@ def stream_events(
     path: str,
     schema_ddl: str,
     ts_from_nanos: str | None = "ts",
+    glob: str | None = None,
 ) -> DataFrame:
     """File-source stream over parquet events (stand-in for the Kafka
-    source; swap ``.format('kafka')`` + value decode on a real cluster)."""
-    df = spark.readStream.schema(schema_ddl).format("parquet").load(path)
+    source; swap ``.format('kafka')`` + value decode on a real cluster).
+
+    ``path`` must be a directory (file-source requirement); use ``glob`` to
+    select one table's files inside it.
+    """
+    reader = spark.readStream.schema(schema_ddl).format("parquet")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
     if ts_from_nanos:
+        # TimestampType (not NTZ): watermarks require TIMESTAMP; with the
+        # session pinned to UTC the instant equals the NTZ value and the
+        # final result casts back to NTZ for oracle comparison
         df = df.withColumn(
             ts_from_nanos,
-            F.timestamp_micros(
-                (F.col(ts_from_nanos) / F.lit(1000)).cast("long")
-            ).cast("timestamp_ntz"),
+            F.timestamp_micros((F.col(ts_from_nanos) / F.lit(1000)).cast("long")),
         )
     return df
 
