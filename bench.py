@@ -1,0 +1,79 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}.
+
+Queries execute against the noop sink — full plan execution without
+driver-side collect overhead, which is the honest measure of engine
+throughput (collect would measure py4j serialization of result rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from e_commerce_data_lakehouse_spark import entry_queries as eq
+from e_commerce_data_lakehouse_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "daily_revenue",
+    "star_revenue_by_region",
+    "top_customers",
+    "dedup_latest_events",
+    "hourly_device_health",
+    "customer_360",
+    "union_activity",
+    "operational_daily",
+    "dim_date",
+    "dedup_exact",
+    "near_dup_token_jaccard",
+    "near_dup_minhash_lsh",
+    "near_dup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "doc_text_stats",
+    "multimodal_decode",
+    "streaming_hourly_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM/session so the first measured query isn't paying startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = eq.QUERIES[name].spark_fn
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -129,18 +129,18 @@ def shingle_array(text_col: Column, n: int = 5) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> list[Column]:
-    """num_hashes min-hash values via seeded xxhash64 of each shingle.
+    """num_hashes min-hash values: one xxhash64 of each shingle STRING, then
+    the hash family derives by re-hashing that 8-byte long with a seed column
+    (xxhash64(long, i)) — far cheaper than hashing the string per seed, and
+    overflow-free under ANSI mode (a multiplicative family would throw)."""
+    base = F.transform(shingles, lambda sh: F.xxhash64(sh))
 
-    ``xxhash64(shingle, seed_i)`` is a cheap family of independent hash
-    functions; ``array_min(transform(...))`` evaluates JVM-side per row with
-    no shuffle.
-    """
-    return [
-        F.array_min(
-            F.transform(shingles, lambda sh: F.xxhash64(sh, F.lit(i)))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
+    def seeded_min(i: int) -> Column:
+        return F.array_min(
+            F.transform(base, lambda h: F.xxhash64(h, F.lit(i)))
+        )
+
+    return [seeded_min(i).alias(f"mh_{i}") for i in range(num_hashes)]
 
 
 def minhash_lsh_pairs(
@@ -167,25 +167,31 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
 
-    def _seeded_min(seed: int):
-        # closure, NOT a default arg: a 2-param lambda would make PySpark
-        # pass the array index as the second arg, silently replacing the seed
+    def _seeded_min(i: int) -> Column:
         return F.array_min(
-            F.transform(F.col("__sh"), lambda sh: F.xxhash64(sh, F.lit(seed)))
+            F.transform(F.col("__bh"), lambda h: F.xxhash64(h, F.lit(i)))
         )
 
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        shingle_array(F.col(text_col), shingle_n).alias("__sh"),
-    ).select(
-        "__id",
-        "__sh",
-        *[
-            F.xxhash64(
-                *[_seeded_min(b * rows_per_band + r) for r in range(rows_per_band)]
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ],
+    sig = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingle_array(F.col(text_col), shingle_n).alias("__sh"),
+        )
+        # hash every shingle once; all minhash functions derive from __bh
+        .withColumn("__bh", F.transform(F.col("__sh"), lambda sh: F.xxhash64(sh)))
+        .select(
+            "__id",
+            "__sh",
+            *[
+                F.xxhash64(
+                    *[
+                        _seeded_min(b * rows_per_band + r)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias(f"band_{b}")
+                for b in range(bands)
+            ],
+        )
     )
     sig = sig.persist()
     bands_long = sig.select(

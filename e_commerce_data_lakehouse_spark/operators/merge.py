@@ -57,7 +57,18 @@ def incremental_rows(
     reference, the watermark is applied as a *typed column predicate* (which
     pushes down to the parquet scan) rather than string-interpolated SQL
     (``csv_bronze_to_silver.py:161-163``)."""
+    import datetime
+
     wm = high_watermark(target, ts_col)
     if wm is None:
         return source
-    return source.filter(F.col(ts_col) > F.lit(wm))
+    if isinstance(wm, datetime.datetime):
+        # A naive datetime through F.lit() becomes a TIMESTAMP_LTZ literal
+        # converted with the *OS* timezone (TimestampType.toInternal uses
+        # local mktime) — wrong for NTZ columns whenever host tz != UTC.
+        # Re-embed as an ISO string cast to the column's own type instead:
+        # string→NTZ parse is tz-independent, string→LTZ uses session tz.
+        lit = F.lit(wm.isoformat(sep=" ")).cast(source.schema[ts_col].dataType)
+    else:
+        lit = F.lit(wm)
+    return source.filter(F.col(ts_col) > lit)

@@ -17,10 +17,11 @@ Hyperplanes are generated deterministically (seeded) driver-side — a few KB
 
 from __future__ import annotations
 
-import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from e_commerce_data_lakehouse_spark.functions.vectors import cosine, dot
@@ -77,13 +78,30 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
     ]
 
 
-def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: one bit per hyperplane, folded into a long."""
-    acc = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
-        acc = acc + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(0)
-    return acc
+def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Vectorized sign-LSH bucketing: one numpy matmul per Arrow batch.
+
+    An expression-tree version (n_tables*n_planes*dim literal columns) blows
+    up codegen; a scalar pandas_udf with a (dim, tables*planes) constant
+    matrix is ~100x less work per row and stays Arrow-batched.  The matrix is
+    seeded/deterministic and a few KB — it ships inside the serialized UDF
+    (the moral equivalent of a broadcast variable).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_hyperplanes(dim, n_planes, n_tables, seed))
+    mat = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*P)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        arr = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, dim)
+        signs = (arr @ mat) >= 0  # (N, T*P)
+        bits = signs.reshape(len(arr), n_tables, n_planes)
+        ids = (bits * weights).sum(axis=2)  # (N, T)
+        return pd.Series(list(ids))
+
+    return buckets
 
 
 def lsh_topk(
@@ -99,17 +117,14 @@ def lsh_topk(
     include_self: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table sign-LSH + exact rerank."""
-    tables = _hyperplanes(dim, n_planes, n_tables, seed)
+    bucketer = _bucket_udf(dim, n_planes, n_tables, seed)
 
     def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
         out = df.select(F.col(idc), F.col(vc))
-        buckets = F.array(
-            *[_bucket_expr(F.col(vc), planes) for planes in tables]
-        )
         return out.select(
             F.col(idc),
             F.col(vc),
-            F.posexplode(buckets).alias("table_id", "bucket"),
+            F.posexplode(bucketer(F.col(vc))).alias("table_id", "bucket"),
         )
 
     qb = with_buckets(
@@ -151,11 +166,12 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) via LSH blocking +
     exact verify — the embedding analogue of MinHash fuzzy dedup."""
-    tables = _hyperplanes(dim, n_planes, n_tables, seed)
+    bucketer = _bucket_udf(dim, n_planes, n_tables, seed)
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-    buckets = F.array(*[_bucket_expr(F.col("__v"), planes) for planes in tables])
     bl = base.select(
-        "__id", "__v", F.posexplode(buckets).alias("table_id", "bucket")
+        "__id",
+        "__v",
+        F.posexplode(bucketer(F.col("__v"))).alias("table_id", "bucket"),
     )
     a, b = bl.alias("a"), bl.alias("b")
     cand = (
