@@ -1,0 +1,195 @@
+"""Sources/sinks layer tests (SURVEY §2.1 S1-S20) on tmp dirs + sf0.001."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from e_commerce_data_lakehouse_spark import sources as src
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_csv_roundtrip_schema_bound(spark, tmp_path):
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    out = str(tmp_path / "csv")
+    df.write.option("header", "true").csv(out)
+    schema = StructType(
+        [
+            StructField("r_regionkey", LongType()),
+            StructField("r_name", StringType()),
+            StructField("r_comment", StringType()),
+        ]
+    )
+    back = src.read_csv(spark, out, schema)
+    assert back.count() == df.count()
+    assert [f.name for f in back.schema.fields] == [
+        "r_regionkey", "r_name", "r_comment",
+    ]
+
+
+def test_text_envelope_double_from_json(spark, tmp_path):
+    # build kafka-envelope lines: {"json_data": "<payload json>", "kafka_offset": n, ...}
+    payloads = [
+        {"sensor_id": f"s{i}", "temperature": 20.0 + i, "status": "OK"}
+        for i in range(50)
+    ]
+    lines = [
+        json.dumps(
+            {
+                "json_data": json.dumps(p),
+                "kafka_offset": i,
+                "kafka_partition": i % 4,
+            }
+        )
+        for i, p in enumerate(payloads)
+    ]
+    raw = tmp_path / "raw.json"
+    raw.write_text("\n".join(lines))
+
+    envelope = StructType(
+        [
+            StructField("json_data", StringType()),
+            StructField("kafka_offset", LongType()),
+            StructField("kafka_partition", LongType()),
+        ]
+    )
+    payload = StructType(
+        [
+            StructField("sensor_id", StringType()),
+            StructField("temperature", DoubleType()),
+            StructField("status", StringType()),
+        ]
+    )
+    df = src.read_text_envelope(
+        spark, str(raw), envelope, "json_data", payload
+    )
+    rows = df.orderBy("kafka_offset").collect()
+    assert len(rows) == 50
+    assert rows[0]["sensor_id"] == "s0"
+    assert rows[49]["temperature"] == 69.0
+    assert "source_file" in df.columns  # S20 lineage
+
+
+def test_partition_columns_fallback_and_repair(spark):
+    df = spark.createDataFrame(
+        [("2024-03-05",), (None,)], ["d"]
+    ).withColumn("d", F.col("d").cast("date"))
+    p = src.with_partition_columns(df, "d")
+    rows = {r["year"] for r in p.collect()}
+    assert 2024 in rows  # null row falls back to current_date, non-null keeps 2024
+
+    bad = spark.createDataFrame(
+        [(2024, 13, 1), (2024, 2, 30), (None, None, None)],
+        ["year", "month", "day"],
+    )
+    fixed = src.repair_partition_columns(bad)
+    out = fixed.collect()
+    # month=13 dropped; day=30 kept (reference validates day<=31 only);
+    # null row repaired from current_date
+    assert len(out) == 2
+    assert all(r["month"] is not None for r in out)
+
+
+def test_file_ledger_incremental(spark, tmp_path):
+    ledger = src.FileLedger(spark, str(tmp_path / "ledger"))
+    files = [f"/data/f{i}.csv" for i in range(10)]
+    assert ledger.new_files(files) == sorted(files)
+    ledger.mark_processed(files[:7])
+    assert ledger.new_files(files) == sorted(files[7:])
+    # idempotent re-run: nothing new after marking all
+    ledger.mark_processed(files[7:])
+    assert ledger.new_files(files) == []
+
+
+def test_ingest_new_files_loop(spark, tmp_path):
+    ledger = src.FileLedger(spark, str(tmp_path / "ledger"))
+    data = tmp_path / "in"
+    data.mkdir()
+    for i in range(3):
+        (data / f"f{i}.txt").write_text(f"line{i}\n")
+    discovered = sorted(str(p) for p in data.glob("*.txt"))
+    written = []
+    n = src.ingest_new_files(
+        ledger,
+        discovered,
+        read_fn=lambda paths: spark.read.text(paths),
+        write_fn=lambda df: written.append(df.count()),
+    )
+    assert n == 3 and written == [3]
+    # second run: no new files, write_fn not called
+    n2 = src.ingest_new_files(
+        ledger, discovered,
+        read_fn=lambda p: spark.read.text(p),
+        write_fn=lambda df: written.append(df.count()),
+    )
+    assert n2 == 0 and written == [3]
+
+
+def test_offset_checkpoint_resume(spark, tmp_path):
+    cp = src.OffsetCheckpoint(spark, str(tmp_path), "orders_topic")
+    assert cp.next_starting_offsets() == "earliest"
+    consumed = spark.createDataFrame(
+        [(0, 10), (0, 42), (1, 7)], ["kafka_partition", "kafka_offset"]
+    )
+    cp.save(consumed)
+    resume = json.loads(cp.next_starting_offsets())
+    assert resume == {"orders_topic": {"0": 43, "1": 8}}
+
+
+def test_managed_table_merge_lifecycle(spark, tmp_path):
+    t = src.ManagedTable(spark, str(tmp_path / "dim"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "name"]
+    )
+    t.create(base)
+    updates = spark.createDataFrame(
+        [(2, "B2"), (3, "c")], ["id", "name"]
+    )
+    t.merge_scd1(updates, ["id"])
+    got = {(r["id"], r["name"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c")}
+
+    t.merge_insert_only(
+        spark.createDataFrame([(3, "C-IGNORED"), (4, "d")], ["id", "name"]),
+        ["id"],
+    )
+    got = {(r["id"], r["name"]) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+
+def test_raw_sinks_partitioned_parallel(spark, tmp_path):
+    df = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .withColumn("year", F.year("o_orderdate"))
+        .withColumn("month", F.month("o_orderdate"))
+        .withColumn("day", F.dayofmonth("o_orderdate"))
+        .select("o_orderkey", "o_orderstatus", "year", "month", "day")
+    )
+    out_csv = str(tmp_path / "raw_csv")
+    src.write_raw_csv(df, out_csv)
+    back = spark.read.option("header", "true").csv(out_csv)
+    assert back.count() == df.count()
+
+    out_json = str(tmp_path / "raw_json")
+    src.write_raw_json(df, out_json)
+    backj = spark.read.json(out_json)
+    assert backj.count() == df.count()
+
+
+def test_kafka_reader_construction():
+    # no broker in the container: only verify the batch/stream readers build
+    # without touching the network (load() would need the connector jar).
+    import inspect
+
+    sig = inspect.signature(src.read_kafka_batch)
+    assert {"starting_offsets", "ending_offsets"} <= set(sig.parameters)
