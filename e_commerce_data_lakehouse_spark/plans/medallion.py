@@ -1,0 +1,174 @@
+"""Medallion pipeline composition: raw → bronze → silver → gold → global DW.
+
+The reference runs this as five Airflow DAGs of shell-launched scripts, one
+linear chain per domain (``Airflow Dags/lakehouse_pipeline_dag.py:31-252``),
+with every stage re-implementing its own session, paths, incremental
+bookkeeping, and verification prints.  The engine expresses the same
+lifecycle as composable stage functions over :class:`ManagedTable`s, with
+quality gates *between* stages (promotion fails loudly instead of printing).
+
+Each stage is incremental and idempotent:
+
+- raw→bronze: file-ledger ingest (S10) — re-running with no new files is a
+  no-op.
+- bronze→silver: high-watermark rows (T2) + within-batch dedup-keep-latest
+  (W1) + MERGE upsert on the business key, so re-delivered rows collapse
+  instead of duplicating (fixes the reference's cross-batch dedup gap, T4).
+- silver→gold: SCD-1 dim merges (S14/S15) + date-key fact build with the
+  ``-1`` sentinel (P10) + full-recompute aggregates (T5 semantics).
+
+Scale notes: no ``collect()`` of data rows anywhere; dims are broadcast in
+the fact build (J1/J2); facts are written partitioned by date columns so
+downstream reads prune; aggregates recompute from facts (at 100 TB you'd
+swap the recompute for an incremental window merge — the operator is the
+same, the write mode changes).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e_commerce_data_lakehouse_spark import quality as q
+from e_commerce_data_lakehouse_spark.operators.dedup import keep_latest
+from e_commerce_data_lakehouse_spark.operators.joins import date_key_lookup
+from e_commerce_data_lakehouse_spark.operators.merge import incremental_rows
+from e_commerce_data_lakehouse_spark.sources.files import (
+    with_lineage,
+    with_partition_columns,
+)
+from e_commerce_data_lakehouse_spark.sources.incremental import FileLedger
+from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows_written: int
+    seconds: float
+    checks: list = field(default_factory=list)
+
+
+@dataclass
+class Pipeline:
+    """Linear chain of named stages (one reference DAG)."""
+
+    name: str
+    stages: list[tuple[str, Callable[[], StageResult]]] = field(default_factory=list)
+
+    def add(self, name: str, fn: Callable[[], StageResult]) -> "Pipeline":
+        self.stages.append((name, fn))
+        return self
+
+    def run(self) -> list[StageResult]:
+        return [fn() for _, fn in self.stages]
+
+
+def _timed(name: str, df_count: int, t0: float, checks=()) -> StageResult:
+    return StageResult(name, df_count, round(time.monotonic() - t0, 3), list(checks))
+
+
+def ingest_raw_to_bronze(
+    spark: SparkSession,
+    ledger: FileLedger,
+    discovered: list[str],
+    read_fn: Callable[[list[str]], DataFrame],
+    bronze: ManagedTable,
+    ts_col: str,
+) -> StageResult:
+    """Raw→bronze: ledger-gated ingest + lineage + partition columns
+    (``csv_to_deltalake_table.py`` minus the driver-side file loop)."""
+    t0 = time.monotonic()
+    new = ledger.new_files(discovered)
+    if not new:
+        return _timed("raw_to_bronze", 0, t0)
+    df = with_partition_columns(with_lineage(read_fn(new)), ts_col)
+    bronze.append(df)
+    ledger.mark_processed(new)
+    return _timed("raw_to_bronze", bronze.read().count(), t0)
+
+
+def bronze_to_silver(
+    bronze: ManagedTable,
+    silver: ManagedTable,
+    key: list[str],
+    ts_col: str,
+    clean_fn: Callable[[DataFrame], DataFrame] | None = None,
+    min_retention: float = 0.5,
+) -> StageResult:
+    """Bronze→silver: watermark incremental (T2) + clean + dedup-keep-latest
+    (W1) + keyed MERGE (cross-batch dedup, unlike the reference's T4 gap)."""
+    t0 = time.monotonic()
+    src = bronze.read()
+    if silver.exists():
+        batch = incremental_rows(src, silver.read(), ts_col)
+    else:
+        batch = src
+    if batch.limit(1).count() == 0:
+        return _timed("bronze_to_silver", 0, t0)
+    cleaned = clean_fn(batch) if clean_fn else batch
+    deduped = keep_latest(cleaned, key, ts_col)
+    retention = q.retention_rate(batch, deduped, warn_below=min_retention)
+    retention.expect()
+    silver.merge_scd1(deduped, key)
+    out = silver.read()
+    q.uniqueness(out, key).expect()
+    return _timed("bronze_to_silver", out.count(), t0, [retention])
+
+
+def silver_to_gold_star(
+    silver: ManagedTable,
+    dim_specs: dict[str, tuple[ManagedTable, list[str], list[str]]],
+    fact: ManagedTable,
+    dim_date: DataFrame,
+    fact_ts_col: str,
+    fact_cols: list[str],
+    date_key_name: str = "date_key",
+) -> StageResult:
+    """Silver→gold: dim SCD-1 merges + fact build with broadcast date-key
+    lookup and the ``-1`` sentinel (``silver_to_gold_transactions.py:57-118``).
+
+    ``dim_specs``: name → (table, key_cols, attr_cols); each dim is the
+    distinct projection of its columns (A9) merged SCD-1 on the key.
+    """
+    t0 = time.monotonic()
+    s = silver.read().cache()
+    try:
+        for _, (dim_table, keys, attrs) in dim_specs.items():
+            dim_df = s.select(*keys, *attrs).distinct()
+            dim_table.merge_scd1(dim_df, keys)
+        fact_df = date_key_lookup(
+            s, dim_date, fact_ts_col, out_col=date_key_name
+        ).select(*fact_cols, date_key_name)
+        fact.overwrite(fact_df)
+        n = fact.read().count()
+    finally:
+        s.unpersist()
+    return _timed("silver_to_gold", n, t0)
+
+
+def gold_daily_rollup(
+    fact: ManagedTable,
+    agg_table: ManagedTable,
+    date_key_name: str,
+    value_col: str,
+    id_col: str,
+) -> StageResult:
+    """Gold aggregate: daily operational rollup (A4), full recompute +
+    overwrite (the reference's T5 semantics)."""
+    t0 = time.monotonic()
+    df = (
+        fact.read()
+        .groupBy(date_key_name)
+        .agg(
+            F.sum(value_col).alias("total_value"),
+            F.count(id_col).alias("record_count"),
+            F.avg(value_col).alias("avg_value"),
+        )
+    )
+    agg_table.overwrite(df)
+    return _timed("gold_daily_rollup", agg_table.read().count(), t0)

@@ -1,0 +1,142 @@
+"""End-to-end medallion pipeline on sf0.001 (SURVEY §7.2 step 1 spine).
+
+Simulates the reference's transactions DAG: raw CSV drops → ledger-gated
+bronze ingest → watermark+dedup silver → gold star (dims + fact with date
+keys + daily rollup).  Runs the chain twice to prove idempotency (second run
+with no new files changes nothing).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from e_commerce_data_lakehouse_spark.functions.dates import build_dim_date
+from e_commerce_data_lakehouse_spark.plans import medallion as m
+from e_commerce_data_lakehouse_spark.sources.files import read_csv
+from e_commerce_data_lakehouse_spark.sources.incremental import FileLedger
+from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+
+SF = "/root/testdata/sf0.001"
+
+RAW_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", DateType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def raw_drops(spark, tmp_path_factory):
+    """Split sf0.001 orders into two raw CSV 'deliveries' (day-parity split),
+    with ~1% of rows duplicated across both files to exercise dedup."""
+    root = tmp_path_factory.mktemp("raw")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    a = orders.filter(F.dayofmonth("o_orderdate") % 2 == 0)
+    dup = orders.filter(F.dayofmonth("o_orderdate") % 2 == 1).limit(20)
+    b = orders.filter(F.dayofmonth("o_orderdate") % 2 == 1)
+    a.unionByName(dup).write.option("header", "true").mode("overwrite").csv(
+        str(root / "drop_a")
+    )
+    b.unionByName(dup).write.option("header", "true").mode("overwrite").csv(
+        str(root / "drop_b")
+    )
+    import glob
+
+    files = sorted(
+        glob.glob(str(root / "drop_*" / "*.csv"))
+    )
+    assert files
+    return files, orders.count()
+
+
+def _build(spark, tmp, raw_files):
+    ledger = FileLedger(spark, f"{tmp}/ledger")
+    bronze = ManagedTable(spark, f"{tmp}/bronze_orders")
+    silver = ManagedTable(spark, f"{tmp}/silver_orders")
+    dim_cust = ManagedTable(spark, f"{tmp}/dim_customer_ids")
+    fact = ManagedTable(spark, f"{tmp}/fact_orders")
+    agg = ManagedTable(spark, f"{tmp}/agg_daily")
+    dim_date = build_dim_date(spark, "1995-01-01", "2001-12-31")
+
+    def read_fn(paths):
+        return read_csv(spark, paths, RAW_SCHEMA)
+
+    r1 = m.ingest_raw_to_bronze(
+        spark, ledger, raw_files, read_fn, bronze, "o_orderdate"
+    )
+    r2 = m.bronze_to_silver(
+        bronze,
+        silver,
+        key=["o_orderkey"],
+        ts_col="o_orderdate",
+        clean_fn=lambda df: df.filter(
+            F.col("o_orderkey").isNotNull() & (F.col("o_totalprice") > 0)
+        ),
+    )
+    r3 = m.silver_to_gold_star(
+        silver,
+        dim_specs={
+            "dim_customer_ids": (dim_cust, ["o_custkey"], []),
+        },
+        fact=fact,
+        dim_date=dim_date,
+        fact_ts_col="o_orderdate",
+        fact_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    r4 = m.gold_daily_rollup(fact, agg, "date_key", "o_totalprice", "o_orderkey")
+    return (r1, r2, r3, r4), (bronze, silver, fact, agg)
+
+
+def test_medallion_end_to_end_idempotent(spark, tmp_path, raw_drops):
+    raw_files, n_orders = raw_drops
+    results, tables = _build(spark, tmp_path, raw_files)
+    bronze, silver, fact, agg = tables
+
+    # bronze holds everything incl. the 40 duplicated deliveries
+    assert results[0].rows_written == n_orders + 40
+    # silver collapsed duplicates to one row per business key
+    assert silver.read().count() == n_orders
+    # fact covers silver 1:1; all order dates resolve in dim_date (no -1)
+    assert results[2].rows_written == n_orders
+    assert fact.read().filter(F.col("date_key") == -1).count() == 0
+    assert results[3].rows_written == agg.read().count() > 0
+
+    # run 2: same raw files — ledger skips them; nothing changes
+    results2, tables2 = _build(spark, tmp_path, raw_files)
+    assert results2[0].name == "raw_to_bronze" and results2[0].rows_written == 0
+    assert results2[1].rows_written == 0  # no rows past the watermark
+    assert tables2[1].read().count() == n_orders
+
+    # gold rollup values match a direct aggregate of silver
+    expected = (
+        silver.read()
+        .groupBy(F.col("o_orderdate"))
+        .agg(F.sum("o_totalprice").alias("t"))
+        .count()
+    )
+    assert agg.read().count() == expected
+
+
+def test_pipeline_runner_orders_stages(spark, tmp_path, raw_drops):
+    raw_files, _ = raw_drops
+    calls = []
+    p = m.Pipeline("demo")
+    p.add("a", lambda: calls.append("a") or m.StageResult("a", 0, 0.0))
+    p.add("b", lambda: calls.append("b") or m.StageResult("b", 0, 0.0))
+    out = p.run()
+    assert calls == ["a", "b"] and [r.name for r in out] == ["a", "b"]
