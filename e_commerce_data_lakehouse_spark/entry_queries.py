@@ -1223,3 +1223,158 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "hour_start", F.col("hour_start").cast("timestamp_ntz")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion parity: Kafka CSV-message parse (F1/F2) as pure Column exprs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kafka_csv_parse",
+    """
+WITH msgs AS (
+    SELECT 'order_id,customer_id,amount' || chr(10)
+           || 'order_' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') || ','
+           || CAST(o_custkey AS VARCHAR) || ','
+           || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+           AS message
+    FROM orders
+), parsed AS (
+    SELECT split_part(message, chr(10), 2) AS data_line FROM msgs
+), fields AS (
+    SELECT split_part(data_line, ',', 1) AS order_id,
+           split_part(data_line, ',', 2) AS customer_id,
+           CAST(split_part(data_line, ',', 3) AS DOUBLE) AS amount
+    FROM parsed
+)
+SELECT order_id, customer_id, amount
+FROM fields
+WHERE length(order_id) >= 10 AND order_id <> '' AND customer_id <> ''
+  AND amount > 0 AND amount <= 100000
+""",
+)
+def kafka_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2 re-expressed as built-in Column expressions (no Python UDF).
+
+    The reference's ``parse_kafka_csv_message`` UDF splits a multi-line Kafka
+    message, drops the embedded CSV header, and parses the first data row
+    (``transactions_processor.py:118-156``); ``validate_transaction_row``
+    checks field counts / non-empty ids / amount in (0, 100000] / id length
+    (``:158-186``).  Both run row-at-a-time in Python workers in the
+    reference — a codegen break on the hot ingest path.  Here the same
+    semantics are ``split_part`` + ``cast`` + a boolean predicate, fully
+    inside whole-stage codegen.  The message column is synthesized from
+    ``orders`` (header line + CSV data line) so the oracle can reproduce it.
+    """
+    o = load(spark, sf_dir, "orders")["orders"]
+    msg = F.concat_ws(
+        "\n",
+        F.lit("order_id,customer_id,amount"),
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("order_"), F.lpad(F.col("o_orderkey").cast("string"), 10, "0")),
+            F.col("o_custkey").cast("string"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        ),
+    )
+    data_line = F.split_part(msg, F.lit("\n"), F.lit(2))
+    parsed = o.select(
+        F.split_part(data_line, F.lit(","), F.lit(1)).alias("order_id"),
+        F.split_part(data_line, F.lit(","), F.lit(2)).alias("customer_id"),
+        F.split_part(data_line, F.lit(","), F.lit(3)).cast("double").alias("amount"),
+    )
+    return parsed.filter(
+        (F.length("order_id") >= 10)
+        & (F.col("order_id") != "")
+        & (F.col("customer_id") != "")
+        & (F.col("amount") > 0)
+        & (F.col("amount") <= 100000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: describe()-style summary statistics, reproducible across engines
+# ---------------------------------------------------------------------------
+
+
+def _sql_std(expr: str) -> str:
+    """Sample stddev from exact decimal sums, final math in double space
+    (identical op order on both engines)."""
+    sx = f"CAST(SUM(CAST({expr} AS DECIMAL(19,6))) AS DOUBLE)"
+    sx2 = (
+        f"CAST(SUM(CAST(CAST({expr} AS DECIMAL(19,6)) * "
+        f"CAST({expr} AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS DOUBLE)"
+    )
+    n = f"COUNT({expr})"
+    return f"ROUND(sqrt(({sx2} - {sx} * {sx} / {n}) / ({n} - 1)), 6)"
+
+
+@register(
+    "summary_stats",
+    f"""
+SELECT COUNT(l_quantity) AS count_qty,
+       {sql_avg_money('l_quantity')} AS mean_qty,
+       {_sql_std('l_quantity')} AS std_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       {sql_avg_money('l_extendedprice')} AS mean_price,
+       {_sql_std('l_extendedprice')} AS std_price,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem
+""",
+)
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 ``describe()``/``summary()`` equivalent
+    (``sensor_to_deltalake_table.py:427-432``) as ONE fused aggregate pass.
+
+    ``describe()`` itself is not hash-reproducible (float sum order), so the
+    stats are computed from exact decimal sums with the variance/stddev math
+    done in double space in the same operation order as the oracle.  One scan
+    produces all nine statistics — the reference's per-column describe was a
+    separate job per table."""
+
+    def _std(c: str) -> F.Column:
+        dec = F.col(c).cast("decimal(19,6)")
+        sx = F.sum(dec).cast("double")
+        sx2 = F.sum((dec * dec).cast("decimal(38,12)")).cast("double")
+        n = F.count(c)
+        return F.round(F.sqrt((sx2 - sx * sx / n) / (n - 1)), 6)
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.count("l_quantity").alias("count_qty"),
+        avg_money("l_quantity").alias("mean_qty"),
+        _std("l_quantity").alias("std_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        avg_money("l_extendedprice").alias("mean_price"),
+        _std("l_extendedprice").alias("std_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4: recent-N by time with deterministic tiebreak
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recent_events",
+    """
+SELECT event_id, ts, event_type
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 5
+""",
+)
+def recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 recent-N (``sensor_to_deltalake_table.py:436-440``): TakeOrdered
+    top-5 by timestamp — no global sort materialization; ``event_id`` added
+    as tiebreaker so the result *set* is deterministic (SURVEY §7.4-4)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(5).select(
+        "event_id", "ts", "event_type"
+    )
