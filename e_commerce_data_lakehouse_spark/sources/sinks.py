@@ -67,24 +67,58 @@ class ManagedTable:
 
     Every method notes the Delta drop-in.  Readers see a consistent snapshot
     per Spark job; for multi-writer ACID use Delta/Iceberg on the cluster.
+
+    Versioning (S17): every mutation writes a new ``v=N`` snapshot directory
+    and the table reads resolve to the latest — which gives ``history()``,
+    ``versionAsOf`` time travel, and ``restore`` with plain parquet
+    (`delta_reader.py:156, 162, 74-88` use the Delta equivalents).  Old
+    snapshots are pruned beyond ``keep_versions`` (Delta: ``VACUUM``).
     """
 
     def __init__(self, spark: SparkSession, path: str,
-                 partition_by: tuple[str, ...] = ()):
+                 partition_by: tuple[str, ...] = (), keep_versions: int = 3):
         self.spark = spark
-        self.path = path
+        self.path = path.rstrip("/")
         self.partition_by = partition_by
+        self.keep_versions = keep_versions
+
+    # -- version bookkeeping ------------------------------------------------
+    def _versions(self) -> list[int]:
+        import glob
+        import re
+
+        out = []
+        for d in glob.glob(f"{self.path}/v=*"):
+            m = re.search(r"v=(\d+)$", d)
+            ok = glob.glob(f"{d}/_SUCCESS")
+            if m and ok:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def history(self) -> list[int]:
+        """S17: ``DeltaTable.history()`` equivalent — committed versions."""
+        return self._versions()
 
     def exists(self) -> bool:
-        try:
-            self.spark.read.parquet(self.path).schema
-            return True
-        except Exception:
-            return False
+        return bool(self._versions())
 
-    def read(self) -> DataFrame:
-        """S16 (``spark.read.format("delta").load(path)``)."""
-        return self.spark.read.parquet(self.path)
+    def _vpath(self, version: int) -> str:
+        return f"{self.path}/v={version}"
+
+    def read(self, version_as_of: int | None = None) -> DataFrame:
+        """S16 (``spark.read.format("delta").load(path)``); pass
+        ``version_as_of`` for S17 time travel (``versionAsOf``)."""
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        v = version_as_of if version_as_of is not None else vs[-1]
+        if v not in vs:
+            raise ValueError(f"version {v} not in {vs}")
+        return self.spark.read.parquet(self._vpath(v))
+
+    def restore_to_version(self, version: int) -> None:
+        """S17: ``restoreToVersion`` — re-commit an old snapshot as newest."""
+        self._commit(self.read(version_as_of=version))
 
     def _writer(self, df: DataFrame, mode: str):
         w = df.write.mode(mode)
@@ -92,26 +126,48 @@ class ManagedTable:
             w = w.partitionBy(*self.partition_by)
         return w
 
+    def _commit(self, df: DataFrame) -> None:
+        vs = self._versions()
+        nxt = (vs[-1] + 1) if vs else 0
+        self._writer(df, "overwrite").parquet(self._vpath(nxt))
+        self._prune(keep_from=nxt)
+
+    def _prune(self, keep_from: int) -> None:
+        import shutil
+
+        for v in self._versions():
+            if v <= keep_from - self.keep_versions:
+                shutil.rmtree(self._vpath(v), ignore_errors=True)
+
+    # -- lifecycle ----------------------------------------------------------
     def create(self, df: DataFrame) -> None:
         """S11: overwrite-create (Delta: ``overwrite`` +
         ``delta.autoOptimize.optimizeWrite``)."""
-        self._writer(df, "overwrite").parquet(self.path)
+        self._commit(df)
 
     def append(self, df: DataFrame) -> None:
-        """S12: append (Delta adds ``mergeSchema=true``)."""
-        self._writer(df, "append").parquet(self.path)
+        """S12: append (Delta adds ``mergeSchema=true``).  Appends files
+        into the CURRENT version directory — a parallel file-level append,
+        never a table rewrite (at 100 TB an append must be O(new data)).
+        Time-travel granularity for appends therefore comes from the next
+        snapshot-producing op (merge/overwrite/compact), matching how one
+        would checkpoint batches; Delta versions every append."""
+        if not self.exists():
+            self._commit(df)
+            return
+        self._writer(df, "append").parquet(self._vpath(self._versions()[-1]))
 
     def overwrite(self, df: DataFrame) -> None:
         """S13: overwrite with schema evolution (Delta:
         ``overwriteSchema=true``, ``create_global_dw.py:92-94``)."""
-        self._writer(df, "overwrite").parquet(self.path)
+        self._commit(df)
 
     def merge_scd1(self, updates: DataFrame, keys: list[str]) -> None:
         """S14: ``whenMatchedUpdateAll().whenNotMatchedInsertAll()``
-        (``silver_to_gold_transactions.py:71``).  Parquet form: rewrite from
-        the merged result; Delta form rewrites only matched files."""
+        (``silver_to_gold_transactions.py:71``).  Snapshot rewrite from the
+        merged result; Delta's MERGE rewrites only matched files."""
         merged = scd1_merge(self.read(), updates, keys) if self.exists() else updates
-        self._rewrite(merged)
+        self._commit(merged)
 
     def merge_insert_only(self, updates: DataFrame, keys: list[str]) -> None:
         """S15: insert-if-absent for immutable dims
@@ -121,7 +177,7 @@ class ManagedTable:
             if self.exists()
             else updates
         )
-        self._rewrite(merged)
+        self._commit(merged)
 
     def compact(self, target_partitions: int | None = None) -> None:
         """S18: OPTIMIZE-equivalent small-file compaction — rewrite at a
@@ -130,14 +186,4 @@ class ManagedTable:
         if target_partitions:
             df = df.repartition(target_partitions, *self.partition_by) \
                 if self.partition_by else df.repartition(target_partitions)
-        self._rewrite(df)
-
-    def _rewrite(self, df: DataFrame) -> None:
-        # Parquet overwrite of the source being read requires materializing
-        # first; a real deployment uses Delta's transactional rewrite.
-        tmp = self.path.rstrip("/") + "__tmp_rewrite"
-        self._writer(df, "overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        self._writer(final, "overwrite").parquet(self.path)
-        # leave tmp cleanup to the caller's storage lifecycle; local tests
-        # overwrite it on each call so it stays bounded.
+        self._commit(df)

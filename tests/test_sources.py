@@ -193,3 +193,69 @@ def test_kafka_reader_construction():
 
     sig = inspect.signature(src.read_kafka_batch)
     assert {"starting_offsets", "ending_offsets"} <= set(sig.parameters)
+
+
+def test_managed_table_time_travel(spark, tmp_path):
+    t = src.ManagedTable(spark, str(tmp_path / "tt"))
+    t.create(spark.createDataFrame([(1, "a")], ["id", "name"]))          # v0
+    t.merge_scd1(spark.createDataFrame([(1, "A2")], ["id", "name"]), ["id"])  # v1
+    t.overwrite(spark.createDataFrame([(9, "z")], ["id", "name"]))       # v2
+    assert t.history() == [0, 1, 2]
+    assert t.read(version_as_of=0).collect()[0]["name"] == "a"
+    assert t.read(version_as_of=1).collect()[0]["name"] == "A2"
+    assert t.read().collect()[0]["id"] == 9
+    t.restore_to_version(1)                                              # v3
+    assert t.read().collect()[0]["name"] == "A2"
+
+
+def test_managed_table_append_is_file_level(spark, tmp_path):
+    t = src.ManagedTable(spark, str(tmp_path / "ap"))
+    t.create(spark.createDataFrame([(1,)], ["id"]))
+    t.append(spark.createDataFrame([(2,)], ["id"]))
+    t.append(spark.createDataFrame([(3,)], ["id"]))
+    # appends do not mint snapshots; data lands in the current version
+    assert t.history() == [0]
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
+
+
+def test_managed_table_compact_and_prune(spark, tmp_path):
+    t = src.ManagedTable(spark, str(tmp_path / "cp"), keep_versions=2)
+    t.create(spark.range(100).toDF("id"))
+    for _ in range(3):
+        t.compact(target_partitions=2)
+    # keep_versions=2 prunes old snapshots
+    assert len(t.history()) <= 2
+    assert t.read().count() == 100
+
+
+def test_json_source_schema_bound(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    path = tmp_path / "j.json"
+    path.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    schema = StructType([StructField("a", LongType()), StructField("b", StringType())])
+    df = src.read_json(spark, str(path), schema)
+    assert df.count() == 2 and df.schema == schema
+
+
+def test_discover_files(spark, tmp_path):
+    (tmp_path / "d1").mkdir()
+    (tmp_path / "d1" / "x.csv").write_text("a\n1\n")
+    (tmp_path / "d1" / "y.txt").write_text("hi\n")
+    found = src.discover_files(spark, str(tmp_path), extensions=(".csv",))
+    assert len(found) == 1 and found[0].endswith("x.csv")
+
+
+def test_decode_kafka_records(spark):
+    from pyspark.sql import functions as F
+
+    raw = spark.createDataFrame(
+        [(b"v1", b"k1", 0, 7)], ["value", "key", "partition", "offset"]
+    ).withColumn("timestamp", F.current_timestamp())
+    out = src.decode_kafka_records(raw)
+    row = out.collect()[0]
+    assert row["message_value"] == "v1" and row["kafka_offset"] == 7
+    assert set(out.columns) == {
+        "message_value", "message_key", "kafka_timestamp",
+        "kafka_partition", "kafka_offset",
+    }
