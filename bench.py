@@ -38,6 +38,7 @@ HEADLINE = [
     "near_dup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "doc_text_stats",
     "multimodal_decode",
     "streaming_hourly_counts",

@@ -1378,3 +1378,17 @@ def recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.orderBy(F.desc("ts"), F.desc("event_id")).limit(5).select(
         "event_id", "ts", "event_type"
     )
+
+
+@register("ann_ivf_topk", None)  # sampled k-means centroids not SQL-reproducible
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: sampled k-means trains centroid cells, the
+    candidate table is inverted into cells (equi-join candidate generation),
+    queries probe their 3 nearest cells, survivors get exact cosine rerank —
+    the index structure used for billion-vector corpora."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5,
+        n_centroids=16, n_probe=3,
+    )

@@ -1,0 +1,52 @@
+"""ANN quality checks: approximate indexes must actually find neighbors.
+
+Recall@k against the exact brute-force baseline on sf0.001 embeddings —
+an approximate index with near-zero recall would still "run", so the
+rows-only driver check alone can't catch a broken index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_lakehouse_spark import entry_queries as eq
+from e_commerce_data_lakehouse_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _topk_sets(df):
+    rows = df.collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx, exact):
+    hits = total = 0
+    for q, exact_set in exact.items():
+        total += len(exact_set)
+        hits += len(exact_set & approx.get(q, set()))
+    return hits / total
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = eq.load(spark, SF, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(sim.brute_force_topk(queries, emb, "vec_id", "embedding", k=5))
+    approx = _topk_sets(
+        sim.ivf_topk(
+            queries, emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=4
+        )
+    )
+    # probing half the cells of a small index should find most true neighbors
+    assert _recall(approx, exact) >= 0.5
+
+
+def test_ivf_deterministic(spark):
+    emb = eq.load(spark, SF, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sim.ivf_topk(queries, emb, "vec_id", "embedding", k=3).collect()
+    b = sim.ivf_topk(queries, emb, "vec_id", "embedding", k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
