@@ -1392,3 +1392,89 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "embedding", k=5,
         n_centroids=16, n_probe=3,
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics extensions beyond the reference's surface (SURVEY §2.4 lists
+# these as "not present" there): ROLLUP, exact percentiles, pivot.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_rollup",
+    f"""
+SELECT year(o_orderdate) AS yr, o_orderstatus AS status,
+       {sql_sum_money('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP(yr, status)
+""",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (year, status) → subtotal → grand total in one
+    pass — Spark expands grouping sets inside a single hash aggregate, no
+    extra scans per level."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .withColumn("status", F.col("o_orderstatus"))
+        .rollup("yr", "status")
+        .agg(
+            sum_money("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "order_percentiles",
+    """
+SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+FROM orders
+""",
+)
+def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles (DuckDB ``quantile_cont``
+    semantics, bit-matched).  At 100 TB swap to ``percentile_approx`` with a
+    bounded sketch — exact percentile requires a sort of the full column;
+    both are single-expression changes."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.agg(
+        F.round(F.percentile("o_totalprice", 0.25), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
+        F.round(F.percentile("o_totalprice", 0.99), 6).alias("p99"),
+    )
+
+
+@register(
+    "status_revenue_pivot",
+    f"""
+SELECT year(o_orderdate) AS yr,
+       {sql_sum_money("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS rev_open,
+       {sql_sum_money("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS rev_filled,
+       {sql_sum_money("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS rev_partial
+FROM orders
+GROUP BY 1
+""",
+)
+def status_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot() with an explicit value list (never the value-discovery scan —
+    that's an extra full pass at scale): status columns out of rows, one
+    hash aggregate."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    piv = (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .groupBy("yr")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(sum_money("o_totalprice"))
+    )
+    return piv.select(
+        "yr",
+        F.col("O").alias("rev_open"),
+        F.col("F").alias("rev_filled"),
+        F.col("P").alias("rev_partial"),
+    )

@@ -79,3 +79,31 @@ def fold_left_join(
     if fill_zero_cols:
         out = out.fillna(dict.fromkeys(fill_zero_cols, 0))
     return out
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-busting equi-join: hot keys on the large side are spread across
+    ``n_salts`` shuffle partitions; the small side is replicated ×n_salts so
+    every salted partition still finds its match.
+
+    AQE's skew-join split (enabled in the session factory) handles most skew
+    at runtime; explicit salting is for the pathological case AQE can't fix —
+    a single key too hot for ANY single task (e.g. one user with 1% of a
+    100 TB fact).  Join semantics are unchanged: the salt is an extra equi-key
+    that is dropped after the join.  Cost: small side shuffles ×n_salts —
+    use only when ``small`` is modest (but too big / too row-multiplying to
+    broadcast).
+    """
+    salt = F.floor(F.rand(seed) * n_salts).cast("int")
+    l_salted = large.withColumn("__salt", salt)
+    s_salted = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_salted.join(s_salted, [*keys, "__salt"], how).drop("__salt")

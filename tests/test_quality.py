@@ -58,3 +58,16 @@ def test_run_all_raises_on_failure(spark):
     )
     with pytest.raises(AssertionError):
         q.run_all(ok, bad)
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """The scale path for A8: HLL sketch vs exact distinct — relative error
+    must stay within the sketch's configured bound (rsd=0.02 → ~2%)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/orders.parquet")
+    exact, approx = ev.agg(
+        F.countDistinct("o_custkey").alias("e"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
+    ).collect()[0]
+    assert abs(approx - exact) / exact < 0.05

@@ -259,3 +259,17 @@ def test_decode_kafka_records(spark):
         "message_value", "message_key", "kafka_timestamp",
         "kafka_partition", "kafka_offset",
     }
+
+
+def test_salted_join_matches_plain_join(spark):
+    from e_commerce_data_lakehouse_spark.operators.joins import salted_join
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = orders.join(cust, ["o_custkey"]).count()
+    salted = salted_join(orders, cust, ["o_custkey"], n_salts=8).count()
+    assert plain == salted
