@@ -1478,3 +1478,42 @@ def status_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("F").alias("rev_filled"),
         F.col("P").alias("rev_partial"),
     )
+
+
+@register(
+    "doc_quality_filter",
+    """
+WITH scored AS (
+    SELECT doc_id,
+           ROUND(
+               least(length(text) / 500.0, 1.0)
+               * (1 - COALESCE(ROUND(
+                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 /
+                     NULLIF(length(regexp_replace(text, '\\s', '', 'g')), 0), 9), 0.0))
+               * (1 - COALESCE(ROUND(
+                     len(list_filter(string_split(trim(lower(text)), ' '),
+                         t -> t IN ('the','a','and','of','to','in','is','it'))) * 1.0 /
+                     NULLIF(len(string_split(trim(lower(text)), ' ')), 0), 9), 0.0) / 2),
+               6) AS quality,
+           lang
+    FROM documents
+)
+SELECT doc_id, quality, lang
+FROM scored
+WHERE quality >= 0.5
+""",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation: keep docs above a deterministic quality
+    heuristic (length / punctuation / stopword factors) — the filter step of
+    a corpus-cleaning pipeline, all codegen expressions, filter evaluated
+    map-side in one scan."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select(
+            "doc_id",
+            tx.quality_score(F.col("text")).alias("quality"),
+            "lang",
+        )
+        .filter(F.col("quality") >= 0.5)
+    )

@@ -172,3 +172,25 @@ def gold_daily_rollup(
     )
     agg_table.overwrite(df)
     return _timed("gold_daily_rollup", agg_table.read().count(), t0)
+
+
+def build_catalog_table(
+    spark: SparkSession, tables: dict[str, ManagedTable]
+) -> DataFrame:
+    """T6: the ``_catalog`` monitoring table (``create_global_dw.py:451-540``)
+    — one row per managed table with row count, version, and status.
+
+    The reference rebuilds this driver-side with per-table ``count()`` calls
+    in a Python loop; counts here are still one job per table (unavoidable —
+    different sources), but each is a metadata-cheap parquet count and the
+    assembly is a single small createDataFrame."""
+    rows = []
+    for name, t in tables.items():
+        if t.exists():
+            vs = t.history()
+            rows.append((name, t.read().count(), vs[-1], "active"))
+        else:
+            rows.append((name, 0, -1, "missing"))
+    return spark.createDataFrame(
+        rows, "table_name string, row_count long, version int, status string"
+    )

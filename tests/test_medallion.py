@@ -140,3 +140,12 @@ def test_pipeline_runner_orders_stages(spark, tmp_path, raw_drops):
     p.add("b", lambda: calls.append("b") or m.StageResult("b", 0, 0.0))
     out = p.run()
     assert calls == ["a", "b"] and [r.name for r in out] == ["a", "b"]
+
+
+def test_catalog_table(spark, tmp_path):
+    a = ManagedTable(spark, str(tmp_path / "a"))
+    a.create(spark.range(5).toDF("id"))
+    b = ManagedTable(spark, str(tmp_path / "b"))
+    cat = m.build_catalog_table(spark, {"a": a, "b": b})
+    got = {r["table_name"]: (r["row_count"], r["status"]) for r in cat.collect()}
+    assert got == {"a": (5, "active"), "b": (0, "missing")}
