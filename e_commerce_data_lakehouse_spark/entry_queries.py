@@ -640,16 +640,16 @@ WITH raw AS (
   FROM customer
 )
 SELECT c_custkey AS customer_id,
-       CASE WHEN TRIM(regexp_extract(shipping_address,
-                 '"city"\\s*:\\s*"([^"]+)"', 1)) = ''
+       CASE WHEN regexp_replace(regexp_extract(shipping_address,
+                 '"city"\\s*:\\s*"([^"]+)"', 1), '^\\s+|\\s+$', '', 'g') = ''
             THEN NULL
-            ELSE TRIM(regexp_extract(shipping_address,
-                 '"city"\\s*:\\s*"([^"]+)"', 1)) END AS city,
-       CASE WHEN TRIM(regexp_extract(timestamp_raw,
-                 '"region"\\s*:\\s*"([^"]+)"', 1)) = ''
+            ELSE regexp_replace(regexp_extract(shipping_address,
+                 '"city"\\s*:\\s*"([^"]+)"', 1), '^\\s+|\\s+$', '', 'g') END AS city,
+       CASE WHEN regexp_replace(regexp_extract(timestamp_raw,
+                 '"region"\\s*:\\s*"([^"]+)"', 1), '^\\s+|\\s+$', '', 'g') = ''
             THEN NULL
-            ELSE TRIM(regexp_extract(timestamp_raw,
-                 '"region"\\s*:\\s*"([^"]+)"', 1)) END AS region,
+            ELSE regexp_replace(regexp_extract(timestamp_raw,
+                 '"region"\\s*:\\s*"([^"]+)"', 1), '^\\s+|\\s+$', '', 'g') END AS region,
        lower(trim(is_returned_raw)) IN ('true', '1', 'yes', 't')
            AS is_returned_flag
 FROM raw

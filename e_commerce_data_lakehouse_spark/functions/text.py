@@ -91,17 +91,24 @@ def fingerprint(text: Column) -> Column:
 # ---------------------------------------------------------------------------
 # Reference cleaning-UDF parity (F3-F6), as pure expressions
 # ---------------------------------------------------------------------------
+def _strip_ws(c: Column) -> Column:
+    """Whitespace trim matching Python ``str.strip()`` on ASCII whitespace —
+    SQL TRIM removes only spaces, but the reference UDFs strip ``\\t \\r \\n``
+    too (``csv_bronze_to_silver.py:110``)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def clean_city(address: Column) -> Column:
     """F3 (``csv_bronze_to_silver.py:83-115``): extract ``"city": "X"`` from
-    messy JSON-ish text; NULL when absent."""
-    extracted = F.regexp_extract(address, r'"city"\s*:\s*"([^"]+)"', 1)
-    return F.when(extracted != "", F.trim(extracted)).otherwise(F.lit(None))
+    messy JSON-ish text; NULL when absent or whitespace-only."""
+    extracted = _strip_ws(F.regexp_extract(address, r'"city"\s*:\s*"([^"]+)"', 1))
+    return F.when(extracted != "", extracted).otherwise(F.lit(None))
 
 
 def clean_region(raw: Column) -> Column:
     """F4 (``csv_bronze_to_silver.py:117-149``): same for ``"region": "X"``."""
-    extracted = F.regexp_extract(raw, r'"region"\s*:\s*"([^"]+)"', 1)
-    return F.when(extracted != "", F.trim(extracted)).otherwise(F.lit(None))
+    extracted = _strip_ws(F.regexp_extract(raw, r'"region"\s*:\s*"([^"]+)"', 1))
+    return F.when(extracted != "", extracted).otherwise(F.lit(None))
 
 
 def clean_content(text: Column) -> Column:
