@@ -42,6 +42,8 @@ HEADLINE = [
     "doc_text_stats",
     "multimodal_decode",
     "streaming_hourly_counts",
+    "asof_purchase_view",
+    "user_sessions",
 ]
 
 

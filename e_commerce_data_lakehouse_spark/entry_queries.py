@@ -1517,3 +1517,98 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("quality") >= 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom temporal operators Spark lacks natively: as-of join, sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_view",
+    """
+WITH v AS (
+    SELECT user_id, ts, MAX(event_id) AS view_event_id
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
+), p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       v.view_event_id, v.ts AS view_ts
+FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.purchase_ts >= v.ts
+""",
+)
+def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, inclusive): each purchase matched to the same
+    user's latest prior view.  Implemented as union + sort + last-ignorenulls
+    window — one shuffle, O(n log n), never an inequality cross join (the
+    naive range-join plan).  Oracle: DuckDB's native ASOF JOIN."""
+    ev = load(spark, sf_dir, "events")["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .withColumn("view_ts", F.col("ts"))
+        .select("user_id", F.col("ts"), "view_event_id", "view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return jn.asof_join(
+        purchases,
+        views.withColumnRenamed("ts", "__rts"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="__rts",
+        right_cols=["view_event_id", "view_ts"],
+    ).select("purchase_id", "user_id", "purchase_ts", "view_event_id", "view_ts")
+
+
+@register(
+    "user_sessions",
+    """
+WITH marked AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+    SELECT user_id, ts, value, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by 30-minute inactivity gap via native
+    ``session_window`` (one shuffle on user_id; the identical expression is
+    streaming-capable with a watermark).  Oracle: gaps-and-islands SQL —
+    lag + cumulative sum — reproducing the same half-open gap semantics."""
+    from e_commerce_data_lakehouse_spark.functions.exact import dsum
+
+    ev = load(spark, sf_dir, "events")["events"]
+    return agg.sessionize(
+        ev,
+        "user_id",
+        "ts",
+        gap="30 minutes",
+        aggs=[
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        ],
+    )

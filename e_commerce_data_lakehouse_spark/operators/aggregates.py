@@ -192,3 +192,30 @@ def grand_totals(df: DataFrame, value_col: str, ts_col: str) -> DataFrame:
         F.min(v).alias("min_value"),
         F.max(v).alias("max_value"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Session assignment by inactivity gap (``F.session_window``): events of
+    one key closer than ``gap`` merge into one session; a session's end is
+    ``last_event + gap`` (half-open — an event at exactly that instant opens
+    a new session).
+
+    One shuffle on the key; session merging is Spark's native session-window
+    state logic, streaming-capable with a watermark (the same expression
+    works under ``readStream``).
+    """
+    out = df.groupBy(key_col, F.session_window(ts_col, gap).alias("__sw")).agg(
+        *(aggs or [F.count("*").alias("n_events")])
+    )
+    return out.select(
+        key_col,
+        F.col("__sw.start").alias("session_start"),
+        F.col("__sw.end").alias("session_end"),
+        *[c for c in out.columns if c not in (key_col, "__sw")],
+    )

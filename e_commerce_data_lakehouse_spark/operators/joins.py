@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,51 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l_salted.join(s_salted, [*keys, "__salt"], how).drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` for the same key (backward, inclusive — DuckDB /
+    pandas ``merge_asof`` semantics).  Spark has no built-in as-of join; the
+    classic range-join formulation explodes into an inequality cross join.
+
+    Plan shape: union both sides tagged, ONE shuffle+sort on
+    ``(key, ts, tag)``, then ``last(col, ignorenulls)`` over an unbounded
+    preceding window carries the most recent right values forward onto left
+    rows — O(n log n) total, no pairwise product, partitioned by key so a
+    1000-executor cluster sorts each key's timeline locally.
+
+    ``right`` must be unique per ``(on, right_ts)`` (pre-dedup with
+    ``keep_latest``) — equal-timestamp duplicates would make "the" latest
+    row ambiguous.
+    """
+    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn("__tag", F.lit(1))
+    r_tagged = (
+        right.select(F.col(on), F.col(right_ts).alias("__t"), *right_cols)
+        .withColumn("__tag", F.lit(0))
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # right rows sort before left rows at equal ts (tag 0 < 1) -> inclusive
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_cols
+        ],
+    )
+    out = filled.filter(F.col("__tag") == 1).drop("__tag", "__t", *right_cols)
+    for c in right_cols:
+        out = out.withColumnRenamed(f"__asof_{c}", c)
+    return out
