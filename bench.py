@@ -52,8 +52,10 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark(app_name="bench")
 
-    # warm the JVM/session so the first measured query isn't paying startup
+    # warm the JVM/session so the first measured query isn't paying startup:
+    # codegen + parquet reader classes load here, data is NOT cached
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

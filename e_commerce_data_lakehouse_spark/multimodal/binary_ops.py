@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -85,3 +87,44 @@ def frame_sample_plan(df: DataFrame, id_col: str, binary_col: str, every_n: int)
         "frame sampling requires a video codec library; wire a real decoder "
         "into the mapInPandas kernel (same shape as decode_metadata)"
     )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame, id_col: str, binary_col: str, dim: int = 16
+) -> DataFrame:
+    """Media → embedding feature extraction via Arrow-batched mapInPandas.
+
+    The kernel is a deterministic stand-in (byte histogram folded to ``dim``
+    unit-norm dimensions — a real pipeline swaps in a vision/audio encoder);
+    the engine-relevant part is the plumbing: binary columns batch through
+    Arrow, numpy vectorizes per batch, and the output ``array<float>``
+    column feeds directly into the similarity operators
+    (``operators/similarity.py``), giving the full media → embedding → ANN
+    dedup path.
+    """
+    import numpy as np
+
+    idc, binc = id_col, binary_col
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf[binc]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                if len(b) == 0:
+                    out.append([0.0] * dim)
+                    continue
+                hist = np.bincount(b % dim, minlength=dim).astype(np.float64)
+                norm = np.linalg.norm(hist)
+                out.append((hist / norm if norm else hist).astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf[idc].astype("int64"), "embedding": out})
+
+    return df.select(F.col(idc), F.col(binc)).mapInPandas(kernel, FEATURES_SCHEMA)

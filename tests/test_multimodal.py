@@ -1,0 +1,45 @@
+"""Multimodal plumbing: binary columns through Arrow kernels, chained into
+the similarity operators (media → embedding → ANN)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_data_lakehouse_spark.multimodal import binary_ops as mm
+from e_commerce_data_lakehouse_spark.operators import similarity as sim
+
+SF = "/root/testdata/sf0.001"
+
+
+def _payloads(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+
+
+def test_decode_metadata_deterministic(spark):
+    docs = _payloads(spark)
+    a = sorted(map(tuple, mm.decode_metadata(docs, "doc_id", "payload").collect()))
+    b = sorted(map(tuple, mm.decode_metadata(docs, "doc_id", "payload").collect()))
+    assert a == b and len(a) == docs.count()
+    assert all(1 <= r[2] <= 640 and 1 <= r[3] <= 480 for r in a)
+
+
+def test_extract_features_feeds_ann(spark):
+    docs = _payloads(spark).limit(200)
+    emb = mm.extract_features(docs, "doc_id", "payload", dim=16)
+    row = emb.first()
+    assert len(row["embedding"]) == 16
+    queries = emb.filter(F.col("doc_id") < 3)
+    topk = sim.brute_force_topk(queries, emb, "doc_id", "embedding", k=3)
+    got = topk.collect()
+    assert len(got) == 9  # 3 queries x k=3
+    assert all(r["cosine_sim"] <= 1.000001 for r in got)
+
+
+def test_frame_sample_is_honest_stub(spark):
+    docs = _payloads(spark)
+    with pytest.raises(NotImplementedError):
+        mm.frame_sample_plan(docs, "doc_id", "payload", every_n=10)
