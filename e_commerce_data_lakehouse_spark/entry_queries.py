@@ -1612,3 +1612,76 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram-profile language ID (training-data op; extends the reference's
+# script/lang fields, social_to_deltalake_table.py:296-327)
+# ---------------------------------------------------------------------------
+
+from e_commerce_data_lakehouse_spark.operators import langid as lid  # noqa: E402
+
+_TRIGRAM_SQL = """
+    SELECT doc_id, lang, substr(t, i, 3) AS trigram, COUNT(*) AS tg_count
+    FROM (SELECT doc_id, lang, lower(text) AS t,
+                 unnest(generate_series(1, length(text) - 2)) AS i
+          FROM documents WHERE length(text) >= 3)
+    GROUP BY doc_id, lang, trigram
+"""
+
+_PROFILE_SQL = f"""
+    SELECT lang AS profile_lang, trigram,
+           CAST(lang_count AS BIGINT) AS lang_count,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT lang, trigram, SUM(tg_count) AS lang_count,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY SUM(tg_count) DESC, trigram ASC) AS rank
+        FROM ({_TRIGRAM_SQL}) dt
+        GROUP BY lang, trigram
+    ) WHERE rank <= 50
+"""
+
+
+@register("langid_profiles", _PROFILE_SQL)
+def langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn per-language top-50 character-trigram profiles from the labeled
+    corpus.  Trigram extraction is explode(sequence)+substr codegen; the
+    profile is the broadcast side of ``langid_predictions``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tg = lid.trigram_counts(docs, ["doc_id", "lang"], "text")
+    return lid.language_profiles(tg, "lang", top_n=50)
+
+
+@register(
+    "langid_predictions",
+    f"""
+WITH doc_tg AS ({_TRIGRAM_SQL}),
+prof AS ({_PROFILE_SQL}),
+scores AS (
+    SELECT d.doc_id, d.lang, p.profile_lang,
+           CAST(SUM(d.tg_count) AS BIGINT) AS score
+    FROM doc_tg d JOIN prof p ON d.trigram = p.trigram
+    GROUP BY d.doc_id, d.lang, p.profile_lang
+)
+SELECT doc_id, lang, profile_lang AS predicted_lang, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, profile_lang ASC) AS rn
+      FROM scores)
+WHERE rn = 1
+""",
+)
+def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every document against the learned trigram profiles: the
+    tiny profile table is broadcast into the scoring join (map-side), one
+    aggregation computes overlap scores, a per-doc window takes the argmax.
+    The per-doc trigram table is persisted — it feeds both the profile
+    build and the scoring join, and would otherwise be recomputed."""
+    from pyspark import StorageLevel
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tg = lid.trigram_counts(docs, ["doc_id", "lang"], "text").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    prof = lid.language_profiles(tg, "lang", top_n=50)
+    return lid.classify(tg, prof, ["doc_id", "lang"])

@@ -67,3 +67,13 @@ def test_blocked_similarity_never_cartesian(spark, name):
 def test_topk_uses_heap_not_global_sort(spark):
     plan = plan_of(spark, "top_customers")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_langid_scoring_join_is_broadcast(spark):
+    """The learned profile (n_langs x 50 rows) must be the broadcast side of
+    the scoring join — classification is map-side, never a corpus shuffle
+    against the profile — and trigram extraction stays in codegen."""
+    plan = plan_of(spark, "langid_predictions")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
