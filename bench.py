@@ -44,6 +44,8 @@ HEADLINE = [
     "streaming_hourly_counts",
     "asof_purchase_view",
     "user_sessions",
+    "langid_predictions",
+    "global_dw_catalog",
 ]
 
 

@@ -1685,3 +1685,217 @@ def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prof = lid.language_profiles(tg, "lang", top_n=50)
     return lid.classify(tg, prof, ["doc_id", "lang"])
+
+
+# ---------------------------------------------------------------------------
+# Composed global DW build (create_global_dw.py:456-540 as ONE pipeline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_dw_catalog",
+    """
+SELECT 'global_agg_customer_360' AS table_name,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS row_count,
+       0 AS version, 'active' AS status
+UNION ALL
+SELECT 'global_agg_monthly_summary',
+       (SELECT COUNT(*) FROM (SELECT DISTINCT year(o_orderdate), month(o_orderdate)
+                              FROM orders)),
+       0, 'active'
+UNION ALL
+SELECT 'global_dim_customer', (SELECT COUNT(*) FROM customer), 0, 'active'
+UNION ALL
+SELECT 'global_dim_date', CAST(2192 AS BIGINT), 0, 'active'
+UNION ALL
+SELECT 'global_dim_product', (SELECT COUNT(*) FROM part), 0, 'active'
+UNION ALL
+SELECT 'global_fact_customer_activity',
+       (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM events), 0, 'active'
+UNION ALL
+SELECT 'global_fact_operational_daily',
+       (SELECT COUNT(*) FROM (SELECT CAST(o_orderdate AS DATE) AS d FROM orders
+                              UNION SELECT CAST(ts AS DATE) FROM events)),
+       0, 'active'
+""",
+)
+def global_dw_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composed global-DW build (``plans/global_dw.py``): dims +
+    activity fact + operational daily + customer-360 + monthly summary all
+    built from ONE persisted activity union, written as snapshot-versioned
+    tables; returns the ``_catalog`` monitoring table (T6).  The oracle
+    recomputes every table's expected cardinality from the sources."""
+    import tempfile
+
+    from e_commerce_data_lakehouse_spark.plans.global_dw import build_global_dw
+
+    t = load(spark, sf_dir, "orders", "events", "customer", "part")
+    dw = build_global_dw(
+        spark,
+        tempfile.mkdtemp(prefix="gdw_"),
+        orders=t["orders"],
+        events=t["events"],
+        customer=t["customer"],
+        part=t["part"],
+        dim_date=build_dim_date(spark, DIM_DATE_START, DIM_DATE_END),
+    )
+    return dw.catalog
+
+
+# ---------------------------------------------------------------------------
+# Multimodal feature extraction (binary -> embedding, Arrow kernel)
+# ---------------------------------------------------------------------------
+
+
+@register("multimodal_features", None)  # numpy float32 kernel, not SQL-expressible
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media → embedding feature extraction (``multimodal/binary_ops.py``):
+    binary payloads batch through an Arrow ``mapInPandas`` kernel into
+    unit-norm ``array<float>`` embeddings, then the brute-force ANN operator
+    consumes them directly — the full media → embedding → similarity path.
+    Returns per-query top-3 neighbors over the first 200 docs' payloads."""
+    from e_commerce_data_lakehouse_spark.multimodal import binary_ops as mm
+
+    docs = (
+        load(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    emb = mm.extract_features(docs, "doc_id", "payload", dim=16)
+    queries = emb.filter(F.col("doc_id") < 3)
+    return sim.brute_force_topk(queries, emb, "doc_id", "embedding", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Join-shape coverage beyond the reference (J7 done relationally, plus the
+# classic analytic join patterns: semi, anti, join-to-derived-aggregate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inactive_customers_1998",
+    """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND year(o.o_orderdate) = 1998)
+""",
+)
+def inactive_customers_1998(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (J7 done relationally, not driver-side set math): customers
+    with no 1998 order.  The filter on orders is pushed below the join; the
+    anti join hashes only the filtered key set.  Oracle: NOT EXISTS."""
+    t = load(spark, sf_dir, "customer", "orders")
+    orders_98 = t["orders"].filter(F.year("o_orderdate") == 1998)
+    return (
+        t["customer"]
+        .join(orders_98, t["customer"].c_custkey == orders_98.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "big_spender_customers",
+    """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+""",
+)
+def big_spender_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: customers with at least one 400k+ order — returns each
+    customer once regardless of match count (no post-join distinct, the
+    semi join itself dedups).  Oracle: EXISTS."""
+    t = load(spark, sf_dir, "customer", "orders")
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "shipping_priority_top10",
+    """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into a fact join,
+    hash aggregate, deterministic top-10 (revenue desc, orderkey asc — the
+    explicit tiebreak keeps the result a well-defined multiset).  Both
+    date filters reach their parquet scans."""
+    t = load(spark, sf_dir, "customer", "orders", "lineitem")
+    cutoff = F.lit("1998-03-15").cast("timestamp_ntz")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "small_quantity_orders",
+    """
+WITH pa AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS avg_qty
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0
+           AS avg_yearly
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < 0.2 * pa.avg_qty
+""",
+)
+def small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: join a fact to its own per-key aggregate (the
+    decorrelated form of a correlated scalar subquery).  One shuffle
+    computes the per-part averages; the probe side joins on l_partkey.
+    The average goes through exact decimal summation so both engines
+    compare against the identical double."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly"),
+        )
+    )

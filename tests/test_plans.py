@@ -69,6 +69,27 @@ def test_topk_uses_heap_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q3_shape_topk_and_broadcast(spark):
+    """Q3 shape: deterministic top-10 must plan as a bounded heap
+    (TakeOrderedAndProject, not a global sort), the selective customer
+    filter must broadcast, and both date filters must reach their scans."""
+    plan = plan_of(spark, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("PushedFilters: [") >= 2
+
+
+def test_anti_and_semi_joins_plan_as_joins(spark):
+    """J7 relationally: anti/semi joins must be real join operators (the
+    reference diffs file sets driver-side, csv_to_deltalake_table.py:222)."""
+    anti = plan_of(spark, "inactive_customers_1998")
+    semi = plan_of(spark, "big_spender_customers")
+    assert "LeftAnti" in anti
+    assert "LeftSemi" in semi
+    # no distinct/aggregate needed after a semi join
+    assert "HashAggregate" not in semi
+
+
 def test_langid_scoring_join_is_broadcast(spark):
     """The learned profile (n_langs x 50 rows) must be the broadcast side of
     the scoring join — classification is map-side, never a corpus shuffle
