@@ -1037,8 +1037,10 @@ FROM documents
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis suite over documents: whitespace + BPE-ish token
     counts, punctuation/stopword ratios, script-based language ID, md5
-    content fingerprint — all pure Catalyst expressions (no UDFs)."""
-    docs = load(spark, sf_dir, "documents")["documents"]
+    content fingerprint — all pure Catalyst expressions (no UDFs).  The
+    single-file table is repartitioned so the regex-heavy map stage uses
+    every core, not one."""
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
     text = F.col("text")
     return docs.select(
         "doc_id",
@@ -1647,10 +1649,10 @@ _PROFILE_SQL = f"""
 def langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn per-language top-50 character-trigram profiles from the labeled
     corpus.  Trigram extraction is explode(sequence)+substr codegen; the
-    profile is the broadcast side of ``langid_predictions``."""
+    (lang, trigram) aggregate partial-aggs to a bounded set map-side, so the
+    shuffle is tiny regardless of corpus size."""
     docs = load(spark, sf_dir, "documents")["documents"]
-    tg = lid.trigram_counts(docs, ["doc_id", "lang"], "text")
-    return lid.language_profiles(tg, "lang", top_n=50)
+    return lid.language_profiles_from_corpus(docs, "lang", "text", top_n=50)
 
 
 @register(
@@ -1673,18 +1675,14 @@ WHERE rn = 1
 )
 def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classify every document against the learned trigram profiles: the
-    tiny profile table is broadcast into the scoring join (map-side), one
-    aggregation computes overlap scores, a per-doc window takes the argmax.
-    The per-doc trigram table is persisted — it feeds both the profile
-    build and the scoring join, and would otherwise be recomputed."""
-    from pyspark import StorageLevel
-
+    tiny profile is broadcast into the scoring join, so occurrences outside
+    every profile die map-side and the only shuffle is the partial-agged
+    (doc, language) score table; a per-doc window takes the argmax.  The
+    text is scanned twice (profile pass + scoring pass) — two codegen scans
+    beat shuffling and caching a doc-keyed trigram table at scale."""
     docs = load(spark, sf_dir, "documents")["documents"]
-    tg = lid.trigram_counts(docs, ["doc_id", "lang"], "text").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    prof = lid.language_profiles(tg, "lang", top_n=50)
-    return lid.classify(tg, prof, ["doc_id", "lang"])
+    prof = lid.language_profiles_from_corpus(docs, "lang", "text", top_n=50)
+    return lid.classify_corpus(docs, prof, ["doc_id", "lang"], "text")
 
 
 # ---------------------------------------------------------------------------

@@ -11,12 +11,16 @@ Scale design (100 TB):
   no Python, no arrays materialized per row (the substr runs lazily per
   exploded index).  This beat higher-order-function pipelines ~5x in the
   MinHash work; same shape reused here.
-- The per-doc trigram count table is the only shuffle (groupBy doc_id,
-  trigram) and is reused by BOTH the profile build and the scoring join, so
-  callers persist it once instead of recomputing the explode twice.
-- The learned profile is tiny (n_languages x top_n rows) and is explicitly
-  `broadcast()` into the scoring join — classification is a map-side join +
-  one aggregation, never a shuffle of the corpus against the profile.
+- The profile build aggregates (lang, trigram) DIRECTLY from the exploded
+  stream — partial aggregation collapses each map partition to the distinct
+  trigram set (bounded: |languages| x |alphabet|^3), so the shuffle is tiny
+  no matter the corpus size.  No doc-keyed intermediate, no persist.
+- Scoring re-explodes and hash-joins the broadcast profile (n_languages x
+  top_n rows) BEFORE any shuffle: occurrences not in any profile die
+  map-side, and the only shuffle is the partial-aggregated
+  (doc, profile_lang) score table — ~|docs| x |languages| rows.
+  Re-reading the text twice (two codegen scans) is far cheaper than
+  shuffling and caching a per-doc trigram table at scale.
 """
 
 from __future__ import annotations
@@ -24,25 +28,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from e_commerce_data_lakehouse_spark.operators.dedup import ensure_parallelism
 
-def trigram_counts(df: DataFrame, key_cols: list[str], text_col: str) -> DataFrame:
-    """Per-key character-trigram counts of lowercased text.
+
+def exploded_trigrams(df: DataFrame, cols: list[str], text_col: str) -> DataFrame:
+    """One row per character-trigram occurrence of lowercased text.
 
     Docs shorter than 3 chars produce no rows (same as the oracle's
     `generate_series` yielding an empty range).  The guard also keeps
     Spark's `sequence` from producing a *descending* range when
     ``length - 2 < 1`` (sequence infers step -1 when start > stop).
+
+    The input is repartitioned if under-partitioned (single-file tables
+    scan as ONE task; the explode stage must spread across cores).
     """
     t = F.lower(F.col(text_col))
     return (
-        df.filter(F.length(F.col(text_col)) >= 3)
-        .select(*key_cols, t.alias("_t"))
+        ensure_parallelism(df)
+        .filter(F.length(F.col(text_col)) >= 3)
+        .select(*cols, t.alias("_t"))
         .select(
-            *key_cols,
+            *cols,
             F.explode(F.sequence(F.lit(1), F.length("_t") - 2)).alias("_i"),
             F.col("_t"),
         )
-        .select(*key_cols, F.col("_t").substr(F.col("_i"), F.lit(3)).alias("trigram"))
+        .select(*cols, F.col("_t").substr(F.col("_i"), F.lit(3)).alias("trigram"))
+    )
+
+
+def trigram_counts(df: DataFrame, key_cols: list[str], text_col: str) -> DataFrame:
+    """Per-key character-trigram counts of lowercased text."""
+    return (
+        exploded_trigrams(df, key_cols, text_col)
         .groupBy(*key_cols, "trigram")
         .agg(F.count(F.lit(1)).alias("tg_count"))
     )
@@ -51,17 +68,32 @@ def trigram_counts(df: DataFrame, key_cols: list[str], text_col: str) -> DataFra
 def language_profiles(
     doc_trigrams: DataFrame, lang_col: str, top_n: int = 50
 ) -> DataFrame:
-    """Top-N trigrams per language by corpus frequency.
+    """Top-N trigrams per language from a per-doc trigram count table.
 
-    Input is the output of :func:`trigram_counts` keyed by (doc, lang).
     Deterministic rank tiebreak: count desc, then trigram asc.
     """
     by_lang = doc_trigrams.groupBy(lang_col, "trigram").agg(
         F.sum("tg_count").alias("lang_count")
     )
-    w = Window.partitionBy(lang_col).orderBy(
-        F.desc("lang_count"), F.asc("trigram")
+    return _rank_profiles(by_lang, lang_col, top_n)
+
+
+def language_profiles_from_corpus(
+    df: DataFrame, lang_col: str, text_col: str, top_n: int = 50
+) -> DataFrame:
+    """Top-N trigrams per language, aggregated straight off the exploded
+    trigram stream — the scale path: no doc-keyed intermediate, the shuffle
+    carries only the partial-aggregated (lang, trigram) pairs."""
+    by_lang = (
+        exploded_trigrams(df, [lang_col], text_col)
+        .groupBy(lang_col, "trigram")
+        .agg(F.count(F.lit(1)).alias("lang_count"))
     )
+    return _rank_profiles(by_lang, lang_col, top_n)
+
+
+def _rank_profiles(by_lang: DataFrame, lang_col: str, top_n: int) -> DataFrame:
+    w = Window.partitionBy(lang_col).orderBy(F.desc("lang_count"), F.asc("trigram"))
     return (
         by_lang.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_n)
@@ -77,7 +109,9 @@ def language_profiles(
 def classify(
     doc_trigrams: DataFrame, profiles: DataFrame, id_cols: list[str]
 ) -> DataFrame:
-    """Assign each document the language whose profile it overlaps most.
+    """Assign each document the language whose profile it overlaps most,
+    from a per-doc trigram count table (see :func:`classify_corpus` for the
+    single-pass form).
 
     Score = sum of the document's trigram multiplicities over trigrams in
     that language's profile.  The profile side is broadcast (tiny); argmax
@@ -89,9 +123,29 @@ def classify(
         .groupBy(*id_cols, "profile_lang")
         .agg(F.sum("tg_count").cast("long").alias("score"))
     )
-    w = Window.partitionBy(*id_cols).orderBy(
-        F.desc("score"), F.asc("profile_lang")
+    return _argmax(scores, id_cols)
+
+
+def classify_corpus(
+    df: DataFrame, profiles: DataFrame, id_cols: list[str], text_col: str
+) -> DataFrame:
+    """Single-pass classification: explode → broadcast-join the profile →
+    count matches per (doc, language) → argmax.  Equivalent to
+    :func:`classify` over :func:`trigram_counts` (counting occurrences that
+    hit a profile == summing per-doc multiplicities over profile trigrams)
+    but with no doc-keyed trigram shuffle: non-matching occurrences are
+    dropped map-side by the broadcast hash join."""
+    scores = (
+        exploded_trigrams(df, id_cols, text_col)
+        .join(F.broadcast(profiles.select("profile_lang", "trigram")), "trigram")
+        .groupBy(*id_cols, "profile_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("score"))
     )
+    return _argmax(scores, id_cols)
+
+
+def _argmax(scores: DataFrame, id_cols: list[str]) -> DataFrame:
+    w = Window.partitionBy(*id_cols).orderBy(F.desc("score"), F.asc("profile_lang"))
     return (
         scores.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -6,18 +6,18 @@ table it feeds — the activity union alone is recomputed three times (for the
 activity fact, the customer-360 agg, and the monthly summary).  Here the
 whole layer is one composition over shared, persisted intermediates:
 
-- the conformed activity union (U1+W2) is built ONCE and persisted; the
-  activity fact, customer-360, and date-spine metrics all read it from
-  cache instead of re-scanning both source tables;
+- the conformed activity union (U1+W2) is built ONCE — its fact-table write
+  is the materialization point, and customer-360 / operational-daily /
+  monthly all re-read the written parquet with column pruning (at 100 TB a
+  disk-backed table beats a serialized memory persist of the same rows, and
+  each downstream aggregate reads only its 2-3 columns);
 - dims are tiny distinct projections (A9) → broadcast downstream;
 - every output lands in a :class:`ManagedTable` (snapshot-versioned), and
   the run closes with the ``_catalog`` monitoring table (T6,
-  ``create_global_dw.py:451-540``).
+  ``create_global_dw.py:451-540``) served ENTIRELY from parquet footer
+  metadata — zero data-reading jobs for monitoring.
 
-Scale notes: the persist level is MEMORY_AND_DISK (the union of two fact
-tables will not fit executor memory at 100 TB — spilling beats recompute);
-no ``collect()`` of data rows; each output write is a column-pruned
-projection of the shared intermediate, so the expensive shuffles (union,
+Scale notes: no ``collect()`` of data rows; the expensive shuffles (union,
 per-actor window, daily/monthly aggregates) each happen exactly once.
 """
 
@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -108,58 +107,58 @@ def build_global_dw(
     )
 
     # -- shared intermediate: built once, feeds three outputs --------------
-    activity = _activity_union(orders, events).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # The activity fact write IS the materialization point: the union +
+    # per-actor sequence window compute exactly once into parquet, and the
+    # three downstream aggregates re-read the written table with column
+    # pruning (cheaper than a serialized memory persist of the full rows,
+    # and identical semantics).
+    t["global_fact_customer_activity"].overwrite(_activity_union(orders, events))
+    activity = t["global_fact_customer_activity"].read()
+
+    # daily operational fact: date spine folded with per-domain metrics
+    # (J5+P9) — computed FROM the written union, not the source tables
+    om = (
+        activity.filter(F.col("activity_type") == "order")
+        .groupBy(F.to_date("activity_ts").alias("activity_date"))
+        .agg(
+            sum_money("amount").alias("order_revenue"),
+            F.count("*").alias("n_orders"),
+        )
     )
-    try:
-        t["global_fact_customer_activity"].overwrite(activity)
+    em = (
+        activity.filter(F.col("activity_type") != "order")
+        .groupBy(F.to_date("activity_ts").alias("activity_date"))
+        .agg(
+            dsum("amount").alias("event_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    spine = activity.select(
+        F.to_date("activity_ts").alias("activity_date")
+    ).distinct()
+    t["global_fact_operational_daily"].overwrite(
+        jn.fold_left_join(
+            spine,
+            [om, em],
+            ["activity_date"],
+            fill_zero_cols=[
+                "order_revenue", "n_orders", "event_value", "n_events",
+            ],
+        )
+    )
 
-        # daily operational fact: date spine folded with per-domain metrics
-        # (J5+P9) — computed FROM the cached union, not the source tables
-        om = (
-            activity.filter(F.col("activity_type") == "order")
-            .groupBy(F.to_date("activity_ts").alias("activity_date"))
-            .agg(
-                sum_money("amount").alias("order_revenue"),
-                F.count("*").alias("n_orders"),
-            )
-        )
-        em = (
-            activity.filter(F.col("activity_type") != "order")
-            .groupBy(F.to_date("activity_ts").alias("activity_date"))
-            .agg(
-                dsum("amount").alias("event_value"),
-                F.count("*").alias("n_events"),
-            )
-        )
-        spine = activity.select(
-            F.to_date("activity_ts").alias("activity_date")
-        ).distinct()
-        t["global_fact_operational_daily"].overwrite(
-            jn.fold_left_join(
-                spine,
-                [om, em],
-                ["activity_date"],
-                fill_zero_cols=[
-                    "order_revenue", "n_orders", "event_value", "n_events",
-                ],
-            )
-        )
+    # customer-360 (A5/A6) from the written union's event slice
+    ev_slice = activity.filter(F.col("activity_type") != "order").select(
+        F.col("actor_id").alias("user_id"),
+        F.col("activity_type").alias("event_type"),
+        F.col("amount").alias("value"),
+    )
+    t["global_agg_customer_360"].overwrite(agg.customer_360(ev_slice))
 
-        # customer-360 (A5/A6) from the cached union's event slice
-        ev_slice = activity.filter(F.col("activity_type") != "order").select(
-            F.col("actor_id").alias("user_id"),
-            F.col("activity_type").alias("event_type"),
-            F.col("amount").alias("value"),
-        )
-        t["global_agg_customer_360"].overwrite(agg.customer_360(ev_slice))
-
-        # monthly rollup (A12) from the order slice
-        order_slice = activity.filter(F.col("activity_type") == "order")
-        t["global_agg_monthly_summary"].overwrite(
-            agg.monthly_summary(order_slice, "activity_ts", "amount")
-        )
-    finally:
-        activity.unpersist()
+    # monthly rollup (A12) from the order slice
+    order_slice = activity.filter(F.col("activity_type") == "order")
+    t["global_agg_monthly_summary"].overwrite(
+        agg.monthly_summary(order_slice, "activity_ts", "amount")
+    )
 
     return GlobalDW(tables=t, catalog=build_catalog_table(spark, t))

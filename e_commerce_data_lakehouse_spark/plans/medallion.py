@@ -180,15 +180,15 @@ def build_catalog_table(
     """T6: the ``_catalog`` monitoring table (``create_global_dw.py:451-540``)
     — one row per managed table with row count, version, and status.
 
-    The reference rebuilds this driver-side with per-table ``count()`` calls
-    in a Python loop; counts here are still one job per table (unavoidable —
-    different sources), but each is a metadata-cheap parquet count and the
-    assembly is a single small createDataFrame."""
+    The reference rebuilds this driver-side with a full ``count()`` Spark
+    job per table; counts here come from parquet footer metadata
+    (:meth:`ManagedTable.row_count` — what Delta serves from txn-log
+    stats), so the whole sweep launches zero data-reading jobs."""
     rows = []
     for name, t in tables.items():
         if t.exists():
             vs = t.history()
-            rows.append((name, t.read().count(), vs[-1], "active"))
+            rows.append((name, t.row_count(), vs[-1], "active"))
         else:
             rows.append((name, 0, -1, "missing"))
     return spark.createDataFrame(

@@ -116,6 +116,25 @@ class ManagedTable:
             raise ValueError(f"version {v} not in {vs}")
         return self.spark.read.parquet(self._vpath(v))
 
+    def row_count(self, version_as_of: int | None = None) -> int:
+        """Row count from parquet footer metadata — no Spark job, no data
+        read.  This is what Delta serves from transaction-log stats; at
+        100 TB a monitoring sweep over every table must stay metadata-only
+        (the reference runs a full ``count()`` job per table per catalog
+        rebuild, ``create_global_dw.py:451-540``)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"no committed versions at {self.path}")
+        v = version_as_of if version_as_of is not None else vs[-1]
+        total = 0
+        for f in _glob.glob(f"{self._vpath(v)}/**/*.parquet", recursive=True):
+            total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
     def restore_to_version(self, version: int) -> None:
         """S17: ``restoreToVersion`` — re-commit an old snapshot as newest."""
         self._commit(self.read(version_as_of=version))
