@@ -46,6 +46,7 @@ HEADLINE = [
     "user_sessions",
     "langid_predictions",
     "global_dw_catalog",
+    "training_corpus_build",
 ]
 
 

@@ -1623,15 +1623,18 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from e_commerce_data_lakehouse_spark.operators import langid as lid  # noqa: E402
 
-_TRIGRAM_SQL = """
+def _trigram_sql(src: str) -> str:
+    return f"""
     SELECT doc_id, lang, substr(t, i, 3) AS trigram, COUNT(*) AS tg_count
     FROM (SELECT doc_id, lang, lower(text) AS t,
                  unnest(generate_series(1, length(text) - 2)) AS i
-          FROM documents WHERE length(text) >= 3)
+          FROM {src} WHERE length(text) >= 3)
     GROUP BY doc_id, lang, trigram
 """
 
-_PROFILE_SQL = f"""
+
+def _profile_sql(src: str) -> str:
+    return f"""
     SELECT lang AS profile_lang, trigram,
            CAST(lang_count AS BIGINT) AS lang_count,
            CAST(rank AS INT) AS rank
@@ -1639,10 +1642,14 @@ _PROFILE_SQL = f"""
         SELECT lang, trigram, SUM(tg_count) AS lang_count,
                row_number() OVER (PARTITION BY lang
                                   ORDER BY SUM(tg_count) DESC, trigram ASC) AS rank
-        FROM ({_TRIGRAM_SQL}) dt
+        FROM ({_trigram_sql(src)}) dt
         GROUP BY lang, trigram
     ) WHERE rank <= 50
 """
+
+
+_TRIGRAM_SQL = _trigram_sql("documents")
+_PROFILE_SQL = _profile_sql("documents")
 
 
 @register("langid_profiles", _PROFILE_SQL)
@@ -1895,5 +1902,220 @@ def small_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
                 / 7.0
             ).alias("avg_yearly"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-window analytics beyond the reference (lag/lead, per-group rank,
+# ntile — SURVEY §2.5 notes the reference has none of these)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_mom_growth",
+    f"""
+WITH m AS (
+    SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+           {sql_sum_money('o_totalprice')} AS revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT year, month, revenue,
+       lag(revenue) OVER (ORDER BY year, month) AS prev_revenue,
+       ROUND(revenue - lag(revenue) OVER (ORDER BY year, month), 6) AS mom_delta
+FROM m
+""",
+)
+def revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue via ``lag``.  The ordered window is GLOBAL
+    (single partition) — safe only because it runs over the pre-aggregated
+    monthly table (#months rows), never over raw facts; the heavy lifting is
+    the parallel hash aggregate underneath."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    m = (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.month("o_orderdate").cast("long").alias("month"),
+        )
+        .agg(sum_money("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("year", "month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "year", "month", "revenue",
+        prev.alias("prev_revenue"),
+        F.round(F.col("revenue") - prev, 6).alias("mom_delta"),
+    )
+
+
+@register(
+    "top_orders_per_month",
+    """
+SELECT year, month, o_orderkey, o_totalprice, rank FROM (
+    SELECT year(o_orderdate) AS year, month(o_orderdate) AS month,
+           o_orderkey, o_totalprice,
+           CAST(row_number() OVER (
+               PARTITION BY year(o_orderdate), month(o_orderdate)
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+    FROM orders)
+WHERE rank <= 3
+""",
+)
+def top_orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (``operators/topk.top_n_per_group``): one shuffle on
+    the group key, rank window with explicit tiebreak — never a global
+    sort.  (AQE handles month-level volume skew.)"""
+    o = load(spark, sf_dir, "orders")["orders"]
+    base = o.select(
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.month("o_orderdate").cast("long").alias("month"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return tk.top_n_per_group(
+        base, ["year", "month"], "o_totalprice", 3, tiebreakers=["o_orderkey"]
+    ).select("year", "month", "o_orderkey", "o_totalprice", "rank")
+
+
+@register(
+    "customer_spend_quartiles",
+    f"""
+WITH s AS (
+    SELECT o_custkey, {sql_sum_money('o_totalprice')} AS spend,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+), q AS (
+    SELECT *, CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS INT)
+                  AS quartile
+    FROM s
+)
+SELECT quartile, COUNT(*) AS n_customers,
+       MIN(spend) AS min_spend, MAX(spend) AS max_spend,
+       SUM(n_orders) AS n_orders
+FROM q GROUP BY 1
+""",
+)
+def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-quartile segmentation via ``ntile(4)`` over per-customer spend
+    (deterministic total order: spend desc, custkey asc).  Like
+    ``revenue_mom_growth`` the global window runs on aggregated rows only;
+    the per-customer aggregate underneath is the parallel stage."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    s = o.groupBy("o_custkey").agg(
+        sum_money("o_totalprice").alias("spend"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        s.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship composed training-data pipeline: quality filter -> exact dedup ->
+# language ID -> curated-corpus stats, end to end, fully oracle-checked
+# ---------------------------------------------------------------------------
+
+_QUALITY_SQL = """
+           ROUND(
+               least(length(text) / 500.0, 1.0)
+               * (1 - COALESCE(ROUND(
+                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 /
+                     NULLIF(length(regexp_replace(text, '\\s', '', 'g')), 0), 9), 0.0))
+               * (1 - COALESCE(ROUND(
+                     len(list_filter(string_split(trim(lower(text)), ' '),
+                         t -> t IN ('the','a','and','of','to','in','is','it'))) * 1.0 /
+                     NULLIF(len(string_split(trim(lower(text)), ' ')), 0), 9), 0.0) / 2),
+               6)
+"""
+
+
+@register(
+    "training_corpus_build",
+    f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           {_QUALITY_SQL} AS quality,
+           md5({NORM_SQL.format(c='text')}) AS fp,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+    FROM documents
+), curated AS (
+    SELECT doc_id, lang, text, quality, n_tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.5)
+    WHERE rn = 1
+), doc_tg AS ({_trigram_sql('curated')}),
+prof AS ({_profile_sql('curated')}),
+scores AS (
+    SELECT d.doc_id, p.profile_lang,
+           CAST(SUM(d.tg_count) AS BIGINT) AS score
+    FROM doc_tg d JOIN prof p ON d.trigram = p.trigram
+    GROUP BY d.doc_id, p.profile_lang
+), pred AS (
+    SELECT doc_id, profile_lang AS predicted_lang
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, profile_lang ASC) AS rn
+          FROM scores)
+    WHERE rn = 1
+)
+SELECT predicted_lang,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(quality AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_quality,
+       SUM(n_tok) AS n_tokens
+FROM curated c JOIN pred USING (doc_id)
+GROUP BY predicted_lang
+""",
+)
+def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data pipeline composed end to end: quality filter
+    (map-side codegen expressions) → exact dedup on content fingerprint
+    (one shuffle on md5, keep lowest doc_id) → n-gram language ID (profiles
+    learned from the curated corpus itself, broadcast scoring join) →
+    per-language corpus stats.  The curated set is persisted once and feeds
+    the profile pass, the scoring pass, and the final rollup."""
+    from pyspark.sql import Window
+
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        tx.quality_score(text).alias("quality"),
+        tx.fingerprint(text).alias("fp"),
+        tx.whitespace_token_count(text).alias("n_tok"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    curated = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "text", "quality", "n_tok")
+        .persist()
+    )
+    prof = lid.language_profiles_from_corpus(curated, "lang", "text", top_n=50)
+    pred = lid.classify_corpus(curated, prof, ["doc_id"], "text").select(
+        "doc_id", "predicted_lang"
+    )
+    return (
+        curated.join(pred, "doc_id")
+        .groupBy("predicted_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(19,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_quality"),
+            F.sum("n_tok").alias("n_tokens"),
         )
     )
