@@ -7,6 +7,14 @@ Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
 Queries execute against the noop sink — full plan execution without
 driver-side collect overhead, which is the honest measure of engine
 throughput (collect would measure py4j serialization of result rows).
+
+Each query runs twice and the SECOND run is reported: the first run pays
+one-time costs that amortize to zero at scale (Janino whole-stage-codegen
+compilation, Python-worker pool fork, broadcast build of static dims) and
+that dominated run-to-run variance at sf0.1 (e.g. the MinHash pipeline:
+~17 s cold vs ~3 s warm, entirely compile time).  Warm timings are the
+per-query throughput signal; set SPARK_GRAFT_BENCH_COLD=1 to report
+first-run timings instead.
 """
 
 from __future__ import annotations
@@ -60,13 +68,16 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).count()
 
+    cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
+    runs = 1 if cold else 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = eq.QUERIES[name].spark_fn
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        for _ in range(runs):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
