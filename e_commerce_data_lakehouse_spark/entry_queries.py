@@ -2119,3 +2119,69 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "late_order_priority_counts",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated range condition, planned as
+    a semi join carrying the non-equi predicate alongside the key — the
+    lineitem side is pre-projected to two columns before the shuffle."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    o = t["orders"]
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("interval 90 days")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@register(
+    "cheapest_unit_price_lines",
+    """
+WITH up AS (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           ROUND(l_extendedprice / l_quantity, 6) AS unit_price
+    FROM lineitem WHERE l_quantity > 0
+)
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, unit_price
+FROM up u
+WHERE unit_price = (SELECT MIN(unit_price) FROM up u2
+                    WHERE u2.l_partkey = u.l_partkey)
+""",
+)
+def cheapest_unit_price_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery, decorrelated as a
+    min window over the correlation key — ONE shuffle on l_partkey instead
+    of the naive re-aggregation join (Q17's join-to-agg is the other
+    decorrelation; the window form wins when the probe and the aggregate
+    share the same scan).  Ties on the min keep every achieving row —
+    identical multiset on both engines."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    up = li.filter(F.col("l_quantity") > 0).select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias(
+            "unit_price"
+        ),
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        up.withColumn("__min_up", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("__min_up"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "unit_price")
+    )
