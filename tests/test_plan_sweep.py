@@ -1,0 +1,43 @@
+"""Sweeping physical-plan audit over EVERY declared query: global
+invariants that must hold for the 100 TB story, regardless of operator.
+
+- No CartesianProduct / BroadcastNestedLoopJoin anywhere (every similarity
+  op must block/bucket; every join must have an equi component or a
+  bounded broadcast side — nested-loop against a big side is the one plan
+  shape that can never scale out).
+- No row-at-a-time Python (BatchEvalPython): Python in the hot path is
+  allowed only Arrow-vectorized (ArrowEvalPython / MapInPandas).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from e_commerce_data_lakehouse_spark import entry_queries as eq
+
+SF = "/root/testdata/sf0.001"
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+# Exact brute-force kNN deliberately broadcasts the BOUNDED query set
+# against one streaming pass over the candidates — that plan IS a
+# BroadcastNestedLoopJoin, and it is the correct exact-kNN shape (the
+# broadcast side is k queries, never the corpus).  Only these two queries
+# may carry one; everything else must block/bucket.
+BNLJ_ALLOWED = {"ann_cosine_topk", "multimodal_features"}
+
+
+@pytest.mark.parametrize("name", sorted(eq.QUERIES))
+def test_query_plan_has_no_scale_hazards(spark, name):
+    df = eq.QUERIES[name].spark_fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    for op in FORBIDDEN:
+        if op == "BroadcastNestedLoopJoin" and name in BNLJ_ALLOWED:
+            continue
+        assert op not in plan, f"{name}: {op} in physical plan"
