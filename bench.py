@@ -55,6 +55,15 @@ HEADLINE = [
     "langid_predictions",
     "global_dw_catalog",
     "training_corpus_build",
+    "shipping_priority_top10",
+    "small_quantity_orders",
+    "late_order_priority_counts",
+    "cheapest_unit_price_lines",
+    "inactive_customers_1998",
+    "big_spender_customers",
+    "customer_spend_quartiles",
+    "revenue_mom_growth",
+    "top_orders_per_month",
 ]
 
 
