@@ -259,6 +259,7 @@ def ivf_topk(
     seed: int = 42,
     sample_size: int = 10_000,
     include_self: bool = False,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF index: candidates are inverted
     into centroid cells (probe=1), queries probe their ``n_probe`` nearest
@@ -267,8 +268,15 @@ def ivf_topk(
     Scale shape: centroid training touches a bounded sample; cell assignment
     is one Arrow matmul per batch (map-only); the candidate join is an
     equi-join on cell id — with C cells and balanced data the scored pair
-    count drops by ~C/n_probe versus brute force.  Skewed cells are split by
-    AQE; raising ``n_centroids`` bounds cell size at corpus scale.
+    count drops by ~C/n_probe versus brute force.
+
+    ``max_cell_size`` re-balances skewed cells: a cell with S > max
+    candidates splits into ceil(S/max) salted sub-cells and the probing
+    query fans out across the salts, so no scoring task ever receives more
+    than ``max`` candidates no matter how lopsided the data distribution is
+    (real corpora cluster — one hot cell would otherwise serialize the
+    scoring stage).  The candidate set and result are identical; only the
+    partitioning of the work changes.
     """
     cents = _train_centroids(candidates, vec_col, n_centroids, seed, sample_size)
 
@@ -285,7 +293,21 @@ def ivf_topk(
         F.col(vec_col).alias("__qv"),
         F.explode(q_assign(F.col(vec_col))).alias("cell"),
     )
-    cand = cb.join(F.broadcast(qb), "cell").dropDuplicates(
+    if max_cell_size is not None:
+        sizes = cb.groupBy("cell").agg(
+            F.ceil(F.count(F.lit(1)) / max_cell_size).cast("int").alias("n_salts")
+        )
+        cb = cb.join(F.broadcast(sizes), "cell").withColumn(
+            "salt", F.pmod(F.xxhash64("neighbor_id"), F.col("n_salts")).cast("int")
+        )
+        qb = qb.join(F.broadcast(sizes), "cell").withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.col("n_salts") - 1))
+        )
+        join_keys = ["cell", "salt"]
+    else:
+        join_keys = ["cell"]
+    cand = cb.join(F.broadcast(qb.drop("n_salts") if max_cell_size else qb),
+                   join_keys).dropDuplicates(
         ["query_id", "neighbor_id"]
     )
     if not include_self:

@@ -50,3 +50,18 @@ def test_ivf_deterministic(spark):
     a = sim.ivf_topk(queries, emb, "vec_id", "embedding", k=3).collect()
     b = sim.ivf_topk(queries, emb, "vec_id", "embedding", k=3).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivf_rebalanced_identical_results(spark):
+    """Salting oversized cells repartitions the scoring work but must not
+    change the candidate set or the returned top-k."""
+    emb = eq.load(spark, SF, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    plain = sim.ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=3
+    ).collect()
+    salted = sim.ivf_topk(
+        queries, emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=3,
+        max_cell_size=20,  # tiny cap -> every cell splits into many salts
+    ).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
