@@ -2185,3 +2185,31 @@ def cheapest_unit_price_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("unit_price") == F.col("__min_up"))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "unit_price")
     )
+
+
+@register(
+    "revenue_cube",
+    f"""
+SELECT year(o_orderdate) AS yr, o_orderstatus AS status,
+       o_orderpriority AS priority,
+       {sql_sum_money('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE(yr, status, priority)
+""",
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (year, status, priority): all 8 grouping sets in ONE hash
+    aggregate pass (Spark expands grouping sets without extra scans); the
+    yr cast matches DuckDB's BIGINT year()."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.withColumn("yr", F.year("o_orderdate").cast("long"))
+        .withColumn("status", F.col("o_orderstatus"))
+        .withColumn("priority", F.col("o_orderpriority"))
+        .cube("yr", "status", "priority")
+        .agg(
+            sum_money("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
