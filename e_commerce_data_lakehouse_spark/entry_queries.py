@@ -2213,3 +2213,62 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@register(
+    "streaming_attribution",
+    """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+FROM events p JOIN events v
+  ON p.event_type = 'purchase' AND v.event_type = 'view'
+ AND p.user_id = v.user_id
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+""",
+)
+def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (``streaming/joins.interval_join``) run
+    end to end: purchases attributed to the same user's views in the prior
+    hour.  Both inputs are watermarked streams; state is bounded by
+    watermark + interval width per user key.  The oracle is the identical
+    batch join — AvailableNow over a bounded source must produce exactly
+    the batch answer."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.streaming.joins import interval_join
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now,
+        stream_events,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def side(event_type: str, id_alias: str, ts_alias: str):
+        s = stream_events(spark, sf_dir, schema, glob="events.parquet")
+        return s.filter(F.col("event_type") == event_type).select(
+            F.col("event_id").alias(id_alias),
+            "user_id",
+            F.col("ts").alias(ts_alias),
+        )
+
+    joined = interval_join(
+        side("purchase", "purchase_id", "purchase_ts"),
+        side("view", "view_id", "view_ts"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        lower="0 seconds",
+        upper="1 hour",
+        left_watermark="2 hours",
+        right_watermark="3 hours",
+    ).select("purchase_id", "view_id", F.col("l.user_id").alias("user_id"))
+    table = f"attribution_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        joined, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="append"
+    )
+    return spark.table(table)

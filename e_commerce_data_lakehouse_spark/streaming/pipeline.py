@@ -73,14 +73,16 @@ def hourly_event_counts(
 
 
 def run_available_now(
-    result: DataFrame, checkpoint_dir: str, table_name: str
+    result: DataFrame, checkpoint_dir: str, table_name: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain everything currently available and stop — the streaming
-    equivalent of the reference's nightly bounded Kafka read (T1)."""
+    equivalent of the reference's nightly bounded Kafka read (T1).
+    ``complete`` suits windowed aggs; joins use ``append``."""
     q = (
         result.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
