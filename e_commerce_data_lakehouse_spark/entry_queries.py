@@ -2272,3 +2272,47 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="append"
     )
     return spark.table(table)
+
+
+@register(
+    "last_shipper_per_order",
+    """
+WITH o AS (
+    SELECT l_orderkey, MAX(l_shipdate) AS last_ship,
+           COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS n_last
+FROM lineitem l
+JOIN o ON l.l_orderkey = o.l_orderkey
+      AND o.n_supp >= 2 AND l.l_shipdate = o.last_ship
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+GROUP BY s.s_name
+ORDER BY n_last DESC, s_name ASC
+LIMIT 10
+""",
+)
+def last_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per-order aggregate (max shipdate + distinct
+    supplier count) joined back to the fact to pick the final shipper of
+    multi-supplier orders, then a broadcast dim join and deterministic
+    top-10.  One shuffle builds the per-order aggregate; the join back is
+    on the same key so AQE reuses the partitioning; supplier is broadcast."""
+    t = load(spark, sf_dir, "lineitem", "supplier")
+    li = t["lineitem"]
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    last_lines = li.join(per_order, "l_orderkey").filter(
+        (F.col("n_supp") >= 2) & (F.col("l_shipdate") == F.col("last_ship"))
+    )
+    return (
+        last_lines.join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_last"))
+        .orderBy(F.desc("n_last"), F.asc("s_name"))
+        .limit(10)
+    )
