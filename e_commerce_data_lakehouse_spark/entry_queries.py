@@ -264,18 +264,18 @@ def hourly_device_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_360",
     """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
        CAST(SUM(CASE WHEN event_type = 'purchase'
                 THEN CAST(value AS DECIMAL(30,6))
                 ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS purchase_value,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 3
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 3
          + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 2
          + SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1
-         AS customer_score
+         AS BIGINT) AS customer_score
 FROM events
 GROUP BY user_id
 """,
@@ -524,10 +524,10 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH c360 AS (
   SELECT user_id,
-         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 3
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 3
            + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 2
            + SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1
-           AS customer_score
+           AS BIGINT) AS customer_score
   FROM events GROUP BY user_id
 )
 SELECT CASE WHEN customer_score >= 50 THEN 'platinum'
@@ -537,8 +537,8 @@ SELECT CASE WHEN customer_score >= 50 THEN 'platinum'
        COUNT(*) AS n_customers,
        ROUND(CAST(SUM(CAST(customer_score AS DECIMAL(30,2))) AS DOUBLE)
              / COUNT(*), 4) AS avg_score,
-       MIN(customer_score) AS min_score,
-       MAX(customer_score) AS max_score
+       CAST(MIN(customer_score) AS BIGINT) AS min_score,
+       CAST(MAX(customer_score) AS BIGINT) AS max_score
 FROM c360 GROUP BY 1
 """,
 )
@@ -1418,7 +1418,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra scans per level."""
     o = load(spark, sf_dir, "orders")["orders"]
     return (
-        o.withColumn("yr", F.year("o_orderdate"))
+        o.withColumn("yr", F.year("o_orderdate").cast("long"))
         .withColumn("status", F.col("o_orderstatus"))
         .rollup("yr", "status")
         .agg(
@@ -1469,7 +1469,7 @@ def status_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate."""
     o = load(spark, sf_dir, "orders")["orders"]
     piv = (
-        o.withColumn("yr", F.year("o_orderdate"))
+        o.withColumn("yr", F.year("o_orderdate").cast("long"))
         .groupBy("yr")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(sum_money("o_totalprice"))
@@ -1993,7 +1993,7 @@ WITH s AS (
 )
 SELECT quartile, COUNT(*) AS n_customers,
        MIN(spend) AS min_spend, MAX(spend) AS max_spend,
-       SUM(n_orders) AS n_orders
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders
 FROM q GROUP BY 1
 """,
 )
@@ -2073,7 +2073,7 @@ SELECT predicted_lang,
        COUNT(*) AS n_docs,
        ROUND(CAST(SUM(CAST(quality AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*), 6)
            AS avg_quality,
-       SUM(n_tok) AS n_tokens
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM curated c JOIN pred USING (doc_id)
 GROUP BY predicted_lang
 """,

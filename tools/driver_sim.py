@@ -6,7 +6,9 @@ driver owns its session), imports ``__spark_entry__``, smoke-checks
 compares row count / column names / order-insensitive value multiset against
 ``oracle_sql()`` run in DuckDB.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [query_name ...]
+(with query names given, only those queries are checked and entry() is
+skipped — for fast targeted iteration)
 """
 
 from __future__ import annotations
@@ -43,6 +45,30 @@ def normalize(rows, cols):
     )
 
 
+def canon_type(t: str) -> str:
+    """Map a DuckDB DESCRIBE type or Spark simpleString to one canonical
+    name, so the type-sensitivity of the driver's value hash can be
+    simulated.  Integer widths stay distinct (the driver's hash treats
+    DuckDB HUGEINT vs Spark BIGINT as a mismatch — CORRECTNESS_r01
+    customer_360); timestamp flavors are collapsed (the driver's own
+    normalization strips tz)."""
+    t = t.strip().lower()
+    if t.endswith("[]"):  # DuckDB list syntax
+        return f"list<{canon_type(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"list<{canon_type(t[6:-1])}>"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    aliases = {
+        "integer": "int",
+        "varchar": "string",
+        "hugeint": "int128",
+        "ubigint": "uint64",
+        "real": "float",
+    }
+    return aliases.get(t, t)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = (
@@ -60,11 +86,19 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    n = mod.entry(spark).count()
-    print(f"entry(): OK rows={n}")
+    only = set(sys.argv[2:])
+    if not only:
+        n = mod.entry(spark).count()
+        print(f"entry(): OK rows={n}")
 
     queries = mod.queries()
     oracles = mod.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        queries = {k: v for k, v in queries.items() if k in only}
     failed = []
     for name, fn in sorted(queries.items()):
         try:
@@ -89,6 +123,21 @@ def main() -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        else:
+            otypes = {
+                r[0]: canon_type(r[1])
+                for r in con.execute(
+                    f"DESCRIBE {oracles[name]}"
+                ).fetchall()
+            }
+            stypes = {c: canon_type(t) for c, t in sdf.dtypes}
+            mism = {
+                c: (stypes[c], otypes[c])
+                for c in stypes
+                if stypes[c] != otypes.get(c)
+            }
+            if mism:
+                problems.append(f"types spark!=oracle {mism}")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if not problems:
