@@ -638,21 +638,48 @@ WITH raw AS (
               WHEN c_custkey % 6 = 4 THEN 'false' ELSE 'junk'
          END AS is_returned_raw
   FROM customer
+),
+ext AS (
+  -- the reference UDF's 3-pattern chain; groups are all + so '' means
+  -- no-match (the backslash-u unescape branch is omitted: none in this data)
+  SELECT *,
+    coalesce(
+      nullif(regexp_extract(shipping_address, '"city":\\s*"([^"]+)"', 1), ''),
+      nullif(regexp_extract(shipping_address,
+             '\\\\city\\\\":\\s*\\\\"([^\\\\]+)\\\\"', 1), ''),
+      nullif(regexp_extract(shipping_address,
+             '(?i)city[^\n]*?:\\s*["'']([^"'']+)["'']', 1), '')
+    ) AS city_m,
+    coalesce(
+      nullif(regexp_extract(timestamp_raw, '"region":\\s*"([^"]+)"', 1), ''),
+      nullif(regexp_extract(timestamp_raw,
+             '\\\\region\\\\":\\s*\\\\"([^\\\\]+)\\\\"', 1), ''),
+      nullif(regexp_extract(timestamp_raw,
+             '(?i)region[^\n]*?:\\s*["'']([^"'']+)["'']', 1), '')
+    ) AS region_m,
+    regexp_replace(regexp_replace(regexp_replace(shipping_address,
+        '[{}"\\\\'']', '', 'g'), '(?i)city\\s*:', '', 'g'),
+        '^\\s+|\\s+$', '', 'g') AS city_fb,
+    regexp_replace(regexp_replace(regexp_replace(timestamp_raw,
+        '[{}"\\\\'']', '', 'g'), '(?i)region\\s*:', '', 'g'),
+        '^\\s+|\\s+$', '', 'g') AS region_fb
+  FROM raw
 )
 SELECT c_custkey AS customer_id,
-       CASE WHEN regexp_replace(regexp_extract(shipping_address,
-                 '"city"\\s*:\\s*"([^"]+)"', 1), '^\\s+|\\s+$', '', 'g') = ''
-            THEN NULL
-            ELSE regexp_replace(regexp_extract(shipping_address,
-                 '"city"\\s*:\\s*"([^"]+)"', 1), '^\\s+|\\s+$', '', 'g') END AS city,
-       CASE WHEN regexp_replace(regexp_extract(timestamp_raw,
-                 '"region"\\s*:\\s*"([^"]+)"', 1), '^\\s+|\\s+$', '', 'g') = ''
-            THEN NULL
-            ELSE regexp_replace(regexp_extract(timestamp_raw,
-                 '"region"\\s*:\\s*"([^"]+)"', 1), '^\\s+|\\s+$', '', 'g') END AS region,
+       CASE WHEN shipping_address IS NULL OR shipping_address = '' THEN NULL
+            WHEN city_m IS NOT NULL
+              THEN regexp_replace(city_m, '^\\s+|\\s+$', '', 'g')
+            WHEN length(city_fb) > 0 AND length(city_fb) < 50 THEN city_fb
+            ELSE NULL END AS city,
+       CASE WHEN timestamp_raw IS NULL OR timestamp_raw = '' THEN NULL
+            WHEN region_m IS NOT NULL
+              THEN regexp_replace(region_m, '^\\s+|\\s+$', '', 'g')
+            WHEN length(region_fb) > 0 AND length(region_fb) < 100
+              THEN region_fb
+            ELSE NULL END AS region,
        lower(trim(is_returned_raw)) IN ('true', '1', 'yes', 't')
            AS is_returned_flag
-FROM raw
+FROM ext
 """,
 )
 def clean_city_region(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -89,26 +89,102 @@ def fingerprint(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Reference cleaning-UDF parity (F3-F6), as pure expressions
+# Reference cleaning-UDF parity (F3-F6)
 # ---------------------------------------------------------------------------
-def _strip_ws(c: Column) -> Column:
-    """Whitespace trim matching Python ``str.strip()`` on ASCII whitespace —
-    SQL TRIM removes only spaces, but the reference UDFs strip ``\\t \\r \\n``
-    too (``csv_bronze_to_silver.py:110``)."""
-    return F.regexp_replace(c, r"^\s+|\s+$", "")
+#
+# F3/F4 replicate the reference's clean_city_udf / clean_region_udf
+# (``csv_bronze_to_silver.py:83-149``) branch-for-branch:
+#   1. falsy input (NULL or '') -> NULL
+#   2. three regex patterns tried in order, re.IGNORECASE; on first match
+#      return group(1), unicode-unescaped iff it contains a literal ``\u``,
+#      then Python-str.strip()ed (an all-whitespace group returns '' — the
+#      reference returns it, it does NOT fall through to the fallback)
+#   3. fallback: strip ``{ } " \ '`` chars, remove every ``city\s*:`` /
+#      ``region\s*:`` (case-insensitive), strip; return iff 0 < len < 50
+#      (city) / 100 (region), else NULL
+#   4. any exception (e.g. a malformed ``\u`` escape) -> NULL
+#
+# Everything is Catalyst except the unicode-unescape branch, which is
+# Python-specific byte semantics (``str.encode().decode('unicode_escape')``)
+# — that one branch runs as an Arrow-vectorized pandas_udf fed NULL for every
+# row that doesn't take it, so the common path stays in codegen.
+
+# Java regex needs (?U) for \s to mean Unicode whitespace like Python's re;
+# Python's \s / str.strip() additionally include the FS..US separators
+# \x1c-\x1f, which Unicode White_Space (and therefore Java (?U)\s) excludes.
+_PWS = r"[\s\x1c-\x1f]"
+
+
+def _pystrip(c: Column) -> Column:
+    """Whitespace trim matching Python ``str.strip()`` exactly (the
+    reference UDFs end every match branch with ``.strip()``)."""
+    return F.regexp_replace(c, f"(?U)^{_PWS}+|{_PWS}+$", "")
+
+
+def _unicode_unescape_py(v):
+    # verbatim reference branch (csv_bronze_to_silver.py:101); any decode
+    # error is swallowed by the reference's outer try -> None
+    try:
+        return v.encode().decode("unicode_escape")
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _make_unicode_unescape():
+    import pandas as pd  # noqa: F401  (Arrow batch transfer)
+
+    @F.pandas_udf("string")
+    def _unicode_unescape(batch):
+        return batch.apply(
+            lambda v: _unicode_unescape_py(v) if isinstance(v, str) else None
+        )
+
+    return _unicode_unescape
+
+
+_UNESCAPE = None
+
+
+def _clean_field(col: Column, field: str, max_len: int) -> Column:
+    global _UNESCAPE
+    if _UNESCAPE is None:
+        _UNESCAPE = _make_unicode_unescape()
+    # the reference's three patterns, re-expressed for Java regex:
+    # (?iU) = Python re.IGNORECASE with Unicode folding + Unicode \s;
+    # Python '.' == [^\n] (Java '.' also excludes \r and U+0085/2028/2029)
+    e1 = F.regexp_extract(col, f'(?iU)"{field}":{_PWS}*"([^"]+)"', 1)
+    e2 = F.regexp_extract(
+        col, rf'(?iU)\\{field}\\":{_PWS}*\\"([^\\\\]+)\\"', 1
+    )
+    e3 = F.regexp_extract(
+        col, f'(?iU){field}[^\\n]*?:{_PWS}*["\']([^"\']+)["\']', 1
+    )
+    # groups are all +, so '' unambiguously means "pattern didn't match"
+    matched = F.when(e1 != "", e1).when(e2 != "", e2).when(e3 != "", e3)
+    has_u = matched.contains("\\u")
+    processed = F.when(has_u, _UNESCAPE(F.when(has_u, matched))).otherwise(
+        matched
+    )
+    fb = F.regexp_replace(col, r'[{}"\\\']', "")
+    fb = _pystrip(F.regexp_replace(fb, f"(?iU){field}{_PWS}*:", ""))
+    fallback = F.when((F.length(fb) > 0) & (F.length(fb) < max_len), fb)
+    return (
+        F.when(col.isNull() | (col == ""), F.lit(None).cast("string"))
+        .when(matched.isNotNull(), _pystrip(processed))
+        .otherwise(fallback)
+    )
 
 
 def clean_city(address: Column) -> Column:
-    """F3 (``csv_bronze_to_silver.py:83-115``): extract ``"city": "X"`` from
-    messy JSON-ish text; NULL when absent or whitespace-only."""
-    extracted = _strip_ws(F.regexp_extract(address, r'"city"\s*:\s*"([^"]+)"', 1))
-    return F.when(extracted != "", extracted).otherwise(F.lit(None))
+    """F3 (``csv_bronze_to_silver.py:83-115``): extract the city from messy
+    JSON-ish text — full reference fallback chain, length bound 50."""
+    return _clean_field(address, "city", 50)
 
 
 def clean_region(raw: Column) -> Column:
-    """F4 (``csv_bronze_to_silver.py:117-149``): same for ``"region": "X"``."""
-    extracted = _strip_ws(F.regexp_extract(raw, r'"region"\s*:\s*"([^"]+)"', 1))
-    return F.when(extracted != "", extracted).otherwise(F.lit(None))
+    """F4 (``csv_bronze_to_silver.py:117-149``): same for the region,
+    length bound 100."""
+    return _clean_field(raw, "region", 100)
 
 
 def clean_content(text: Column) -> Column:

@@ -18,19 +18,52 @@ from e_commerce_data_lakehouse_spark.functions import text as tx
 # -- independent Python models of the reference semantics -------------------
 
 
-# Java \s == ASCII whitespace [ \t\n\x0b\f\r]; Python str.strip() with an
-# explicit set mirrors it (plain .strip() would also eat unicode whitespace,
-# which Java's default \s does not match)
+# Python str.strip()/re-\s whitespace — the engine matches it with
+# (?U)[\s\x1c-\x1f] in Java regex (Unicode White_Space + FS..US)
 _WS = " \t\n\x0b\f\r"
 
 
+def _py_clean_field(s: str | None, field: str, max_len: int) -> str | None:
+    """VERBATIM re-implementation of the reference's clean_city_udf /
+    clean_region_udf (csv_bronze_to_silver.py:83-149), parameterized only
+    by the field name and the fallback length bound (50 city / 100 region).
+    This is the ground-truth model the Catalyst chain must reproduce."""
+    if not s:
+        return None
+    try:
+        patterns = [
+            rf'"{field}":\s*"([^"]+)"',
+            rf'\\{field}\\":\s*\\"([^\\]+)\\"',
+            rf'{field}.*?:\s*["\']([^"\']+)["\']',
+        ]
+        for pattern in patterns:
+            m = re.search(pattern, s, re.IGNORECASE)
+            if m:
+                val = m.group(1)
+                val = (
+                    val.encode().decode("unicode_escape")
+                    if "\\u" in val
+                    else val
+                )
+                return val.strip()
+        clean_text = re.sub(r'[{}"\\\']', "", s)
+        clean_text = re.sub(
+            rf"{field}\s*:", "", clean_text, flags=re.IGNORECASE
+        )
+        clean_text = clean_text.strip()
+        if 0 < len(clean_text) < max_len:
+            return clean_text
+        return None
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def py_clean_city(s: str | None) -> str | None:
-    if s is None:
-        return None
-    m = re.search(r'"city"\s*:\s*"([^"]+)"', s)
-    if not m or not m.group(1).strip(_WS):
-        return None
-    return m.group(1).strip(_WS)
+    return _py_clean_field(s, "city", 50)
+
+
+def py_clean_region(s: str | None) -> str | None:
+    return _py_clean_field(s, "region", 100)
 
 
 def py_clean_content(s: str | None) -> str | None:
@@ -57,26 +90,56 @@ def _run(spark, values, col_expr):
 # DataFrame evaluates all examples at once — per-example jobs would be
 # hopelessly slow).
 
-city_texts = st.one_of(
-    st.none(),
-    st.text(max_size=40),
-    st.builds(
-        lambda pre, city, post: f'{pre}"city": "{city}"{post}',
-        st.text(max_size=10),
-        st.text(
-            alphabet=st.characters(blacklist_characters='"', blacklist_categories=("Cs",)),
-            max_size=15,
+def _field_texts(field: str):
+    # exercises every reference branch: pattern 1 (strict), pattern 2
+    # (escaped-JSON), pattern 3 (spaces before colon / single quotes),
+    # \uXXXX escapes (incl. a malformed one -> exception branch), and the
+    # strip-braces fallback (short garbage, long garbage, `field:` noise)
+    inner = st.text(
+        alphabet=st.characters(blacklist_characters='"', blacklist_categories=("Cs",)),
+        max_size=15,
+    )
+    return st.one_of(
+        st.none(),
+        st.just(""),
+        st.text(max_size=40),
+        st.text(max_size=80),
+        st.builds(
+            lambda pre, v, post: f'{pre}"{field}": "{v}"{post}',
+            st.text(max_size=10),
+            inner,
+            st.text(max_size=10),
         ),
-        st.text(max_size=10),
-    ),
-)
+        st.builds(lambda v: f'{{"{field}" :  "{v}", "x": "1"}}', inner),
+        st.builds(
+            lambda v: f'\\"{field}\\": \\"{v}\\"',
+            st.text(
+                alphabet=st.characters(
+                    blacklist_characters='"\\', blacklist_categories=("Cs",)
+                ),
+                max_size=12,
+            ),
+        ),
+        st.builds(lambda v: f"{{'{field}': '{v}'}}", inner),
+        st.just(f'{{"{field}": "Montr\\u00e9al"}}'),
+        st.just(f'{{"{field}": "bad\\uZZZZ"}}'),
+        st.just(f'{{"{field}": "  \\t  "}}'),
+        st.builds(lambda v: f"{field}: {v}", st.text(max_size=60)),
+    )
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
-@given(st.lists(city_texts, min_size=1, max_size=50))
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_field_texts("city"), min_size=1, max_size=50))
 def test_clean_city_matches_reference_model(spark, values):
     got = _run(spark, values, tx.clean_city)
     assert got == [py_clean_city(v) for v in values]
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_field_texts("region"), min_size=1, max_size=50))
+def test_clean_region_matches_reference_model(spark, values):
+    got = _run(spark, values, tx.clean_region)
+    assert got == [py_clean_region(v) for v in values]
 
 
 content_texts = st.one_of(
