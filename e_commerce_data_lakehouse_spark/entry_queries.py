@@ -2013,33 +2013,56 @@ WITH s AS (
     SELECT o_custkey, {sql_sum_money('o_totalprice')} AS spend,
            COUNT(*) AS n_orders
     FROM orders GROUP BY 1
-), q AS (
-    SELECT *, CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS INT)
-                  AS quartile
+), b AS (
+    SELECT quantile_cont(spend, 0.25) AS p25,
+           quantile_cont(spend, 0.50) AS p50,
+           quantile_cont(spend, 0.75) AS p75
     FROM s
 )
-SELECT quartile, COUNT(*) AS n_customers,
+SELECT CASE WHEN spend >= p75 THEN 1 WHEN spend >= p50 THEN 2
+            WHEN spend >= p25 THEN 3 ELSE 4 END AS quartile,
+       COUNT(*) AS n_customers,
        MIN(spend) AS min_spend, MAX(spend) AS max_spend,
        CAST(SUM(n_orders) AS BIGINT) AS n_orders
-FROM q GROUP BY 1
+FROM s, b GROUP BY 1
 """,
 )
 def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spend-quartile segmentation via ``ntile(4)`` over per-customer spend
-    (deterministic total order: spend desc, custkey asc).  Like
-    ``revenue_mom_growth`` the global window runs on aggregated rows only;
-    the per-customer aggregate underneath is the parallel stage."""
-    from pyspark.sql import Window
+    """Spend-quartile segmentation by exact percentile thresholds (quartile
+    1 = top spenders, ``spend >= p75``).
 
+    Deliberately NOT ``ntile(4)``: positional ntile needs a total order,
+    which Spark executes as a single-partition global sort of O(customers)
+    rows — the one 'WindowExec: No Partition Defined' scale hazard the
+    round-1 audit flagged.  Percentile thresholds give deterministic,
+    oracle-matchable buckets (ties share a bucket) from one aggregate: the
+    three boundaries are exact ``F.percentile`` scalars (bit-matching
+    DuckDB ``quantile_cont``, cf. order_percentiles), fetched in a bounded
+    driver action and folded into a codegen when-chain — every stage stays
+    fully parallel."""
     o = load(spark, sf_dir, "orders")["orders"]
-    s = o.groupBy("o_custkey").agg(
-        sum_money("o_totalprice").alias("spend"),
-        F.count("*").alias("n_orders"),
+    s = (
+        o.groupBy("o_custkey")
+        .agg(
+            sum_money("o_totalprice").alias("spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .persist()
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    b = s.agg(
+        F.percentile("spend", 0.25).alias("p25"),
+        F.percentile("spend", 0.50).alias("p50"),
+        F.percentile("spend", 0.75).alias("p75"),
+    ).first()
+    spend = F.col("spend")
+    quartile = (
+        F.when(spend >= b["p75"], 1)
+        .when(spend >= b["p50"], 2)
+        .when(spend >= b["p25"], 3)
+        .otherwise(4)
+    )
     return (
-        s.withColumn("quartile", F.ntile(4).over(w))
-        .groupBy("quartile")
+        s.groupBy(quartile.alias("quartile"))
         .agg(
             F.count("*").alias("n_customers"),
             F.min("spend").alias("min_spend"),

@@ -96,11 +96,20 @@ def salted_join(
     AQE's skew-join split (enabled in the session factory) handles most skew
     at runtime; explicit salting is for the pathological case AQE can't fix —
     a single key too hot for ANY single task (e.g. one user with 1% of a
-    100 TB fact).  Join semantics are unchanged: the salt is an extra equi-key
-    that is dropped after the join.  Cost: small side shuffles ×n_salts —
-    use only when ``small`` is modest (but too big / too row-multiplying to
-    broadcast).
+    100 TB fact).  Cost: small side shuffles ×n_salts — use only when
+    ``small`` is modest (but too big / too row-multiplying to broadcast).
+
+    Only ``inner`` and ``left`` (outer on the LARGE side) preserve join
+    semantics under salting: the small side is replicated ×n_salts, so a
+    right/full outer join would emit every unmatched small-side row once
+    per salt replica.  Those modes are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the small side is replicated per salt, so right/full outer "
+            "would duplicate unmatched small-side rows n_salts times"
+        )
     salt = F.floor(F.rand(seed) * n_salts).cast("int")
     l_salted = large.withColumn("__salt", salt)
     s_salted = small.withColumn(

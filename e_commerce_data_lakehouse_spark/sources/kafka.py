@@ -120,10 +120,31 @@ class OffsetCheckpoint:
              offset_col: str = "kafka_offset") -> None:
         """Record the max consumed offset per partition.  Call after the data
         write succeeds (the reference's at-least-once ordering,
-        ``transactions_processor.py:336-342``); dedup downstream via MERGE."""
+        ``transactions_processor.py:336-342``); dedup downstream via MERGE.
+
+        APPENDS to the ledger rather than overwriting it: a batch in which
+        some partition had no new messages must not drop that partition's
+        saved offset (Kafka's ``startingOffsets`` JSON needs an offset per
+        subscribed partition, and omitting one silently re-consumes it from
+        earliest).  ``next_starting_offsets`` takes the keyed max across all
+        appended rows; ``compact`` bounds the ledger's file count."""
         (
             consumed.groupBy(F.col(partition_col).alias("partition"))
             .agg(F.max(offset_col).alias("offset"))
-            .write.mode("overwrite")
+            .write.mode("append")
             .parquet(self.path)
         )
+
+    def compact(self) -> None:
+        """Rewrite the append-only ledger down to one row per partition.
+        The ledger is bounded metadata (#partitions × #batches rows), so the
+        driver round-trip is a few KB — run periodically, like the
+        reference's maintenance OPTIMIZE."""
+        rows = (
+            self._read()
+            .groupBy("partition")
+            .agg(F.max("offset").alias("offset"))
+            .collect()
+        )
+        merged = self.spark.createDataFrame(rows, OFFSET_SCHEMA)
+        merged.coalesce(1).write.mode("overwrite").parquet(self.path)

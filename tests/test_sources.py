@@ -146,6 +146,33 @@ def test_offset_checkpoint_resume(spark, tmp_path):
     assert resume == {"orders_topic": {"0": 43, "1": 8}}
 
 
+def test_offset_checkpoint_keeps_idle_partitions(spark, tmp_path):
+    """A batch where a partition had no new messages must not lose that
+    partition's saved offset (startingOffsets JSON needs every partition)."""
+    cp = src.OffsetCheckpoint(spark, str(tmp_path), "t")
+    cp.save(
+        spark.createDataFrame(
+            [(0, 42), (1, 7)], ["kafka_partition", "kafka_offset"]
+        )
+    )
+    # second batch: only partition 0 moved
+    cp.save(
+        spark.createDataFrame([(0, 50)], ["kafka_partition", "kafka_offset"])
+    )
+    assert json.loads(cp.next_starting_offsets()) == {
+        "t": {"0": 51, "1": 8}
+    }
+    cp.compact()
+    assert json.loads(cp.next_starting_offsets()) == {
+        "t": {"0": 51, "1": 8}
+    }
+    # stale maxima appended later never move offsets backwards
+    cp.save(
+        spark.createDataFrame([(0, 45)], ["kafka_partition", "kafka_offset"])
+    )
+    assert json.loads(cp.next_starting_offsets())["t"]["0"] == 51
+
+
 def test_managed_table_merge_lifecycle(spark, tmp_path):
     t = src.ManagedTable(spark, str(tmp_path / "dim"))
     base = spark.createDataFrame(
@@ -273,3 +300,10 @@ def test_salted_join_matches_plain_join(spark):
     plain = orders.join(cust, ["o_custkey"]).count()
     salted = salted_join(orders, cust, ["o_custkey"], n_salts=8).count()
     assert plain == salted
+    # semantics-breaking modes are rejected (small side is replicated, so
+    # right/full outer would emit unmatched small rows once per salt)
+    import pytest as _pytest
+
+    for bad in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            salted_join(orders, cust, ["o_custkey"], how=bad)
