@@ -35,6 +35,31 @@ def scd1_merge(target: DataFrame, updates: DataFrame, keys: list[str]) -> DataFr
     return updates.unionByName(unmatched)
 
 
+def scd1_merge_latest(
+    target: DataFrame, updates: DataFrame, keys: list[str], ts_col: str
+) -> DataFrame:
+    """Order-aware SCD-1 upsert: a matched row is replaced only when the
+    update is at least as new on ``ts_col`` (Delta's ``whenMatchedUpdate``
+    with a ``source.ts >= target.ts`` condition).
+
+    This is what a streaming bronze→silver MERGE needs: micro-batches can
+    replay or arrive with late data, and a stale re-delivery must not
+    clobber a newer silver row — plain :func:`scd1_merge` is last-writer-
+    wins and would.  Relationally it's union-both-sides + keep-latest per
+    key with the update side winning ties: one shuffle on the key.
+
+    ``updates`` must be unique per key (pre-dedup with ``keep_latest``).
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import keep_latest
+
+    tagged_t = target.withColumn("__src", F.lit(0))
+    tagged_u = updates.withColumn("__src", F.lit(1))
+    unioned = tagged_t.unionByName(tagged_u)
+    return keep_latest(unioned, keys, ts_col, tiebreakers=["__src"]).drop(
+        "__src"
+    )
+
+
 def insert_only_merge(
     target: DataFrame, updates: DataFrame, keys: list[str]
 ) -> DataFrame:

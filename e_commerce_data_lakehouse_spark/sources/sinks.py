@@ -188,6 +188,23 @@ class ManagedTable:
         merged = scd1_merge(self.read(), updates, keys) if self.exists() else updates
         self._commit(merged)
 
+    def merge_latest(
+        self, updates: DataFrame, keys: list[str], ts_col: str
+    ) -> None:
+        """Order-aware upsert: matched rows are replaced only by updates at
+        least as new on ``ts_col`` (Delta ``whenMatchedUpdate`` with a
+        timestamp condition) — safe under streaming replay / late data."""
+        from e_commerce_data_lakehouse_spark.operators.merge import (
+            scd1_merge_latest,
+        )
+
+        merged = (
+            scd1_merge_latest(self.read(), updates, keys, ts_col)
+            if self.exists()
+            else updates
+        )
+        self._commit(merged)
+
     def merge_insert_only(self, updates: DataFrame, keys: list[str]) -> None:
         """S15: insert-if-absent for immutable dims
         (``silver_to_gold_customer_images.py:77-79``)."""

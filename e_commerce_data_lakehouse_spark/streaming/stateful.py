@@ -47,15 +47,21 @@ def foreach_batch_merge(
     itself (keep-latest on ``order_col``) then MERGEd into ``target`` on
     ``keys``.  Checkpoint + idempotent MERGE = effective exactly-once even
     when a batch is replayed.  Returns the started query (AvailableNow).
+
+    With ``order_col`` the merge is *order-aware* (``merge_latest``): a
+    micro-batch carrying a stale re-delivery cannot clobber a newer silver
+    row, so the end state equals the batch keep-latest result regardless of
+    micro-batch arrival order.
     """
     from e_commerce_data_lakehouse_spark.operators.dedup import keep_latest
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if order_col is not None:
             batch = keep_latest(batch, keys, order_col)
+            target.merge_latest(batch, keys, order_col)
         else:
             batch = batch.dropDuplicates(keys)
-        target.merge_scd1(batch, keys)
+            target.merge_scd1(batch, keys)
 
     return (
         stream.writeStream.foreachBatch(_merge)
