@@ -80,27 +80,69 @@ def main() -> None:
     cold = os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     runs = 1 if cold else 2
     timings: dict[str, float] = {}
+    cold_timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = eq.QUERIES[name].spark_fn
-        for _ in range(runs):
+        for i in range(runs):
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - t0, 3)
+            elapsed = round(time.monotonic() - t0, 3)
+            if i == 0:
+                cold_timings[name] = elapsed
+            timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # first-run (codegen/fork-inclusive) timings for round-over-round
+        # archaeology; "queries"/"value" stay warm-run by design (docstring)
+        "queries_cold": cold_timings,
+        "value_cold": round(sum(cold_timings.values()), 3),
+    }
+    prev = _load_previous_round(timings)
+    if prev:
+        out["vs_previous"] = prev
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_previous_round(timings: dict[str, float]) -> dict | None:
+    """Delta vs the newest BENCH_r{N}.json in the repo root, so regressions
+    are visible in the bench output itself (warm-vs-warm, same metric)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return None
+    if "parsed" in prev:  # the driver wraps our JSON line under "parsed"
+        prev = prev["parsed"] or {}
+    prev_q = prev.get("queries", {})
+    return {
+        "round": n,
+        "total_sec": prev.get("value"),
+        "per_query_delta_sec": {
+            k: round(v - prev_q[k], 3)
+            for k, v in timings.items()
+            if k in prev_q
+        },
+    }
 
 
 if __name__ == "__main__":
