@@ -64,6 +64,10 @@ HEADLINE = [
     "customer_spend_quartiles",
     "revenue_mom_growth",
     "top_orders_per_month",
+    "dataset_split_counts",
+    "pii_scrub_preview",
+    "repetition_flags",
+    "benchmark_contamination",
 ]
 
 

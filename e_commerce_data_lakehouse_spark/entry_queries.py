@@ -2366,3 +2366,204 @@ def last_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_last"), F.asc("s_name"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/corpus.py): deterministic splits, stratified
+# sampling, PII scrubbing, repetition stats, benchmark contamination
+# ---------------------------------------------------------------------------
+from e_commerce_data_lakehouse_spark.operators import corpus as cp  # noqa: E402
+
+# engine-portable hash bucket (see corpus.hash_bucket): first 4 md5 hex
+# digits as an int, mod 100 — bit-identical in Spark and DuckDB
+_BUCKET_SQL = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 4))::INT % 100)"
+
+
+@register(
+    "dataset_split_counts",
+    f"""
+SELECT CASE WHEN {_BUCKET_SQL.format(c='doc_id')} < 10 THEN 'val'
+            WHEN {_BUCKET_SQL.format(c='doc_id')} < 20 THEN 'test'
+            ELSE 'train' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       {sql_avg_money('n_chars')} AS avg_chars
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (content-hash buckets, stable
+    under re-runs and insertions — no randomSplit partition-layout
+    dependence) summarized per split × language.  The split itself is a
+    stateless per-row expression: zero shuffle beyond the final count."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return (
+        cp.dataset_split(docs, "doc_id", val_pct=10, test_pct=10)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            avg_money("n_chars").alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_counts",
+    f"""
+SELECT lang, COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM documents
+WHERE (lang = 'en' AND {_BUCKET_SQL.format(c='doc_id')} < 10)
+   OR (lang <> 'en' AND {_BUCKET_SQL.format(c='doc_id')} < 50)
+GROUP BY lang
+""",
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for domain-mix control: keep 10%
+    of English, 50% of every other language, by content-hash threshold —
+    one stateless filter, no sampling shuffle, reproducible."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    rates = {"en": 10, "zh": 50, "es": 50, "de": 50, "fr": 50}
+    return (
+        cp.stratified_sample(docs, "lang", "doc_id", rates)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("sampled_chars"),
+        )
+    )
+
+
+@register(
+    "pii_scrub_preview",
+    """
+WITH synth AS (
+  SELECT c_custkey,
+         'contact ' || c_name || ' <' || lower(replace(c_name, ' ', '.'))
+           || '@example.com> or ' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+           || '-' || CAST(c_custkey % 900 + 100 AS VARCHAR) || '-'
+           || CAST(c_custkey % 9000 + 1000 AS VARCHAR) || ' at 10.0.'
+           || CAST(c_custkey % 256 AS VARCHAR) || '.1' AS contact_text
+  FROM customer
+)
+SELECT c_custkey AS customer_id,
+       regexp_replace(regexp_replace(regexp_replace(contact_text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+           '\\b\\d{2,4}[- ]\\d{3,4}[- ]\\d{3,4}\\b', '[PHONE]', 'g')
+           AS scrubbed
+FROM synth
+""",
+)
+def pii_scrub_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4s / phone-shaped numbers → typed tokens)
+    over deterministically synthesized contact strings.  Pure
+    regexp_replace chain (operators/corpus.py PII_PATTERNS, written in the
+    Java-regex ∩ RE2 common subset so the oracle is byte-identical)."""
+    cust = load(spark, sf_dir, "customer")["customer"]
+    contact = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit("."))),
+        F.lit("@example.com> or "),
+        (F.col("c_custkey") % 90 + 10).cast("string"),
+        F.lit("-"),
+        (F.col("c_custkey") % 900 + 100).cast("string"),
+        F.lit("-"),
+        (F.col("c_custkey") % 9000 + 1000).cast("string"),
+        F.lit(" at 10.0."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    return cust.select(
+        F.col("c_custkey").alias("customer_id"),
+        cp.pii_scrub(contact).alias("scrubbed"),
+    )
+
+
+@register(
+    "repetition_flags",
+    """
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+  FROM documents
+), pw AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM w WHERE word <> '' GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(MAX(c) AS BIGINT) AS top_word_count,
+       CAST(SUM(c) AS BIGINT) AS n_words,
+       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_word_frac
+FROM pw GROUP BY doc_id
+""",
+)
+def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of a document's word
+    occurrences taken by its single most frequent word.  explode → two
+    hash aggregates with map-side combine — no window, no per-doc Python."""
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
+    return cp.word_repetition_stats(docs)
+
+
+@register(
+    "benchmark_contamination",
+    """
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+        FROM w WHERE len(ws) >= 4)
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), corpus AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id
+""",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C shape): per corpus doc,
+    the count of distinct word 4-grams it shares with a held-out benchmark
+    set (doc_id % 97).  Both sides explode to gram rows; the benchmark side
+    is deduplicated and broadcast, so the only wide op is one equi-join on
+    the gram string — no pairwise doc comparison.  4-grams (not the 8-gram
+    production default) because the synthetic corpus is random word soup;
+    the operator (corpus.ngram_overlap) takes n as a parameter."""
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
+    corpus_side = docs.filter(F.col("doc_id") % 97 != 0)
+    bench_side = docs.filter(F.col("doc_id") % 97 == 0)
+    return cp.ngram_overlap(corpus_side, bench_side, n=4)
+
+
+@register(
+    "revenue_grouping_sets",
+    f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus AS status,
+       {sql_sum_money('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((yr, status), (yr), (status))
+""",
+)
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom GROUPING SETS combos — (yr,status), (yr), (status) without
+    the grand total, i.e. neither ROLLUP nor CUBE.  Spark expands all three
+    groupings inside one Expand + hash aggregate over a single scan."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return (
+        o.withColumn("yr", F.year("o_orderdate").cast("long"))
+        .withColumn("status", F.col("o_orderstatus"))
+        .groupingSets(
+            [["yr", "status"], ["yr"], ["status"]], "yr", "status"
+        )
+        .agg(
+            sum_money("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )

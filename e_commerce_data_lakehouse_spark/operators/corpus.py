@@ -1,0 +1,168 @@
+"""Training-corpus management operators: deterministic splits, stratified
+sampling, PII scrubbing, repetition filtering, benchmark contamination.
+
+These extend the engine beyond the reference's surface into the operations a
+large-scale LLM-training-data pipeline needs (the dedup/similarity family
+lives in ``dedup.py`` / ``similarity.py``; this module covers corpus
+*curation*).  Every operator is pure Catalyst (codegen, no Python) and every
+randomness-like decision is a deterministic content hash, so runs are
+reproducible and resumable — a hard requirement when a 100 TB corpus build
+is restarted mid-way.
+
+Scale notes:
+- ``hash_bucket`` is a stateless per-row expression — splits and samples
+  are embarrassingly parallel, no shuffle, no global RNG state.
+- ``ngram_overlap`` blocks on the n-gram string itself: corpus-side grams
+  equi-join benchmark-side grams (the benchmark set is tiny → broadcast),
+  never any pairwise document comparison.
+- ``word_repetition_stats`` is explode → two hash aggregates with map-side
+  partial combine; state per task is O(distinct words in task), not O(doc).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic, engine-portable bucket in ``[0, n_buckets)`` from the
+    first 4 hex digits of ``md5(cast(x as string))``.
+
+    md5 hex output is bit-identical in Spark and DuckDB (unlike
+    ``xxhash64``, which is Spark-internal), so bucket assignments are fully
+    oracle-checkable: DuckDB side is
+    ``('0x' || substr(md5(x::VARCHAR), 1, 4))::INT % n``.
+    """
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast(
+            "int"
+        )
+        % n_buckets
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash bucket.
+
+    Stable under re-runs, insertions, and re-partitioning (unlike
+    ``randomSplit``, whose assignment depends on partition layout and seed
+    plumbing): a document keeps its split forever, which is what prevents
+    silent train/val leakage when the corpus is rebuilt incrementally.
+    """
+    b = hash_bucket(F.col(id_col))
+    split = (
+        F.when(b < val_pct, "val")
+        .when(b < val_pct + test_pct, "test")
+        .otherwise("train")
+    )
+    return df.withColumn(out_col, split)
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, pct_by_stratum: dict[str, int]
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its hash bucket is
+    under the stratum's percentage.  One stateless filter — no sampling
+    shuffle, no driver-side rates collection, reproducible across runs."""
+    b = hash_bucket(F.col(id_col))
+    pred = F.lit(False)
+    for stratum, pct in pct_by_stratum.items():
+        pred = pred | ((F.col(stratum_col) == stratum) & (b < pct))
+    return df.filter(pred)
+
+
+# Conservative PII patterns written in the common subset of Java regex and
+# RE2 so the DuckDB oracle applies the byte-identical transformation.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    (r"\b\d{2,4}[- ]\d{3,4}[- ]\d{3,4}\b", "[PHONE]"),
+)
+
+
+def pii_scrub(col: Column) -> Column:
+    """Redact emails, IPv4s and phone-shaped numbers with typed tokens.
+    Order matters (emails first: user@host contains digit runs).  Pure
+    regexp_replace chain — codegen, streams through 100 TB of text."""
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def word_repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signal: per document, the fraction of all
+    word occurrences taken by the single most frequent word.
+
+    explode → (doc, word) count → (doc) max/sum: two hash aggregates with
+    map-side combine; no window, no sort, no per-doc Python.
+    """
+    words = docs.select(
+        id_col,
+        F.explode(
+            F.split(F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    per_word = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    return per_word.groupBy(id_col).agg(
+        F.max("c").cast("long").alias("top_word_count"),
+        F.sum("c").cast("long").alias("n_words"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, how many of its
+    word ``n``-grams appear anywhere in the benchmark set.
+
+    Both sides explode to (gram) rows; the join is an equi-join on the gram
+    string with the (small) benchmark side deduplicated and broadcast — the
+    standard decontamination shape (e.g. GPT-3 appendix C) with no pairwise
+    document comparison anywhere.
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        words = F.split(
+            F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
+        )
+        return (
+            df.select(
+                id_col,
+                words.alias("ws"),
+            )
+            .filter(F.size("ws") >= n)
+            .select(
+                id_col,
+                F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias(
+                    "i"
+                ),
+                "ws",
+            )
+            .select(
+                id_col,
+                F.concat_ws(" ", F.slice("ws", F.col("i"), n)).alias("gram"),
+            )
+        )
+
+    bench_grams = grams(benchmark).select("gram").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").cast("long").alias("n_shared_grams"))
+    )

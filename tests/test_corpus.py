@@ -1,0 +1,102 @@
+"""Unit tests for the corpus-curation operators (operators/corpus.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dataset_split_is_deterministic_and_stable(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = cp.dataset_split(docs, "doc_id")
+    b = cp.dataset_split(docs.repartition(7), "doc_id")  # layout-independent
+    ja = {r["doc_id"]: r["split"] for r in a.select("doc_id", "split").collect()}
+    jb = {r["doc_id"]: r["split"] for r in b.select("doc_id", "split").collect()}
+    assert ja == jb
+    assert set(ja.values()) == {"train", "val", "test"}
+    # roughly 80/10/10 (hash buckets, not exact)
+    n = len(ja)
+    n_train = sum(1 for v in ja.values() if v == "train")
+    assert 0.6 * n < n_train < 0.95 * n
+
+
+def test_dataset_split_subset_invariant(spark):
+    """A document's split must not change when the corpus grows — the
+    anti-leakage property randomSplit does not have."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = {
+        r["doc_id"]: r["split"]
+        for r in cp.dataset_split(docs, "doc_id").collect()
+    }
+    half = {
+        r["doc_id"]: r["split"]
+        for r in cp.dataset_split(
+            docs.filter(F.col("doc_id") % 2 == 0), "doc_id"
+        ).collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+
+
+def test_stratified_sample_rates(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sampled = cp.stratified_sample(
+        docs, "lang", "doc_id", {"en": 100, "de": 0}
+    )
+    langs = {r["lang"] for r in sampled.select("lang").distinct().collect()}
+    assert "de" not in langs
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert sampled.filter(F.col("lang") == "en").count() == n_en
+
+
+def test_pii_scrub_patterns(spark):
+    rows = [
+        ("mail me at jane.doe+spam@sub.example.co.uk thanks",),
+        ("server 192.168.001.1 and phone 415-555-0199",),
+        ("nothing sensitive here",),
+        ("25-989-741-2988",),
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    got = [
+        r["s"] for r in df.select(cp.pii_scrub(F.col("t")).alias("s")).collect()
+    ]
+    assert got[0] == "mail me at [EMAIL] thanks"
+    assert got[1] == "server [IP] and phone [PHONE]"
+    assert got[2] == "nothing sensitive here"
+    assert "[PHONE]" in got[3]
+
+
+def test_word_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "  q  q  ")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["top_word_count"], r["n_words"], r["top_word_frac"])
+        for r in cp.word_repetition_stats(df).collect()
+    }
+    assert got[1] == (3, 4, 0.75)
+    assert got[2] == (1, 4, 0.25)
+    assert got[3] == (2, 2, 1.0)
+
+
+def test_ngram_overlap_blocks_on_grams(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "xx the quick brown fox jumps yy"),  # shares 2 distinct 5-grams? no: n=4
+            (2, "completely different words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in cp.ngram_overlap(corpus, bench, n=4).collect()
+    }
+    # doc 1 contains "the quick brown fox" and "quick brown fox jumps"
+    assert out == {1: 2}
