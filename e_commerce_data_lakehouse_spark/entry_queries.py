@@ -2567,3 +2567,68 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WINNOW_FPS_SQL = """
+WITH norm AS (
+  SELECT doc_id, {norm} AS t FROM documents
+  WHERE length({norm}) >= 33
+), g AS (
+  SELECT doc_id, i, md5(substr(t, i, 24)) AS h, length(t) AS n
+  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 23)) AS i
+        FROM norm)
+), wm AS (
+  SELECT doc_id, i, n,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n - 23 - 9
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+WITH fps AS ({_WINNOW_FPS_SQL.format(norm=NORM_SQL.format(c='text'))})
+SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fp
+FROM fps GROUP BY doc_id
+""",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints, summarized per doc: count of
+    selected k-gram window minima plus the lexicographic minimum as a
+    deterministic sample.  k=24, w=10 → any shared substring of >= 33 chars
+    is guaranteed a shared fingerprint."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return (
+        dd.winnow_fingerprints(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.min("fp").alias("min_fp"),
+        )
+    )
+
+
+@register(
+    "winnowing_near_dup",
+    f"""
+WITH fps AS ({_WINNOW_FPS_SQL.format(norm=NORM_SQL.format(c='text'))})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 5
+""",
+)
+def winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plagiarism-style near-dup pairs by shared winnowing fingerprints —
+    the fingerprint IS the blocking key, so candidates come from a plain
+    equi-self-join (tiny buckets; no pairwise doc comparison), then
+    HAVING >= 5 shared."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dd.winnowing_pairs(docs)

@@ -437,3 +437,89 @@ def simhash_pairs(
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling k-gram window minima)
+# ---------------------------------------------------------------------------
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    w: int = 10,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the MOSS
+    algorithm): hash every char ``k``-gram of the normalized text, slide a
+    window of ``w`` consecutive k-gram hashes, keep each window's minimum;
+    the distinct selected hashes are the document's fingerprints.  Guarantees
+    any shared substring of length >= k + w - 1 yields a shared fingerprint.
+
+    Engine shape: explode positions → ``Column.substr`` + md5 (codegen; md5
+    hex so the hash — and its lexicographic min ordering — is bit-identical
+    in DuckDB for the oracle) → sliding ``min`` over a window PARTITIONED BY
+    doc (never global) → distinct.  Work is O(total chars), shuffle keys are
+    (doc, position) — linear, same scale class as the MinHash shingle
+    explode.  Returns (id, fp) distinct rows.
+    """
+    norm = normalize_text(F.col(text_col))
+    base = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), norm.alias("__t"))
+        .filter(F.length("__t") >= k + w - 1)
+    )
+    grams = base.select(
+        id_col,
+        F.length("__t").alias("__n"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("__t") - (k - 1))
+        ).alias("__i"),
+        "__t",
+    ).select(
+        id_col,
+        "__n",
+        "__i",
+        F.md5(F.col("__t").substr(F.col("__i"), F.lit(k))).alias("__h"),
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("__i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        grams.withColumn("__fp", F.min("__h").over(win))
+        # only full windows (the algorithm's definition); trailing short
+        # windows would select spurious minima
+        .filter(F.col("__i") <= F.col("__n") - (k - 1) - (w - 1))
+        .select(F.col(id_col), F.col("__fp").alias("fp"))
+        .distinct()
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 24,
+    w: int = 10,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Near-dup / plagiarism pairs by shared winnowing fingerprints: the
+    fingerprint column is the blocking key (equi-self-join — fingerprints
+    are discriminative, so buckets are tiny), pairs keep ``id_a < id_b``,
+    then HAVING count >= min_shared."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )

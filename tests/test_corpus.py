@@ -100,3 +100,30 @@ def test_ngram_overlap_blocks_on_grams(spark):
     }
     # doc 1 contains "the quick brown fox" and "quick brown fox jumps"
     assert out == {1: 2}
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing's defining property: two docs sharing a substring of
+    length >= k + w - 1 share at least one fingerprint."""
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    df = spark.createDataFrame(
+        [
+            (1, f"prefix one {shared} suffix alpha"),
+            (2, f"other beginning {shared} different tail"),
+            (3, "entirely unrelated content with no overlap at all okay"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = dd.winnow_fingerprints(df, k=24, w=10)
+    by_doc = {
+        r["doc_id"]: set()
+        for r in fps.select("doc_id").distinct().collect()
+    }
+    for r in fps.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    pairs = dd.winnowing_pairs(df, min_shared=1).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
