@@ -174,6 +174,43 @@ def gold_daily_rollup(
     return _timed("gold_daily_rollup", agg_table.read().count(), t0)
 
 
+def gold_daily_rollup_incremental(
+    fact_batch: DataFrame,
+    fact: ManagedTable,
+    agg_table: ManagedTable,
+    date_key_name: str,
+    value_col: str,
+    id_col: str,
+) -> StageResult:
+    """Gold aggregate maintenance, partition-wise: recompute ONLY the date
+    keys touched by ``fact_batch`` and MERGE them over the standing rollup.
+
+    This is the 100 TB form of :func:`gold_daily_rollup`: a day's
+    increment touches a handful of date keys, so the full-table recompute
+    (scan-everything, every run) becomes scan-the-affected-partitions —
+    the affected-key set is joined semi-style against the fact, keeping
+    the recompute exact for non-decomposable aggregates like ``avg`` (no
+    drift from merging partial averages).  With the fact written
+    partitioned by the date key, the semi join prunes at the scan.
+    """
+    t0 = time.monotonic()
+    touched = fact_batch.select(date_key_name).distinct()
+    df = (
+        fact.read()
+        .join(F.broadcast(touched), date_key_name, "left_semi")
+        .groupBy(date_key_name)
+        .agg(
+            F.sum(value_col).alias("total_value"),
+            F.count(id_col).alias("record_count"),
+            F.avg(value_col).alias("avg_value"),
+        )
+    )
+    agg_table.merge_scd1(df, [date_key_name])
+    return _timed(
+        "gold_daily_rollup_incremental", agg_table.read().count(), t0
+    )
+
+
 def build_catalog_table(
     spark: SparkSession, tables: dict[str, ManagedTable]
 ) -> DataFrame:

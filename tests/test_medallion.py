@@ -149,3 +149,37 @@ def test_catalog_table(spark, tmp_path):
     cat = m.build_catalog_table(spark, {"a": a, "b": b})
     got = {r["table_name"]: (r["row_count"], r["status"]) for r in cat.collect()}
     assert got == {"a": (5, "active"), "b": (0, "missing")}
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    """Partition-wise gold maintenance: applying the rollup incrementally
+    per fact batch must land on exactly the full-recompute result, and the
+    second increment must only touch its own date keys."""
+    fact = ManagedTable(spark, str(tmp_path / "fact"))
+    agg = ManagedTable(spark, str(tmp_path / "agg"))
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("date_key"),
+    )
+    b1 = orders.filter(F.col("date_key") < 19960101)
+    b2 = orders.filter(F.col("date_key") >= 19960101)
+
+    fact.create(b1)
+    m.gold_daily_rollup_incremental(
+        b1, fact, agg, "date_key", "o_totalprice", "o_orderkey"
+    )
+    n_after_b1 = agg.read().count()
+    fact.append(b2)
+    m.gold_daily_rollup_incremental(
+        b2, fact, agg, "date_key", "o_totalprice", "o_orderkey"
+    )
+
+    full = ManagedTable(spark, str(tmp_path / "full"))
+    m.gold_daily_rollup(fact, full, "date_key", "o_totalprice", "o_orderkey")
+
+    got = sorted(map(tuple, agg.read().collect()))
+    want = sorted(map(tuple, full.read().collect()))
+    assert got == want
+    # first increment produced only pre-1996 keys
+    assert n_after_b1 == b1.select("date_key").distinct().count()
