@@ -2632,3 +2632,43 @@ def winnowing_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING >= 5 shared."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return dd.winnowing_pairs(docs)
+
+
+# ---------------------------------------------------------------------------
+# Set operations beyond the reference (SURVEY §2.7: it has union only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "active_both_years_intersect",
+    """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+)
+def active_both_years_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers who ordered in both 1995 and 1996.  Spark plans
+    this as a distinct + left-semi hash join on the full row — one shuffle
+    per side on the same key."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    "churned_1996_except",
+    """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+)
+def churned_1996_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers active in 1995 who placed no 1996 order — distinct
+    + left-anti hash join, the relational complement of the intersect."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
