@@ -68,6 +68,7 @@ HEADLINE = [
     "pii_scrub_preview",
     "repetition_flags",
     "benchmark_contamination",
+    "winnowing_near_dup",
 ]
 
 

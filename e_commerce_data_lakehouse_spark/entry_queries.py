@@ -2672,3 +2672,45 @@ def churned_1996_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
     y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
     return y95.subtract(y96)
+
+
+@register(
+    "promo_period_revenue",
+    f"""
+WITH p AS (
+  SELECT promo_id, promo_id * 84 AS start_day, promo_id * 84 + 13 AS end_day
+  FROM (SELECT unnest(generate_series(0, 29)) AS promo_id)
+), o AS (
+  SELECT date_diff('day', DATE '1992-01-01', o_orderdate) AS o_days,
+         o_totalprice
+  FROM orders
+)
+SELECT promo_id, COUNT(*) AS n_orders,
+       {sql_sum_money('o_totalprice')} AS revenue
+FROM o JOIN p ON o.o_days BETWEEN p.start_day AND p.end_day
+GROUP BY promo_id
+""",
+)
+def promo_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch range join (point-in-interval): orders attributed to 14-day
+    promo windows.  A raw BETWEEN join would plan as a nested loop; the
+    ``range_join`` operator grid-buckets both sides so it's an equi-join on
+    the bucket (tiny exploded promo side auto-broadcasts) + exact filter —
+    see operators/joins.py:range_join."""
+    o = load(spark, sf_dir, "orders")["orders"].select(
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("o_days"),
+        "o_totalprice",
+    )
+    promos = spark.range(30).select(
+        F.col("id").alias("promo_id"),
+        (F.col("id") * 84).alias("start_day"),
+        (F.col("id") * 84 + 13).alias("end_day"),
+    )
+    return (
+        jn.range_join(o, promos, "o_days", "start_day", "end_day", 14)
+        .groupBy("promo_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            sum_money("o_totalprice").alias("revenue"),
+        )
+    )

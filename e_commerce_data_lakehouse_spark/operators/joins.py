@@ -164,3 +164,48 @@ def asof_join(
     for c in right_cols:
         out = out.withColumnRenamed(f"__asof_{c}", c)
     return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Scale-safe point-in-interval join: left rows whose numeric
+    ``left_point`` falls in ``[right_start, right_end]`` (inclusive).
+
+    Spark plans a raw inequality join as BroadcastNestedLoopJoin — the one
+    shape that can never scale out (and that the repo-wide plan sweep
+    forbids).  Grid bucketing restores an equi-join: points land in
+    ``floor(p / w)``; each interval explodes to every bucket it overlaps;
+    the join key is the bucket (plus any ``extra_keys``), followed by the
+    exact BETWEEN filter.  A matching pair meets in exactly ONE bucket
+    (the point's), so no dedup pass is needed.  Explode factor is
+    ``interval_len / w + 1`` — pick ``bucket_width`` near the typical
+    interval length so it stays O(1).
+
+    Inner join only: outer semantics don't survive the interval explode
+    (same reasoning as ``salted_join``).  Columns must be numeric — cast
+    timestamps/dates to epoch units first.
+    """
+    lb = F.floor(F.col(left_point) / bucket_width).alias("__rjb")
+    l2 = left.withColumn("__rjb", lb)
+    r2 = right.withColumn(
+        "__rjb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / bucket_width),
+                F.floor(F.col(right_end) / bucket_width),
+            )
+        ),
+    )
+    keys = [*(extra_keys or []), "__rjb"]
+    return (
+        l2.join(r2, keys, "inner")
+        .filter(F.col(left_point).between(F.col(right_start), F.col(right_end)))
+        .drop("__rjb")
+    )

@@ -307,3 +307,26 @@ def test_salted_join_matches_plain_join(spark):
     for bad in ("right", "full", "outer"):
         with _pytest.raises(ValueError):
             salted_join(orders, cust, ["o_custkey"], how=bad)
+
+
+def test_range_join_matches_naive(spark):
+    from e_commerce_data_lakehouse_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, i * 3 % 100) for i in range(200)], ["pid", "p"]
+    )
+    intervals = spark.createDataFrame(
+        [(j, j * 7 % 90, j * 7 % 90 + 12) for j in range(40)],
+        ["iid", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "p", "lo", "hi", 10).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter(F.col("p").between(F.col("lo"), F.col("hi")))
+        .collect()
+    }
+    assert got == naive and len(got) > 0
