@@ -2714,3 +2714,101 @@ def promo_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_money("o_totalprice").alias("revenue"),
         )
     )
+
+
+@register(
+    "daily_revenue_gapfilled",
+    f"""
+WITH daily AS (
+  SELECT o_orderdate AS d, {sql_sum_money('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1
+), bounds AS (
+  SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+), spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+  FROM bounds
+)
+SELECT s.d AS full_date,
+       COALESCE(daily.revenue, 0.0) AS revenue,
+       daily.revenue IS NULL AS is_gap,
+       MAX(daily.revenue) OVER (
+         ORDER BY s.d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS max_rev_7d
+FROM spine s LEFT JOIN daily ON s.d = daily.d
+""",
+)
+def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense date spine (distributed
+    ``sequence``/``explode``, S19's idiom) left-joins the daily aggregate so
+    missing days appear as explicit zero rows, plus a 7-day sliding max.
+
+    The sliding window is ordered over the GLOBAL date axis — safe here
+    because it runs on the aggregated day level (one row per day, ~2.4k
+    rows at any corpus size); per-entity gap filling would partition the
+    window by the entity key."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        sum_money("o_totalprice").alias("revenue")
+    )
+    bounds = o.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("__sd")
+    ).select(F.col("__sd").cast("date").alias("full_date"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("full_date").rowsBetween(-6, 0)
+    return (
+        spine.join(daily, spine["full_date"] == daily["d"], "left")
+        .select(
+            "full_date",
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.col("d").isNull().alias("is_gap"),
+            F.col("revenue").alias("__rev_raw"),
+        )
+        .withColumn("max_rev_7d", F.max("__rev_raw").over(w))
+        .drop("__rev_raw")
+    )
+
+
+@register(
+    "cumulative_monthly_revenue",
+    f"""
+WITH m AS (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+         {sql_sum_money('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT CAST(yr AS BIGINT) AS yr, CAST(mon AS BIGINT) AS mon, revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(30,2))) OVER (
+         PARTITION BY yr ORDER BY mon
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS ytd_revenue
+FROM m
+""",
+)
+def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-partitioned running total (YTD revenue): the cumulative window
+    is PARTITIONED BY year — each year's timeline sorts locally on its
+    executor, no global single-partition sort.  The running sum goes
+    through decimal on both engines so float accumulation order can't
+    break the bit-match."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    m = (
+        o.withColumn("yr", F.year("o_orderdate").cast("long"))
+        .withColumn("mon", F.month("o_orderdate").cast("long"))
+        .groupBy("yr", "mon")
+        .agg(sum_money("o_totalprice").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("yr")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return m.withColumn(
+        "ytd_revenue",
+        F.sum(F.col("revenue").cast("decimal(30,2)")).over(w).cast("double"),
+    )
