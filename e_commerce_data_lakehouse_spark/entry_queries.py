@@ -2812,3 +2812,25 @@ def cumulative_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ytd_revenue",
         F.sum(F.col("revenue").cast("decimal(30,2)")).over(w).cast("double"),
     )
+
+
+@register("sketch_monthly_distinct_users", None)
+def sketch_monthly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: daily HLL user sketches per event
+    type, unioned up to (month, type) estimates — the incremental
+    alternative to COUNT(DISTINCT) that lets a 100 TB gold layer answer
+    any-date-range distinct questions from stored per-day sketches without
+    re-scanning events.  rows-only check (sketch bits are Spark-internal);
+    tests/test_sketches.py proves merge-of-partials == direct sketch and
+    ~1.6% accuracy vs exact."""
+    ev = load(spark, sf_dir, "events")["events"]
+    daily = agg.sketch_distinct_rollup(
+        ev.withColumn("d", F.to_date("ts")).withColumn(
+            "month", F.date_format("d", "yyyy-MM")
+        ),
+        ["month", "d", "event_type"],
+        "user_id",
+    )
+    return agg.sketch_union_estimate(
+        daily, ["month", "event_type"]
+    ).orderBy("month", "event_type")

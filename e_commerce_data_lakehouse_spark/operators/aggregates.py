@@ -219,3 +219,38 @@ def sessionize(
         F.col("__sw.end").alias("session_end"),
         *[c for c in out.columns if c not in (key_col, "__sw")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count sketches (incremental rollup maintenance)
+# ---------------------------------------------------------------------------
+def sketch_distinct_rollup(
+    df: DataFrame, group_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group HyperLogLog sketches of ``value_col`` — the MERGEABLE
+    building block for distinct counts at 100 TB.
+
+    COUNT(DISTINCT) is not decomposable: yesterday's count plus today's
+    count over-counts returning values, so exact incremental maintenance
+    must re-scan history.  An HLL sketch IS decomposable — union of
+    partials equals the sketch of the union, exactly (same algorithm,
+    associative) — so a gold table can store one small binary sketch per
+    (day, dim) and answer "distinct users over ANY date range" by unioning
+    sketches, never re-reading raw events.  ``lg_k=12`` ≈ 4 KB per sketch,
+    ~1.6% relative error."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def sketch_union_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Roll stored sketches up to coarser groups: union partial sketches
+    and estimate.  One hash aggregate over the (tiny) sketch table."""
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(out_col)
+    )
