@@ -2834,3 +2834,46 @@ def sketch_monthly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return agg.sketch_union_estimate(
         daily, ["month", "event_type"]
     ).orderBy("month", "event_type")
+
+
+@register(
+    "label_centroid_embeddings",
+    """
+WITH ex AS (
+  SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+), per AS (
+  SELECT label, i,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(38,20))) AS DOUBLE) / COUNT(*), 6)
+             AS c
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, list(c ORDER BY i) AS centroid
+FROM per GROUP BY label
+""",
+)
+def label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (element-wise mean over the vector
+    column) — the clustering/IVF-QA primitive.  posexplode → one hash
+    aggregate per (label, position) with the cross-row sum in DECIMAL so
+    partial-aggregation order can't change the float result — then the 64
+    positions reassemble into an ordered array (array_sort on (pos, val)
+    structs; collect_list order is nondeterministic, the sort fixes it).
+    Shuffle volume is O(labels × dims), not O(vectors)."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "f"))
+    per = ex.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("f").cast("double").cast("decimal(38,20)")).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("c")
+    )
+    return per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x["c"],
+        ).alias("centroid")
+    )
