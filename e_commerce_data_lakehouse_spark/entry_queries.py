@@ -2877,3 +2877,28 @@ def label_centroid_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x["c"],
         ).alias("centroid")
     )
+
+
+@register(
+    "order_percentiles_by_status",
+    """
+SELECT o_orderstatus AS status,
+       ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+""",
+)
+def order_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles: GROUP BY percentile is one hash
+    aggregate (per-group sorted-buffer), parallel across groups — unlike a
+    global percentile there is no single-node concentration; swap to
+    percentile_approx at extreme per-group cardinalities."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.percentile("o_totalprice", 0.25), 6).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
+        F.count("*").alias("n_orders"),
+    )
