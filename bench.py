@@ -69,6 +69,7 @@ HEADLINE = [
     "repetition_flags",
     "benchmark_contamination",
     "winnowing_near_dup",
+    "curated_pretraining_set",
 ]
 
 

@@ -2902,3 +2902,88 @@ def order_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
         F.count("*").alias("n_orders"),
     )
+
+
+def _pii_sql(c: str) -> str:
+    """DuckDB rendering of corpus.pii_scrub (same patterns, same order)."""
+    out = c
+    for pattern, token in (
+        ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+        ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+        ("\\b\\d{2,4}[- ]\\d{3,4}[- ]\\d{3,4}\\b", "[PHONE]"),
+    ):
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out
+
+
+@register(
+    "curated_pretraining_set",
+    f"""
+WITH scrub AS (
+  SELECT doc_id, lang, {_pii_sql('text')} AS text FROM documents
+), corpus AS (
+  SELECT * FROM scrub WHERE doc_id % 97 <> 0
+), bench AS (
+  SELECT * FROM scrub WHERE doc_id % 97 = 0
+), surv AS (
+  SELECT MIN(doc_id) AS doc_id FROM corpus
+  GROUP BY md5({NORM_SQL.format(c='text')})
+), kept AS (
+  SELECT c.* FROM corpus c JOIN surv USING (doc_id)
+), kg AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+              FROM kept)
+        WHERE len(ws) >= 4)
+), bg AS (
+  SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS gram
+  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i
+        FROM (SELECT string_split_regex(trim(text), '\\s+') AS ws
+              FROM bench)
+        WHERE len(ws) >= 4)
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM kg JOIN bg USING (gram)
+), clean AS (
+  SELECT * FROM kept
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT CASE WHEN {_BUCKET_SQL.format(c='doc_id')} < 10 THEN 'val'
+            WHEN {_BUCKET_SQL.format(c='doc_id')} < 20 THEN 'test'
+            ELSE 'train' END AS split,
+       lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT))
+            AS BIGINT) AS n_tokens
+FROM clean GROUP BY 1, 2
+""",
+)
+def curated_pretraining_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 composed flagship: the corpus-CURATION pipeline end to end —
+    PII scrub → exact dedup (min-id survivor) → benchmark decontamination
+    (drop docs sharing any 4-gram with the held-out set) → deterministic
+    train/val/test split → per (split, lang) doc/token counts.  Every
+    stage is the library operator (corpus.pii_scrub / dedup.exact_dedup /
+    corpus.ngram_overlap / corpus.dataset_split); every decision is a
+    content hash, so the whole pipeline is reproducible and fully
+    oracle-checked.  Complements ``training_corpus_build`` (quality →
+    dedup → langid)."""
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
+    scrub = docs.select(
+        "doc_id", "lang", cp.pii_scrub(F.col("text")).alias("text")
+    )
+    corpus_side = scrub.filter(F.col("doc_id") % 97 != 0)
+    bench_side = scrub.filter(F.col("doc_id") % 97 == 0)
+    survivors = dd.exact_dedup(corpus_side, "text", "doc_id").select("doc_id")
+    kept = corpus_side.join(survivors, "doc_id", "left_semi")
+    contaminated = cp.ngram_overlap(kept, bench_side, n=4).select("doc_id")
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    return (
+        cp.dataset_split(clean, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tx.whitespace_token_count(F.col("text")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
