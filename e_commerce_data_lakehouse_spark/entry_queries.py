@@ -2987,3 +2987,95 @@ def curated_pretraining_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (pairs -> connected components -> representatives).
+# The last mile of fuzzy dedup: LSH/Jaccard emit PAIRS, curation needs
+# CLUSTERS.  operators/graph.py runs log-round min-label propagation with
+# pointer doubling; the oracle replays it as a DuckDB recursive CTE.
+# ---------------------------------------------------------------------------
+from e_commerce_data_lakehouse_spark.operators import graph as gr  # noqa: E402
+
+_CC_PAIRS_SQL = f"""
+d AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split({NORM_SQL.format(c='text')}, ' ')) AS tset,
+         string_split({NORM_SQL.format(c='text')}, ' ')[1] AS tok1
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.doc_id < b.doc_id
+  WHERE ROUND(len(list_intersect(a.tset, b.tset)) * 1.0 /
+              (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset))),
+              6) >= 0.9
+),
+sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+walk(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.r
+),
+comp AS (SELECT id, MIN(r) AS comp FROM walk GROUP BY id)
+"""
+
+
+def _jaccard_pair_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable near-dup pair source (same construction as
+    ``near_dup_token_jaccard``: blocking on (lang, first token), token-set
+    Jaccard >= 0.9)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(dd.normalize_text(F.col("text")), " ")
+    base = docs.select(
+        "doc_id", "lang", toks.getItem(0).alias("tok1"), F.col("text")
+    )
+    return dd.token_jaccard_pairs(
+        base, "doc_id", "text", ["lang", "tok1"], threshold=0.9
+    )
+
+
+@register(
+    "dup_clusters_cc",
+    f"""
+WITH RECURSIVE {_CC_PAIRS_SQL},
+sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+SELECT c.id AS doc_id, c.comp AS cluster_id, s.cluster_size
+FROM comp c JOIN sizes s USING (comp)
+""",
+)
+def dup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> duplicate CLUSTERS via distributed connected
+    components (``operators/graph.py``: min-label propagation + pointer
+    doubling, O(log n) rounds of pure shuffle ops).  cluster_id is the
+    cluster's min doc_id — a deterministic representative.  The oracle
+    replays the same fixpoint as a DuckDB recursive CTE."""
+    pairs = _jaccard_pair_edges(spark, sf_dir)
+    return gr.cluster_members(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
+@register(
+    "corpus_dedup_survivors",
+    f"""
+WITH RECURSIVE {_CC_PAIRS_SQL}
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE comp <> id)
+""",
+)
+def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup END TO END: near-dup pairs -> connected components ->
+    keep one representative (min doc_id) per cluster plus every unclustered
+    doc.  The drop-list is the non-representative members only (small), so
+    the corpus-side filter is a single left-anti join that AQE turns into a
+    broadcast — the 100 TB table never reshuffles."""
+    docs = load(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    pairs = _jaccard_pair_edges(spark, sf_dir)
+    return gr.dedup_by_components(docs, "doc_id", pairs, "id_a", "id_b")

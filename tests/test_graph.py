@@ -1,0 +1,58 @@
+"""Connected-components operator (operators/graph.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e_commerce_data_lakehouse_spark.operators import graph as gr
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _comp_map(df):
+    return {r["id"]: r["comp"] for r in df.collect()}
+
+
+def test_two_components_and_min_labels(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)])
+    got = _comp_map(gr.connected_components(e))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_long_chain_converges_with_pointer_doubling(spark):
+    # A 40-vertex path: O(diameter) naive propagation would need 39 rounds;
+    # pointer doubling must close it well inside max_iter.
+    e = _edges(spark, [(i, i + 1) for i in range(40)])
+    got = _comp_map(gr.connected_components(e, max_iter=10))
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_duplicate_and_reversed_edges_are_harmless(spark):
+    e = _edges(spark, [(5, 6), (6, 5), (5, 6), (6, 7)])
+    got = _comp_map(gr.connected_components(e))
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_cluster_members_sizes(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (7, 8)])
+    rows = {
+        r["id"]: (r["comp"], r["cluster_size"])
+        for r in gr.cluster_members(e).collect()
+    }
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
+
+
+def test_dedup_by_components_keeps_reps_and_isolated(spark):
+    df = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in gr.dedup_by_components(df, "doc_id", pairs).collect()
+    )
+    # 2, 3, 8 are non-representative members; everything else survives.
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
