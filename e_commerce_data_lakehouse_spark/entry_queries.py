@@ -3079,3 +3079,57 @@ def corpus_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = _jaccard_pair_edges(spark, sf_dir)
     return gr.dedup_by_components(docs, "doc_id", pairs, "id_a", "id_b")
+
+
+@register(
+    "dsir_importance_sample",
+    f"""
+WITH feats AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         ('0x' || substr(md5(tok), 1, 4))::INT % 256 AS feature
+  FROM (SELECT doc_id, lang,
+               unnest(string_split({NORM_SQL.format(c='text')}, ' ')) AS tok
+        FROM documents)
+),
+src AS (SELECT feature, COUNT(*) AS s_cnt FROM feats GROUP BY feature),
+tgt AS (SELECT feature, COUNT(*) AS t_cnt FROM feats
+        WHERE is_target GROUP BY feature),
+ratio AS (
+  SELECT s.feature,
+         ROUND(CAST((COALESCE(t.t_cnt, 0) + 1) *
+                    ((SELECT SUM(s_cnt) FROM src) + 256) AS DOUBLE) /
+               CAST((s.s_cnt + 1) *
+                    ((SELECT SUM(t_cnt) FROM tgt) + 256) AS DOUBLE),
+               6) AS ratio
+  FROM src s LEFT JOIN tgt t USING (feature)
+),
+scored AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(CAST(r.ratio AS DECIMAL(30,6))) AS DOUBLE) AS ratio_sum
+  FROM feats f JOIN ratio r USING (feature)
+  GROUP BY f.doc_id
+),
+weighted AS (
+  SELECT doc_id, n_tok,
+         LEAST(1.0, ROUND(ratio_sum / n_tok, 6)) AS weight
+  FROM scored
+)
+SELECT doc_id, n_tok, weight FROM weighted
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 < weight
+""",
+)
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, public): weight
+    every document by how target-like (here: English-like) its hashed
+    token-feature distribution is — mean Laplace-smoothed target/source
+    frequency ratio over 256 md5-hash features — then keep it with
+    probability = weight, decided by the doc's own content hash.  Fully
+    deterministic and fully oracle-checked: features, ratios, decimal sums
+    and the sampling threshold are all engine-portable arithmetic
+    (``operators/corpus.py: dsir_importance / importance_sample``)."""
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
+    w = cp.dsir_importance(
+        docs, "doc_id", "text", F.col("lang") == "en", n_features=256
+    )
+    return cp.importance_sample(w, "doc_id")

@@ -166,3 +166,110 @@ def ngram_overlap(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").cast("long").alias("n_shared_grams"))
     )
+
+
+def uniform01(col: Column) -> Column:
+    """Deterministic, engine-portable uniform in [0, 1) from the first 8 hex
+    digits of md5.  The division of an exact integer by 2^32 is a single
+    correctly-rounded IEEE op, so Spark and DuckDB agree bit-for-bit
+    (oracle side: ``('0x' || substr(md5(x::VARCHAR), 1, 8))::BIGINT /
+    4294967296.0``)."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        )
+        / F.lit(4294967296.0)
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_features: int = 256,
+) -> DataFrame:
+    """Per-document importance weight for DSIR-style resampling (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    public NeurIPS 2023): score each document by how target-like its hashed
+    token-feature distribution is, as the mean Laplace-smoothed
+    target/source frequency ratio of its tokens.
+
+    Returns ``(id, n_tok, weight)`` where ``weight = min(1, mean ratio)``
+    rounded to 6 decimals.  Everything is engine-portable: features are
+    md5-hash buckets, ratios are exact-integer products with one double
+    division, and the per-doc mean goes through an order-insensitive
+    decimal sum — so a DuckDB oracle reproduces the weights exactly.
+
+    Scale shape: one explode over tokens, two feature-count hash aggregates
+    (256-row outputs -> driver scalars + a broadcast ratio table), then one
+    per-doc aggregate.  No pairwise anything, no Python; the only wide ops
+    are groupBys with map-side partial aggregation.
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    feats = df.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(toks).alias("tok"),
+    ).select(
+        id_col,
+        "is_target",
+        hash_bucket(F.col("tok"), n_features).alias("feature"),
+    )
+
+    src = feats.groupBy("feature").agg(F.count("*").alias("s_cnt"))
+    tgt = (
+        feats.filter(F.col("is_target"))
+        .groupBy("feature")
+        .agg(F.count("*").alias("t_cnt"))
+    )
+    # Two bounded driver scalars (same pattern as the quartile boundaries:
+    # a .first() on an aggregate avoids a 1-row-broadcast nested-loop join).
+    s_total = src.agg(F.sum("s_cnt")).first()[0] or 0
+    t_total = tgt.agg(F.sum("t_cnt")).first()[0] or 0
+
+    ratio = (
+        src.join(tgt, "feature", "left")
+        .select(
+            "feature",
+            F.round(
+                (
+                    (F.coalesce(F.col("t_cnt"), F.lit(0)) + 1)
+                    * F.lit(int(s_total) + n_features)
+                ).cast("double")
+                / (
+                    (F.col("s_cnt") + 1) * F.lit(int(t_total) + n_features)
+                ).cast("double"),
+                6,
+            ).alias("ratio"),
+        )
+    )
+
+    return (
+        feats.join(F.broadcast(ratio), "feature")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tok"),
+            F.sum(F.col("ratio").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("ratio_sum"),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            F.least(
+                F.lit(1.0), F.round(F.col("ratio_sum") / F.col("n_tok"), 6)
+            ).alias("weight"),
+        )
+    )
+
+
+def importance_sample(
+    weighted: DataFrame, id_col: str, weight_col: str = "weight"
+) -> DataFrame:
+    """Keep each row with probability ``weight`` — decided by the row's own
+    content hash, not an RNG, so the sample is reproducible, resumable, and
+    identical on any cluster layout (and in the DuckDB oracle)."""
+    return weighted.filter(uniform01(F.col(id_col)) < F.col(weight_col))

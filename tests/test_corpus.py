@@ -127,3 +127,47 @@ def test_winnowing_guarantee(spark):
     assert not (by_doc[1] & by_doc[3])
     pairs = dd.winnowing_pairs(df, min_shared=1).collect()
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_uniform01_range_and_determinism(spark):
+    df = spark.range(0, 200).select(cp.uniform01(F.col("id")).alias("u"))
+    rows = [r["u"] for r in df.collect()]
+    assert all(0.0 <= u < 1.0 for u in rows)
+    rows2 = [r["u"] for r in df.collect()]
+    assert rows == rows2
+    # spread sanity: a content hash should not collapse to a few values
+    assert len(set(rows)) > 190
+
+
+def test_dsir_separates_target_like_documents(spark):
+    # Target vocab and off-target vocab are disjoint, so the importance
+    # ratio must clearly separate the two populations.
+    tgt_text = "alpha beta gamma delta epsilon zeta eta theta"
+    off_text = "uno dos tres cuatro cinco seis siete ocho"
+    rows = [(i, tgt_text, True) for i in range(30)]
+    rows += [(100 + i, off_text, False) for i in range(30)]
+    # one mixed doc: half target-like, half not
+    rows.append((500, "alpha beta gamma delta uno dos tres cuatro", False))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+    w = {
+        r["doc_id"]: r["weight"]
+        for r in cp.dsir_importance(
+            df, "doc_id", "text", F.col("is_tgt"), n_features=512
+        ).collect()
+    }
+    assert w[0] == 1.0  # target docs: ratio > 1, clipped
+    assert w[100] < 0.15  # off-target docs: heavily down-weighted
+    assert w[100] < w[500] < w[0]  # mixed doc sits in between
+
+
+def test_importance_sample_rate_tracks_weight(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.lit(0.25).alias("weight")
+    )
+    kept = cp.importance_sample(df, "doc_id").count()
+    assert 400 < kept < 600  # ~25% of 2000, hash-uniformity tolerance
+    # weight 1.0 keeps everything, weight 0.0 keeps nothing
+    allw = df.withColumn("weight", F.lit(1.0))
+    assert cp.importance_sample(allw, "doc_id").count() == 2000
+    none = df.withColumn("weight", F.lit(0.0))
+    assert cp.importance_sample(none, "doc_id").count() == 0
