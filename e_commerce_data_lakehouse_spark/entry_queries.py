@@ -3133,3 +3133,20 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", F.col("lang") == "en", n_features=256
     )
     return cp.importance_sample(w, "doc_id")
+
+
+@register("ann_ivfpq_topk", None)  # sampled k-means + PQ codes not SQL-reproducible
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011): coarse IVF cells bound
+    the search, product-quantized residual codes (16 sub-codes of 32
+    centroids ~ 10 bytes/vector vs 256 raw) give a compressed approximate
+    distance, and only the best 8k approximate hits per query fetch raw
+    vectors for exact rerank.  The billion-vector memory story: approximate
+    scoring never reads the embedding column.  Recall vs brute force is
+    pinned by ``tests/test_similarity.py``."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.ivf_pq_topk(
+        queries, emb, "vec_id", "embedding", k=5,
+        n_centroids=16, n_probe=4, m=16, ks=32, rerank=8,
+    )

@@ -318,3 +318,174 @@ def ivf_topk(
         cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
     )
     return _topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — product quantization inside IVF cells (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", public TPAMI 2011)
+# ---------------------------------------------------------------------------
+def _kmeans_1sub(x: np.ndarray, ks: int, rng: np.random.RandomState, iters: int) -> np.ndarray:
+    cents = x[rng.choice(len(x), size=min(ks, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+    return cents
+
+
+def _train_pq_codebooks(
+    candidates: DataFrame,
+    vec_col: str,
+    coarse: np.ndarray,
+    m: int,
+    ks: int,
+    seed: int,
+    sample_size: int,
+    iters: int = 10,
+) -> np.ndarray:
+    """Per-subspace k-means codebooks over *residuals* (vector minus its
+    coarse IVF centroid — the classic IVF-PQ encoding).  Training touches a
+    bounded sample only: driver memory is O(sample), never O(corpus)."""
+    total = candidates.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    sample = (
+        candidates.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
+    )
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    cell = ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    res = x - coarse[cell]
+    d = x.shape[1]
+    dsub = d // m
+    rng = np.random.RandomState(seed + 1)
+    books = np.stack(
+        [
+            _kmeans_1sub(res[:, j * dsub : (j + 1) * dsub], ks, rng, iters)
+            for j in range(m)
+        ]
+    )
+    return books  # (m, ks, dsub)
+
+
+def _pq_encode_udf(coarse: np.ndarray, books: np.ndarray):
+    """cell assignment + residual PQ codes in one Arrow pass (map-only)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, dsub = books.shape
+
+    @pandas_udf("struct<cell:int, code:array<int>>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        cell = (
+            ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        )
+        res = x - coarse[cell]
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            sub = res[:, j * dsub : (j + 1) * dsub]
+            dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = dist.argmin(axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "code": list(codes)}
+        )
+
+    return encode
+
+
+def _pq_approx_cosine_udf(coarse: np.ndarray, books: np.ndarray):
+    """Approximate cosine(query, candidate) from the candidate's compressed
+    form only: reconstruct = coarse[cell] + codebook[code], one gather + one
+    row-wise dot per Arrow batch.  The raw candidate vector is never read —
+    that is the point of PQ (memory ~ m bytes/vector instead of 4d)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, _, dsub = books.shape
+
+    @pandas_udf("double")
+    def approx(qv: pd.Series, cell: pd.Series, code: pd.Series) -> pd.Series:
+        q = np.stack(qv.to_numpy()).astype(np.float64)
+        codes = np.stack(code.to_numpy()).astype(np.int64)
+        recon = coarse[cell.to_numpy()].copy()
+        for j in range(m):
+            recon[:, j * dsub : (j + 1) * dsub] += books[j][codes[:, j]]
+        num = (q * recon).sum(axis=1)
+        den = np.linalg.norm(q, axis=1) * np.linalg.norm(recon, axis=1)
+        return pd.Series(np.where(den > 0, num / den, 0.0))
+
+    return approx
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    rerank: int = 4,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k: coarse IVF cells bound the search,
+    product-quantized residual codes (m sub-codes of ks centroids) give a
+    compressed approximate distance, and only the ``rerank * k`` best
+    approximate hits per query fetch their raw vectors for exact rerank.
+
+    Scale shape: the candidate table is touched twice — once map-only to
+    encode (output: id, cell, m small ints — the 100 TB table compresses to
+    ~m bytes/row), once via an equi-join on id for the bounded rerank set.
+    The probe join is an equi-join on cell id; approximate scoring reads
+    codes, not vectors.  This is the memory story that makes billion-vector
+    ANN feasible: the index fits in a fraction of the raw data size.
+    """
+    coarse = _train_centroids(candidates, vec_col, n_centroids, seed, sample_size)
+    books = _train_pq_codebooks(
+        candidates, vec_col, coarse, m, ks, seed, sample_size
+    )
+
+    enc = _pq_encode_udf(coarse, books)
+    cb = candidates.select(
+        F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("e")
+    ).select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.code").alias("code"))
+
+    q_assign = _assign_udf(coarse, n_probe)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(q_assign(F.col(vec_col))).alias("cell"),
+    )
+
+    approx = _pq_approx_cosine_udf(coarse, books)
+    cand = cb.join(F.broadcast(qb), "cell")
+    if not include_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        "__qv",
+        approx(F.col("__qv"), F.col("cell"), F.col("code")).alias("approx_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sim").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= rerank * k)
+        .drop("r", "approx_sim")
+    )
+    # exact rerank: fetch raw vectors for the bounded shortlist only
+    raw = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    exact = short.join(raw, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    return _topk_per_query(exact, k)

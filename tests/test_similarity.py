@@ -65,3 +65,44 @@ def test_ivf_rebalanced_identical_results(spark):
         max_cell_size=20,  # tiny cap -> every cell splits into many salts
     ).collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_ivfpq_recall_vs_brute_force(spark):
+    emb = eq.load(spark, SF, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _topk_sets(sim.brute_force_topk(queries, emb, "vec_id", "embedding", k=5))
+    approx = _topk_sets(
+        sim.ivf_pq_topk(
+            queries, emb, "vec_id", "embedding", k=5,
+            n_centroids=8, n_probe=4, m=16, ks=32, rerank=8,
+        )
+    )
+    # measured 0.75 — essentially the IVF probe ceiling (0.76 with the same
+    # cells/probes): the PQ shortlist + exact rerank loses almost nothing
+    # even on near-random synthetic vectors (PQ's hardest case).
+    assert _recall(approx, exact) >= 0.6
+
+
+def test_ivfpq_deterministic(spark):
+    emb = eq.load(spark, SF, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sim.ivf_pq_topk(queries, emb, "vec_id", "embedding", k=3).collect()
+    b = sim.ivf_pq_topk(queries, emb, "vec_id", "embedding", k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ivfpq_exact_rerank_scores(spark):
+    """The returned cosine must be the EXACT cosine (rerank reads raw
+    vectors), not the compressed approximation."""
+    emb = eq.load(spark, SF, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in sim.brute_force_topk(
+            queries, emb, "vec_id", "embedding", k=50
+        ).collect()
+    }
+    for r in sim.ivf_pq_topk(queries, emb, "vec_id", "embedding", k=5).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-9
