@@ -3150,3 +3150,48 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, "vec_id", "embedding", k=5,
         n_centroids=16, n_probe=4, m=16, ks=32, rerank=8,
     )
+
+
+@register(
+    "multimodal_embed_topk",
+    """
+WITH e AS (
+  SELECT doc_id,
+         [ROUND(('0x' || substr(md5(md5(text) || '-' || j), 1, 8))::BIGINT
+                / 4294967296.0 - 0.5, 6)
+          FOR j IN range(0, 8)] AS v
+  FROM documents WHERE doc_id < 200
+)
+SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+       ROUND(list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+             6) AS cosine_sim,
+       CAST(row_number() OVER (
+            PARTITION BY q.doc_id
+            ORDER BY ROUND(list_dot_product(q.v, c.v) /
+                  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                  c.doc_id ASC) AS INT) AS rank
+FROM e q JOIN e c ON q.doc_id < 3 AND c.doc_id != q.doc_id
+QUALIFY rank <= 3
+""",
+)
+def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal media -> embedding -> similarity pipeline with every
+    value oracle-checked: binary payloads embed via the engine-portable
+    ``hash_embed`` (pure Catalyst md5 features — the deterministic stand-in
+    a real CLIP Arrow kernel would replace), then exact cosine top-3 through
+    the same brute-force ANN operator the real embeddings use.  Complements
+    ``multimodal_features`` (real float32 Arrow kernel, rows-only) by
+    pinning the full pipeline's VALUES, not just its shape."""
+    from e_commerce_data_lakehouse_spark.multimodal import binary_ops as mm
+
+    docs = (
+        load(spark, sf_dir, "documents")["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    emb = docs.select(
+        "doc_id", mm.hash_embed(F.col("payload"), dim=8).alias("embedding")
+    )
+    queries = emb.filter(F.col("doc_id") < 3)
+    return sim.brute_force_topk(queries, emb, "doc_id", "embedding", k=3)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -184,3 +184,30 @@ def resize_images(
     return df.select(F.col(idc), F.col(binc)).mapInPandas(
         kernel, RESIZED_SCHEMA
     )
+
+
+def hash_embed(payload: Column, dim: int = 8) -> Column:
+    """Deterministic, engine-portable embedding of a binary payload: feature
+    j is a uniform in [-0.5, 0.5) derived from ``md5(md5(payload) || '-j')``,
+    rounded to 6 decimals.
+
+    This is the oracle-checkable stand-in for a real encoder (CLIP/ViT would
+    run as an Arrow kernel like :func:`extract_features`): it exercises the
+    identical downstream plumbing — embedding column, cosine scoring, ANN —
+    while every value is reproducible in DuckDB
+    (``('0x' || substr(md5(md5(text) || '-j'), 1, 8))::BIGINT / 2^32 - 0.5``).
+    Pure Catalyst expressions: no UDF, codegen end to end.
+    """
+    fp = F.md5(payload)
+    feats = [
+        F.round(
+            F.conv(
+                F.substring(F.md5(F.concat(fp, F.lit(f"-{j}"))), 1, 8), 16, 10
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+            - F.lit(0.5),
+            6,
+        )
+        for j in range(dim)
+    ]
+    return F.array(*feats)

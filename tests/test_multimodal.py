@@ -57,3 +57,22 @@ def test_resize_images_plumbing(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     # no shuffle: plan has no Exchange
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_embed_deterministic_and_bounded(spark):
+    from e_commerce_data_lakehouse_spark.multimodal import binary_ops as mm
+
+    df = spark.createDataFrame(
+        [(1, b"payload-a"), (2, b"payload-b"), (3, b"payload-a")],
+        "doc_id long, payload binary",
+    )
+    out = {
+        r["doc_id"]: r["emb"]
+        for r in df.select(
+            "doc_id", mm.hash_embed(F.col("payload"), dim=8).alias("emb")
+        ).collect()
+    }
+    assert len(out[1]) == 8
+    assert all(-0.5 <= v < 0.5 for v in out[1])
+    assert out[1] == out[3]  # same bytes -> same embedding
+    assert out[1] != out[2]
