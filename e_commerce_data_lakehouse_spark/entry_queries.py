@@ -3195,3 +3195,88 @@ def multimodal_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("doc_id") < 3)
     return sim.brute_force_topk(queries, emb, "doc_id", "embedding", k=3)
+
+
+@register(
+    "customer_order_distribution",
+    """
+SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-side predicate
+    (customers with no qualifying orders must still appear with count 0),
+    then a second aggregation over the first — the order-count histogram.
+    Both aggregates are hash aggregates with map-side partial combine; the
+    join keys on the high-cardinality custkey."""
+    t = load(spark, sf_dir, "customer", "orders")
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(
+            o,
+            (o["o_custkey"] == c["c_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "top_supplier_by_revenue",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+              AS DOUBLE) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_rev
+FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the view-over-aggregate pattern — per-supplier
+    revenue in a quarter, keep the supplier(s) hitting the maximum.  The max
+    is a bounded driver scalar (same pattern as the quartile boundaries: one
+    `.first()` beats a 1-row broadcast nested-loop join), and revenue equality
+    is exact because both engines aggregate through the same decimal."""
+    t = load(spark, sf_dir, "lineitem", "supplier")
+    li, s = t["lineitem"], t["supplier"]
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("total_rev")
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev")).first()[0]
+    return (
+        s.join(rev.filter(F.col("total_rev") == F.lit(max_rev)),
+               s["s_suppkey"] == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
