@@ -70,6 +70,10 @@ HEADLINE = [
     "benchmark_contamination",
     "winnowing_near_dup",
     "curated_pretraining_set",
+    "dup_clusters_cc",
+    "dsir_importance_sample",
+    "ann_ivfpq_topk",
+    "multimodal_embed_topk",
 ]
 
 

@@ -3280,3 +3280,26 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                s["s_suppkey"] == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+WITH toks AS (
+  SELECT unnest(string_split({NORM_SQL.format(c='text')}, ' ')) AS tok
+  FROM documents
+)
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM toks GROUP BY tok
+HAVING COUNT(*) >= CEIL(0.033 * (SELECT COUNT(*) FROM toks))
+""",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide heavy hitters via the two-phase Misra-Gries
+    pattern (``corpus.heavy_hitter_tokens``): per-partition bounded-state
+    candidate mining (Arrow mapInPandas, no-false-negative pigeonhole
+    guarantee), then an exact broadcast-semi-join recount of the candidate
+    set only — byte-identical to the naive GROUP BY ... HAVING the oracle
+    runs, without the full-token shuffle that plan needs at 100 TB."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return cp.heavy_hitter_tokens(docs, "text", min_frac=0.033)

@@ -4,10 +4,11 @@ sampling, PII scrubbing, repetition filtering, benchmark contamination.
 These extend the engine beyond the reference's surface into the operations a
 large-scale LLM-training-data pipeline needs (the dedup/similarity family
 lives in ``dedup.py`` / ``similarity.py``; this module covers corpus
-*curation*).  Every operator is pure Catalyst (codegen, no Python) and every
-randomness-like decision is a deterministic content hash, so runs are
-reproducible and resumable — a hard requirement when a 100 TB corpus build
-is restarted mid-way.
+*curation*).  Every operator is pure Catalyst (codegen, no Python) except
+the Misra-Gries candidate phase of :func:`heavy_hitter_tokens` (Arrow
+``mapInPandas``, bounded state), and every randomness-like decision is a
+deterministic content hash, so runs are reproducible and resumable — a hard
+requirement when a 100 TB corpus build is restarted mid-way.
 
 Scale notes:
 - ``hash_bucket`` is a stateless per-row expression — splits and samples
@@ -21,6 +22,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -273,3 +276,73 @@ def importance_sample(
     content hash, not an RNG, so the sample is reproducible, resumable, and
     identical on any cluster layout (and in the DuckDB oracle)."""
     return weighted.filter(uniform01(F.col(id_col)) < F.col(weight_col))
+
+
+def heavy_hitter_tokens(
+    df: DataFrame,
+    text_col: str,
+    min_frac: float = 0.02,
+) -> DataFrame:
+    """EXACT corpus-wide heavy hitters (tokens with frequency >=
+    ``min_frac`` of all tokens) without ever shuffling the full token
+    stream — the two-phase Misra-Gries pattern every large-scale frequency
+    miner uses:
+
+    1. *Candidate phase* (map-only): each partition streams its tokens
+       through a Misra-Gries summary with capacity ``k = ceil(2/min_frac)``.
+       Pigeonhole guarantee: a token with global frequency >= n/k must be
+       locally frequent (>= n_p/k) in at least one partition, so the union
+       of per-partition survivors is a SUPERSET of every true heavy hitter
+       — no false negatives, bounded state (k entries per task).
+    2. *Recount phase*: only the candidate set (tiny — at most k per
+       partition before dedup) is counted exactly via a broadcast semi
+       join, then thresholded against the exact total.
+
+    Because phase 2 recounts exactly, the output is byte-identical to the
+    naive ``GROUP BY token HAVING count >= ceil(min_frac * total)`` — which
+    is exactly what the DuckDB oracle runs — while the full-token shuffle
+    that the naive plan needs at 100 TB never happens (the only wide ops
+    touch the candidate subset).
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        ensure_parallelism,
+        normalize_text,
+    )
+
+    k = max(2, int(np.ceil(2.0 / min_frac)))
+    toks = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    )
+    toks = ensure_parallelism(toks)
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k - 1:
+                    counters[tok] = 1
+                else:  # decrement-all step: evict zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = (
+        toks.mapInPandas(mg_partition, "tok string").distinct()
+    )
+
+    total = toks.count()
+    threshold = int(np.ceil(min_frac * total))
+    return (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= threshold)
+        .select(F.col("tok").alias("token"), F.col("n").alias("n_occurrences"))
+    )

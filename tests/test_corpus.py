@@ -171,3 +171,28 @@ def test_importance_sample_rate_tracks_weight(spark):
     assert cp.importance_sample(allw, "doc_id").count() == 2000
     none = df.withColumn("weight", F.lit(0.0))
     assert cp.importance_sample(none, "doc_id").count() == 0
+
+
+def test_heavy_hitters_exact_under_partitioning(spark):
+    # Skewed corpus split across many partitions: the Misra-Gries candidate
+    # phase must not lose any true heavy hitter (pigeonhole superset
+    # guarantee) and the recount must make results exactly equal the naive
+    # full count, regardless of partition boundaries.
+    rows = []
+    for i in range(400):
+        rows.append((i, "alpha beta " + ("alpha " if i % 2 == 0 else "gamma ") + "delta"))
+    rows.append((999, "omega rare unique tokens here"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(16)
+    got = {
+        r["token"]: r["n_occurrences"]
+        for r in cp.heavy_hitter_tokens(df, "text", min_frac=0.05).collect()
+    }
+    # exact counts: alpha 600, beta 400, gamma 200, delta 400; total 1605
+    total = 400 * 4 + 5
+    import math
+
+    thresh = math.ceil(0.05 * total)
+    expected = {"alpha": 600, "beta": 400, "gamma": 200, "delta": 400}
+    expected = {t: n for t, n in expected.items() if n >= thresh}
+    assert got == expected
+    assert "omega" not in got
