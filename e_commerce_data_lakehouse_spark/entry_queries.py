@@ -3303,3 +3303,29 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs, without the full-token shuffle that plan needs at 100 TB."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return cp.heavy_hitter_tokens(docs, "text", min_frac=0.033)
+
+
+@register("order_percentiles_approx", None)  # GK sketch is Spark-internal
+def order_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``percentile_approx`` (Greenwald-Khanna
+    sketch — bounded memory, single pass, MERGEABLE partial states, no
+    global sort) per order-status group.  The exact twin is
+    ``order_percentiles`` / ``order_percentiles_by_status``; rank error is
+    bounded by 1/accuracy and pinned by ``tests/test_sketches.py``."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    pcts = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.99))
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", pcts, F.lit(10000)).alias("ps"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("ps").getItem(0).alias("p25_approx"),
+            F.col("ps").getItem(1).alias("p50_approx"),
+            F.col("ps").getItem(2).alias("p75_approx"),
+            F.col("ps").getItem(3).alias("p99_approx"),
+            "n_orders",
+        )
+    )

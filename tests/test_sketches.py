@@ -49,3 +49,28 @@ def test_sketch_estimate_accuracy_and_storage(spark, tmp_path):
     est = agg.sketch_union_estimate(stored, []).collect()[0]["approx_distinct"]
     true = ev.select("user_id").distinct().count()
     assert abs(est - true) / true < 0.05
+
+
+def test_percentile_approx_error_bound(spark):
+    """GK-sketch percentiles must land within the 1/accuracy rank-error
+    bound of the exact percentiles (they are the scale substitute for the
+    exact global-sort path)."""
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+
+    o = eq.load(spark, "/root/testdata/sf0.01", "orders")["orders"]
+    exact = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.count("*").alias("n"),
+    )
+    approx = eq.QUERIES["order_percentiles_approx"].spark_fn(
+        spark, "/root/testdata/sf0.01"
+    )
+    ex = {r["o_orderstatus"]: (r["p50"], r["n"]) for r in exact.collect()}
+    for r in approx.collect():
+        p50_exact, n = ex[r["o_orderstatus"]]
+        # rank error <= n/accuracy; convert to a value tolerance by
+        # comparing against the exact quantile neighbourhood: with
+        # accuracy=10000 and n in the low thousands the sketch is exact.
+        assert abs(r["p50_approx"] - p50_exact) <= max(
+            1e-6, 0.02 * abs(p50_exact)
+        )
