@@ -3329,3 +3329,77 @@ def order_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_view_click,
+       CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+FROM per_user
+""",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (view -> click -> purchase) in ONE scan + one
+    per-user hash aggregate: conditional first-touch timestamps per step,
+    then ordered-step counts.  First-touch ordering semantics (min ts per
+    step must be increasing) — the one-pass formulation that needs no
+    window sort and no per-step re-scan of the events table."""
+    ev = load(spark, sf_dir, "events")["events"]
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stepped = F.col("t_view") < F.col("t_click")
+    stepped3 = stepped & (F.col("t_click") < F.col("t_purchase"))
+    return per.agg(
+        F.count("t_view").cast("long").alias("n_view"),
+        F.sum(F.when(stepped, 1).otherwise(0)).cast("long").alias("n_view_click"),
+        F.sum(F.when(stepped3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "hopping_event_counts",
+    """
+SELECT ws AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM (
+  SELECT ts, event_type,
+         unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+  FROM events
+)
+WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+GROUP BY ws, event_type
+""",
+)
+def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows — 1 h width, 30 min hop, so every event
+    lands in exactly 2 windows (W4 generalized; the streaming form is the
+    same ``F.window`` with a slide).  The oracle replays Spark's window
+    assignment by exploding each event's two bucket starts."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
