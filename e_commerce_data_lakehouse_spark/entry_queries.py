@@ -3403,3 +3403,21 @@ def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n_events"
         )
     )
+
+
+@register("incremental_near_dup", None)  # Spark-internal hashing -> rows-only
+def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy dedup: MinHash-LSH near-dup pairs for a NEW batch
+    (doc_id >= 400) against the existing corpus (doc_id < 400) plus
+    batch-internal pairs — the corpus-vs-corpus quadrant is excluded inside
+    the band join, which is what a daily 100 TB corpus build runs instead
+    of a full re-dedup.  Equivalence to the full self-join restricted to
+    batch-touching pairs is pinned by
+    ``test_incremental_lsh_equals_restricted_full_run``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return dd.minhash_lsh_pairs_incremental(
+        docs.filter(F.col("doc_id") >= 400),
+        docs.filter(F.col("doc_id") < 400),
+        "doc_id", "text",
+        num_hashes=32, bands=8, shingle_n=5, verify_threshold=0.5,
+    )

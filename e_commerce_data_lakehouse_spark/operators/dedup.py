@@ -186,9 +186,16 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 5,
     verify_threshold: float = 0.5,
+    flag_col: str | None = None,
 ) -> DataFrame:
     """Fuzzy-dup candidate pairs via MinHash banding, verified by true
     shingle Jaccard.
+
+    ``flag_col`` (optional boolean column, "already-in-corpus") makes the
+    run incremental: pairs where BOTH sides are flagged are excluded at the
+    band join, so a daily batch only pays for batch-vs-corpus and
+    batch-vs-batch collisions — the corpus-vs-corpus quadrant (the huge
+    one) is never emitted.  See :func:`minhash_lsh_pairs_incremental`.
 
     Plan shape (scale-critical):
       1. explode shingles → one row per (doc, shingle); map-side expressions
@@ -209,9 +216,13 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
 
+    flag_cols = (
+        [F.col(flag_col).alias("__flag")] if flag_col is not None else []
+    )
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         normalize_text(F.col(text_col)).alias("__txt"),
+        *flag_cols,
     )
 
     # Shingle stream WITHOUT materializing arrays: posexplode a position
@@ -221,10 +232,12 @@ def minhash_lsh_pairs(
     # min() is duplicate-insensitive, so repeated shingles can't change any
     # minhash.
     p = F.lit(_MINHASH_P)
+    carry = ["__flag"] if flag_col is not None else []
     exploded = (
         base.select(
             "__id",
             "__txt",
+            *carry,
             F.explode(
                 F.sequence(
                     F.lit(1),
@@ -234,12 +247,14 @@ def minhash_lsh_pairs(
         )
         .select(
             "__id",
+            *carry,
             F.xxhash64(F.col("__txt").substr(F.col("__i"), F.lit(shingle_n))).alias(
                 "__h"
             ),
         )
         .select(
             "__id",
+            *carry,
             F.pmod("__h", p).alias("__h1"),
             F.pmod(F.xxhash64("__h"), p).alias("__h2"),
         )
@@ -247,14 +262,15 @@ def minhash_lsh_pairs(
     # persist: the band self-join AND the estimate filter below both consume
     # the signatures; without an explicit cache each consumer would re-run
     # the explode + 32-min aggregate
-    mins = exploded.groupBy("__id").agg(
+    group_keys = ["__id"] + (["__flag"] if flag_col is not None else [])
+    mins = exploded.groupBy(*group_keys).agg(
         *[
             F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % p).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
     ).persist()
     sig = mins.select(
-        "__id",
+        *group_keys,
         *[
             F.xxhash64(
                 *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -263,20 +279,23 @@ def minhash_lsh_pairs(
         ],
     )
     bands_long = sig.select(
-        "__id",
+        *group_keys,
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "band_id", "band_key"
         ),
     )
     a = bands_long.alias("a")
     b_ = bands_long.alias("b")
+    join_cond = (
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.__id") < F.col("b.__id"))
+    )
+    if flag_col is not None:
+        # incremental: never emit the corpus-vs-corpus quadrant
+        join_cond = join_cond & ~(F.col("a.__flag") & F.col("b.__flag"))
     cand = (
-        a.join(
-            b_,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
+        a.join(b_, join_cond)
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
@@ -334,6 +353,36 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= verify_threshold)
     )
     return verified
+
+
+def minhash_lsh_pairs_incremental(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Incremental fuzzy dedup: near-dup pairs where at least one side is a
+    NEW document — what a daily corpus build runs, instead of re-deduping
+    the whole corpus.
+
+    The corpus-vs-corpus quadrant (O(corpus²) — by far the largest) is
+    excluded inside the band join, so each increment pays O(batch×corpus
+    collisions + batch²).  At true scale the corpus side's minhash
+    signatures would be read from a stored signature table instead of
+    recomputed (the signature aggregate is deterministic, so storing it is
+    a pure-win cache); the band-join/funnel/verify stages are identical
+    either way.
+    """
+    b = batch.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("__is_old")
+    )
+    c = corpus.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("__is_old")
+    )
+    return minhash_lsh_pairs(
+        c.unionByName(b), id_col, text_col, flag_col="__is_old", **kwargs
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -196,3 +196,26 @@ def test_heavy_hitters_exact_under_partitioning(spark):
     expected = {t: n for t, n in expected.items() if n >= thresh}
     assert got == expected
     assert "omega" not in got
+
+
+def test_incremental_lsh_equals_restricted_full_run(spark):
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+
+    docs = eq.load(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    full = dd.minhash_lsh_pairs(docs, "doc_id", "text", verify_threshold=0.5)
+    batch_ids = {r["doc_id"] for r in docs.filter("doc_id >= 400").select("doc_id").collect()}
+    expected = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in full.collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.minhash_lsh_pairs_incremental(
+            docs.filter("doc_id >= 400"), docs.filter("doc_id < 400"),
+            "doc_id", "text", verify_threshold=0.5,
+        ).collect()
+    }
+    assert got == expected
+    assert all(a >= 400 or b >= 400 for a, b, _ in got)
