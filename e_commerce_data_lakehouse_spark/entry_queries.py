@@ -3421,3 +3421,82 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text",
         num_hashes=32, bands=8, shingle_n=5, verify_threshold=0.5,
     )
+
+
+@register(
+    "scd2_customer_dim",
+    """
+WITH cur AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000, c_name, 'NEWSEG', c_acctbal
+  FROM customer WHERE c_custkey % 31 = 0
+),
+changed AS (
+  SELECT u.* FROM upd u LEFT JOIN cur c ON u.c_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+     OR u.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+     OR u.c_acctbal IS DISTINCT FROM c.c_acctbal
+),
+closed AS (
+  SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal, c.valid_from,
+         DATE '1997-06-01' AS valid_to, FALSE AS is_current
+  FROM cur c JOIN changed ch ON c.c_custkey = ch.c_custkey
+),
+untouched AS (
+  SELECT c.* FROM cur c
+  WHERE NOT EXISTS (SELECT 1 FROM changed ch WHERE ch.c_custkey = c.c_custkey)
+),
+opened AS (
+  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+         DATE '1997-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM changed
+)
+SELECT * FROM untouched
+UNION ALL SELECT * FROM closed
+UNION ALL SELECT * FROM opened
+""",
+)
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension versioning (``operators/merge.py: scd2_merge``)
+    — the effective-dated history op the reference's SCD-1-only MERGE
+    lacks: changed keys close their current row and open a new version at
+    the effective date; no-op updates change nothing (idempotent replay);
+    new keys insert.  The update batch here is deterministic (acctbal +100
+    for custkey%7, brand-new NEWSEG keys for custkey%31), so the full
+    resulting dimension — history, closures, openings — is value-checked
+    against the oracle."""
+    c = load(spark, sf_dir, "customer")["customer"].select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    dim = (
+        c.withColumn("valid_from", F.lit("1995-01-01").cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    updates = (
+        c.filter(F.col("c_custkey") % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .unionByName(
+            c.filter(F.col("c_custkey") % 31 == 0).select(
+                (F.col("c_custkey") + 10000).alias("c_custkey"),
+                "c_name",
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                "c_acctbal",
+            )
+        )
+    )
+    return mg.scd2_merge(
+        dim, updates,
+        keys=["c_custkey"],
+        tracked=["c_mktsegment", "c_acctbal"],
+        effective_date="1997-06-01",
+    )

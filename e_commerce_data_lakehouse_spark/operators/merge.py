@@ -97,3 +97,75 @@ def incremental_rows(
     else:
         lit = F.lit(wm)
     return source.filter(F.col(ts_col) > lit)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    effective_date,
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD type-2 batch apply: full change history with effective dating.
+
+    For each update whose ``tracked`` attributes differ from the key's
+    CURRENT dimension row (or whose key is new), the current row is closed
+    (``valid_to = effective_date``, ``is_current = false``) and a new
+    current row opens at ``effective_date``.  No-op updates (identical
+    tracked values) change nothing — the idempotence a replayed batch needs.
+
+    Relational decomposition (each leg one equi-join on the key, AQE
+    broadcasts the small update side; history rows are untouched and at
+    scale would live in partition-pruned storage):
+
+    - ``changed``  = updates ⋉-diff current  (new key, or any tracked diff)
+    - ``closed``   = current ⋉ changed, end-dated
+    - ``opened``   = changed rows as new current versions
+    - result = history ∪ (current ∖ changed) ∪ closed ∪ opened
+
+    ``updates`` must be unique per key.  On a Delta cluster the closed+opened
+    legs map onto one ``DeltaTable.merge`` with a conditional
+    ``whenMatchedUpdate`` + ``whenNotMatchedInsert`` — same semantics, file-
+    level rewrite instead of table rebuild.
+    """
+    dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count() > 0:
+        raise ValueError(f"updates not unique on {keys}")
+
+    eff = F.lit(effective_date).cast("date")
+    cur = dim.filter(F.col(current_col))
+    history = dim.filter(~F.col(current_col))
+
+    joined = updates.alias("u").join(
+        cur.alias("c"), [F.col(f"u.{k}") == F.col(f"c.{k}") for k in keys], "left"
+    )
+    diff = F.lit(False)
+    for t in tracked:
+        # null-safe inequality: a tracked change to/from NULL still counts
+        diff = diff | ~F.col(f"u.{t}").eqNullSafe(F.col(f"c.{t}"))
+    is_new = F.col(f"c.{keys[0]}").isNull()
+    # carry EVERY update column (tracked cols only drive the diff test)
+    changed = joined.filter(is_new | diff).select(
+        *[F.col(f"u.{c}").alias(c) for c in updates.columns]
+    )
+
+    changed_keys = changed.select(*keys)
+    closed = (
+        cur.join(changed_keys, keys, "left_semi")
+        .withColumn(end_col, eff)
+        .withColumn(current_col, F.lit(False))
+    )
+    untouched = cur.join(changed_keys, keys, "left_anti")
+    opened = (
+        changed.withColumn(start_col, eff)
+        .withColumn(end_col, F.lit(None).cast("date"))
+        .withColumn(current_col, F.lit(True))
+    )
+    return (
+        history.unionByName(untouched)
+        .unionByName(closed)
+        .unionByName(opened.select(*history.columns))
+    )

@@ -330,3 +330,41 @@ def test_range_join_matches_naive(spark):
         .collect()
     }
     assert got == naive and len(got) > 0
+
+
+def test_scd2_merge_close_open_insert_and_idempotence(spark):
+    from e_commerce_data_lakehouse_spark.operators import merge as mg
+
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", "2020-01-01", None, True),
+            (1, "bronze", "2019-01-01", "2020-01-01", False),  # history
+            (2, "silver", "2020-01-01", None, True),
+            (3, "gold", "2020-01-01", None, True),
+        ],
+        "k long, tier string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "tier",
+        "CAST(valid_from AS DATE) AS valid_from",
+        "CAST(valid_to AS DATE) AS valid_to",
+        "is_current",
+    )
+    updates = spark.createDataFrame(
+        [(1, "platinum"), (2, "silver"), (4, "new")], "k long, tier string"
+    )
+    out = mg.scd2_merge(dim, updates, ["k"], ["tier"], "2021-06-01")
+    rows = {(r["k"], r["tier"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in out.collect()}
+    assert rows == {
+        (1, "bronze", "2019-01-01", "2020-01-01", False),   # history untouched
+        (1, "gold", "2020-01-01", "2021-06-01", False),      # closed
+        (1, "platinum", "2021-06-01", "None", True),         # opened
+        (2, "silver", "2020-01-01", "None", True),           # no-op update
+        (3, "gold", "2020-01-01", "None", True),             # not in batch
+        (4, "new", "2021-06-01", "None", True),              # new key
+    }
+    # replaying the same batch must be a no-op (idempotent apply)
+    again = mg.scd2_merge(out, updates, ["k"], ["tier"], "2021-07-01")
+    rows2 = {(r["k"], r["tier"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+             for r in again.collect()}
+    assert rows2 == rows
