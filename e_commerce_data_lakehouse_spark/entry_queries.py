@@ -3500,3 +3500,80 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked=["c_mktsegment", "c_acctbal"],
         effective_date="1997-06-01",
     )
+
+
+@register(
+    "orders_at_dim_version",
+    f"""
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0
+),
+scd2 AS (
+  SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, c.valid_from,
+         CASE WHEN u.c_custkey IS NULL THEN NULL
+              ELSE DATE '1997-06-01' END AS valid_to
+  FROM cur c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         DATE '1997-06-01', CAST(NULL AS DATE)
+  FROM upd
+)
+SELECT COALESCE(d.c_mktsegment, 'none') AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_sum_money('o.o_totalprice')} AS total_revenue,
+       {sql_avg_money('d.c_acctbal')} AS avg_acctbal_at_order
+FROM orders o LEFT JOIN scd2 d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.valid_from
+ AND (d.valid_to IS NULL OR o.o_orderdate < CAST(d.valid_to AS TIMESTAMP))
+GROUP BY 1
+""",
+)
+def orders_at_dim_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: every order is attributed to the
+    SCD-2 dimension VERSION valid at its order date — the companion read
+    path to ``scd2_customer_dim``.  Spark-first shape: because versions
+    tile each key's timeline, the interval join collapses to a backward
+    as-of join (``joins.asof_join``: one shuffle+sort on (key, ts),
+    last-ignorenulls window — no inequality cross join), while the oracle
+    states the same semantics as the naive BETWEEN join.  Orders before the
+    first version surface as mktsegment='none' with NULL acctbal."""
+    t = load(spark, sf_dir, "customer", "orders")
+    c = t["customer"].select("c_custkey", "c_mktsegment", "c_acctbal")
+    upd = c.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    dim = (
+        c.withColumn("valid_from", F.lit("1995-01-01").cast("date"))
+        .withColumn("valid_to", F.lit(None).cast("date"))
+        .withColumn("is_current", F.lit(True))
+    )
+    scd2 = mg.scd2_merge(
+        dim, upd, keys=["c_custkey"], tracked=["c_acctbal"],
+        effective_date="1997-06-01",
+    )
+    versions = scd2.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.col("valid_from").cast("timestamp_ntz").alias("valid_from_ts"),
+    )
+    orders = t["orders"].select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderdate", "o_totalprice"
+    )
+    pit = jn.asof_join(
+        orders, versions, on="c_custkey",
+        left_ts="o_orderdate", right_ts="valid_from_ts",
+        right_cols=["c_mktsegment", "c_acctbal"],
+    )
+    return pit.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("none")).alias("mktsegment")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        sum_money("o_totalprice").alias("total_revenue"),
+        avg_money("c_acctbal").alias("avg_acctbal_at_order"),
+    )
