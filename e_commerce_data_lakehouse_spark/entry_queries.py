@@ -3577,3 +3577,69 @@ def orders_at_dim_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_money("o_totalprice").alias("total_revenue"),
         avg_money("c_acctbal").alias("avg_acctbal_at_order"),
     )
+
+
+@register(
+    "fuzzy_name_matches",
+    """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs: customers in the same nation
+    whose names are within edit distance 2 — the record-linkage primitive.
+    Blocking on the nation key keeps the self-join an equi-join (the
+    all-pairs levenshtein is confined to each block); ``F.levenshtein`` and
+    DuckDB's agree exactly, so the pairs are value-checked.  At 100 TB the
+    blocking key would be a stronger candidate key (phonetic code, name
+    prefix, LSH bucket) — same plan shape."""
+    c = load(spark, sf_dir, "customer")["customer"]
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .cast("int")
+            .alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 2)
+    )
+
+
+@register(
+    "order_price_histogram",
+    """
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket,
+       CAST(CAST(FLOOR(o_totalprice / 25000.0) AS INT) * 25000.0 AS DOUBLE)
+           AS bucket_low,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+""",
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (profiling primitive): one
+    stateless bucket expression + one hash aggregate with map-side combine
+    — the single-pass histogram shape that profiles a 100 TB column without
+    a sort."""
+    o = load(spark, sf_dir, "orders")["orders"]
+    bucket = F.floor(F.col("o_totalprice") / 25000.0).cast("int")
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000.0).alias("bucket_low"),
+            "n_orders",
+        )
+    )
