@@ -205,6 +205,37 @@ class ManagedTable:
         )
         self._commit(merged)
 
+    def delete_where(self, condition) -> int:
+        """Delta ``DELETE FROM table WHERE cond`` — the GDPR-erasure /
+        bad-batch-removal path.  Returns the number of rows deleted and
+        commits a new snapshot, so the deletion is itself versioned
+        (auditable, and reversible until vacuum via time travel — exactly
+        Delta's contract).  Snapshot rewrite here; Delta rewrites only the
+        files whose stats overlap the predicate."""
+        cur = self.read()
+        keep = cur.filter(~condition)
+        deleted = cur.count() - keep.count()
+        if deleted:
+            self._commit(keep)
+        return deleted
+
+    def update_where(self, condition, assignments: dict) -> int:
+        """Delta ``UPDATE table SET ... WHERE cond``: conditional column
+        rewrite, committed as a new version.  ``assignments`` maps column
+        name -> Column expression applied only where ``condition`` holds."""
+        from pyspark.sql import functions as _F
+
+        cur = self.read()
+        touched = cur.filter(condition).count()
+        out = cur
+        for col, expr in assignments.items():
+            out = out.withColumn(
+                col, _F.when(condition, expr).otherwise(_F.col(col))
+            )
+        if touched:
+            self._commit(out)
+        return touched
+
     def merge_insert_only(self, updates: DataFrame, keys: list[str]) -> None:
         """S15: insert-if-absent for immutable dims
         (``silver_to_gold_customer_images.py:77-79``)."""

@@ -368,3 +368,29 @@ def test_scd2_merge_close_open_insert_and_idempotence(spark):
     rows2 = {(r["k"], r["tier"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
              for r in again.collect()}
     assert rows2 == rows
+
+
+def test_managed_table_delete_update_where(spark, tmp_path):
+    t = src.ManagedTable(spark, str(tmp_path / "dml"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)],
+            "id long, grp string, v double",
+        )
+    )
+    # UPDATE ... WHERE
+    n = t.update_where(F.col("grp") == "a", {"v": F.col("v") * 2})
+    assert n == 2
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == {
+        (1, 20.0), (2, 20.0), (3, 60.0),
+    }
+    # DELETE ... WHERE (GDPR erasure path), versioned + time-travel reversible
+    before = t.history()[-1]
+    n = t.delete_where(F.col("id") == 2)
+    assert n == 1
+    assert {r["id"] for r in t.read().collect()} == {1, 3}
+    assert {r["id"] for r in t.read(version_as_of=before).collect()} == {1, 2, 3}
+    # no-op predicates commit nothing
+    hist = t.history()
+    assert t.delete_where(F.col("id") == 999) == 0
+    assert t.history() == hist
