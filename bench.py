@@ -74,6 +74,10 @@ HEADLINE = [
     "dsir_importance_sample",
     "ann_ivfpq_topk",
     "multimodal_embed_topk",
+    "heavy_hitter_tokens",
+    "incremental_near_dup",
+    "scd2_customer_dim",
+    "funnel_view_click_purchase",
 ]
 
 

@@ -3643,3 +3643,47 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@register(
+    "segment_spend_ranks",
+    f"""
+WITH spend AS (
+  SELECT c.c_custkey, c.c_mktsegment,
+         {sql_sum_money('o.o_totalprice')} AS spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+)
+SELECT c_custkey, c_mktsegment, spend,
+       ROUND(percent_rank() OVER w, 6) AS spend_pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS spend_cume_dist,
+       nth_value(spend, 3) OVER w AS third_lowest_spend
+FROM spend
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY spend ASC, c_custkey ASC)
+""",
+)
+def segment_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window breadth: percent_rank / cume_dist / nth_value
+    over per-segment spend (deterministic tiebreak on custkey, so the
+    standard RANGE default frame equals ROWS).  Windows partition on the
+    segment key — never a global single-partition sort."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "customer", "orders")
+    spend = (
+        t["customer"]
+        .join(t["orders"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(sum_money("o_totalprice").alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("spend").asc(), F.col("c_custkey").asc()
+    )
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "spend",
+        F.round(F.percent_rank().over(w), 6).alias("spend_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
+        F.nth_value("spend", 3).over(w).alias("third_lowest_spend"),
+    )
