@@ -3687,3 +3687,79 @@ def segment_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("spend_cume_dist"),
         F.nth_value("spend", 3).over(w).alias("third_lowest_spend"),
     )
+
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+@register(
+    "bm25_search_topk",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split({NORM_SQL.format(c='text')}, ' ') AS toks,
+         CAST(len(string_split({NORM_SQL.format(c='text')}, ' ')) AS DOUBLE)
+             AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl,
+         {', '.join(
+             f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+             for i, t in enumerate(_BM25_TERMS)
+         )}
+  FROM base
+),
+scored AS (
+  SELECT b.doc_id,
+         ROUND(0.0 + {' + '.join(
+             f"((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5)) * "
+             f"(CAST(len(list_filter(b.toks, t -> t = '{t}')) AS DOUBLE) * 2.2) / "
+             f"(CAST(len(list_filter(b.toks, t -> t = '{t}')) AS DOUBLE)"
+             f" + 1.2 * (0.25 + (0.75 * b.dl) / s.avgdl))"
+             for i, t in enumerate(_BM25_TERMS)
+         )}, 6) AS bm25_score
+  FROM base b, stats s
+)
+SELECT doc_id, bm25_score FROM scored
+ORDER BY bm25_score DESC, doc_id ASC LIMIT 20
+""",
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance search: BM25 with a rational idf (log-free, so
+    scores are bit-identical across engines — see
+    ``functions/text.py: bm25_lite_score``).  Corpus stats (N, avgdl, per-
+    term document frequency) come from ONE aggregate pass collected as a
+    bounded driver scalar row; scoring is a pure-Catalyst map stage over
+    the corpus and top-k is a TakeOrdered heap — at 100 TB this is a scan +
+    tiny driver state, no shuffle except the final k rows."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(dd.normalize_text(F.col("text")), " ")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("double").alias("dl"),
+    )
+    stat_row = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("sum_len"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("int")).alias(f"df_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).first()
+    n_docs = stat_row["n_docs"]
+    avgdl = stat_row["sum_len"] / n_docs
+    term_stats = [
+        (t, stat_row[f"df_{i}"]) for i, t in enumerate(_BM25_TERMS)
+    ]
+    scored = base.select(
+        "doc_id",
+        tx.bm25_lite_score(
+            F.col("toks"), F.col("dl"), avgdl, term_stats, n_docs
+        ).alias("bm25_score"),
+    )
+    return scored.orderBy(
+        F.col("bm25_score").desc(), F.col("doc_id").asc()
+    ).limit(20)

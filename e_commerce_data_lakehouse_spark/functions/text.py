@@ -221,3 +221,34 @@ def parse_bool(col: Column) -> Column:
     """P6 tri-state boolean parse (``csv_bronze_to_silver.py:180-184``):
     'true'/'1'/'yes'/'t' -> true, else false."""
     return F.lower(F.trim(col)).isin("true", "1", "yes", "t")
+
+
+def bm25_lite_score(
+    tokens: Column,
+    doc_len: Column,
+    avg_doc_len: float,
+    term_stats: list[tuple[str, int]],
+    n_docs: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> Column:
+    """BM25 relevance with a *rational* idf — ``(N - df + 0.5)/(df + 0.5)``
+    instead of its logarithm — so every operation is +-*-/ on exact inputs
+    and the score is bit-identical across engines (``log``'s last-ulp
+    behaviour differs between libm implementations; the rational form keeps
+    the same ranking for a fixed query).  ``term_stats`` is the per-term
+    document frequency (computed corpus-wide, a tiny driver-side list);
+    term contributions add in list order, mirrored in the oracle SQL.
+
+    tf uses the standard saturation ``tf*(k1+1) / (tf + k1*(1-b+b*len/avgdl))``.
+    Pure Catalyst: array filter + arithmetic, codegen end to end.
+    """
+    score = F.lit(0.0)
+    for term, df_count in term_stats:
+        tf = F.size(F.filter(tokens, lambda t: t == F.lit(term))).cast("double")
+        idf = F.lit((n_docs - df_count + 0.5) / (df_count + 0.5))
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * doc_len / F.lit(avg_doc_len)
+        )
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
+    return F.round(score, 6)
