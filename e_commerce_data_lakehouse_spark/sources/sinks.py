@@ -205,6 +205,32 @@ class ManagedTable:
         )
         self._commit(merged)
 
+    def append_once(self, df: DataFrame, txn_id: str) -> bool:
+        """Idempotent append — Delta's ``txnAppId``/``txnVersion`` contract
+        for append-only streaming sinks: a batch identified by ``txn_id``
+        lands exactly once no matter how many times ``foreachBatch`` replays
+        it after a failure.  Returns False (no-op) if ``txn_id`` was already
+        committed.  The ledger is a tiny text marker per transaction —
+        O(committed batches), checked without reading any data.
+
+        Emulation caveat (same class of caveat as the rest of
+        ``ManagedTable``): the data append and the marker write are two
+        steps, so a crash exactly between them re-appends on replay.  Delta
+        closes that window by committing data files and the txn action in
+        one atomic log entry — this method maps onto
+        ``.option("txnAppId", ...).option("txnVersion", ...)`` there."""
+        import os
+
+        marker_dir = f"{self.path}/_txn"
+        marker = f"{marker_dir}/{txn_id}"
+        if os.path.exists(marker):
+            return False
+        self.append(df)
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(txn_id)
+        return True
+
     def delete_where(self, condition) -> int:
         """Delta ``DELETE FROM table WHERE cond`` — the GDPR-erasure /
         bad-batch-removal path.  Returns the number of rows deleted and

@@ -394,3 +394,13 @@ def test_managed_table_delete_update_where(spark, tmp_path):
     hist = t.history()
     assert t.delete_where(F.col("id") == 999) == 0
     assert t.history() == hist
+
+
+def test_managed_table_append_once_is_idempotent(spark, tmp_path):
+    t = src.ManagedTable(spark, str(tmp_path / "ao"))
+    batch = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    assert t.append_once(batch, "batch-0001") is True
+    assert t.append_once(batch, "batch-0001") is False  # replay -> no-op
+    assert t.read().count() == 2
+    assert t.append_once(batch, "batch-0002") is True   # new txn appends
+    assert t.read().count() == 4
