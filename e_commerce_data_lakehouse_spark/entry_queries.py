@@ -3763,3 +3763,734 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("bm25_score").desc(), F.col("doc_id").asc()
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H query-shape completion (Q5-Q22 shapes over the available columns)
+#
+# The reference repo has none of these as named jobs; they complete the
+# relational surface a user of a lakehouse DW expects (SURVEY §2.2-2.7
+# composition shapes).  Columns the TPC-H spec needs but the testdata lacks
+# (partsupp, l_shipmode, c_phone) are substituted with the documented
+# nearest available column; the PLAN shape (which joins broadcast, which
+# aggregations are conditional, where the scalar subquery becomes a
+# broadcast) is the point.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regional_nation_revenue",
+    """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def regional_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way star join restricted to one region, with the
+    local-supplier constraint (customer and supplier share a nation).
+
+    Plan: nation⋈region (25 rows) broadcasts into supplier; the fact-side
+    joins (orders⋈lineitem on orderkey, then customer on custkey) shuffle on
+    their keys; the date filter is pushed to the orders scan so only one
+    year of the fact tree is read.  The c_nationkey = s_nationkey constraint
+    rides the customer join as a residual predicate — no extra shuffle."""
+    t = load(spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+             "nation", "region")
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = t["supplier"].join(
+        F.broadcast(asia_nations),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t["customer"],
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "discount_band_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive range predicates + one
+    grand-total aggregate.  Every predicate (date range, discount band,
+    quantity cap) reaches the parquet scan as a pushed filter; the plan is
+    a single codegen'd scan-agg stage — the cheapest possible shape at
+    100 TB, bounded by I/O on the pruned row groups."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "nation_trade_volume",
+    """
+SELECT supp_nation, cust_nation, yr,
+       CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS yr,
+           l.l_extendedprice * (1 - l.l_discount) AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, yr
+""",
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair volume.  The two nation
+    dimension legs broadcast (25 rows each); the disjunctive pair predicate
+    is applied after both broadcasts as a residual — Catalyst cannot split
+    an OR across two join inputs, but because each broadcast already
+    restricts to the two named nations the fact rows surviving to the
+    residual are minimal."""
+    t = load(spark, sf_dir, "supplier", "lineitem", "orders", "customer",
+             "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = (
+        t["nation"].filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        t["nation"].filter(F.col("n_name").isin(*pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    supp = t["supplier"].join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    ).select("s_suppkey", "supp_nation")
+    cust = t["customer"].join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    ).select("c_custkey", "cust_nation")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "nation_market_share",
+    """
+WITH all_vol AS (
+    SELECT year(o.o_orderdate) AS yr,
+           l.l_extendedprice * (1 - l.l_discount) AS volume,
+           n1.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+)
+SELECT yr,
+       ROUND(
+         CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                       THEN CAST(volume AS DECIMAL(30,6))
+                       ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE), 6)
+         AS mkt_share
+FROM all_vol GROUP BY yr
+""",
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region+part-type market per
+    year — conditional numerator over a common denominator in ONE aggregate
+    pass (no self-join of the volume set).  part filters broadcast into the
+    fact; both nation legs broadcast.  The division is a single double op
+    on two decimal-exact sums, so the ratio is engine-reproducible."""
+    t = load(spark, sf_dir, "part", "lineitem", "supplier", "orders",
+             "customer", "nation", "region")
+    eco_parts = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    eu_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cnat_key"))
+    )
+    cust = t["customer"].join(
+        F.broadcast(eu_nations), F.col("c_nationkey") == F.col("cnat_key")
+    ).select("c_custkey")
+    supp_nation = t["supplier"].join(
+        F.broadcast(
+            t["nation"].select(
+                F.col("n_nationkey").alias("snat_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("snat_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(eco_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "product_profit_by_nation",
+    """
+SELECT n_name, yr,
+       CAST(SUM(CAST(amount AS DECIMAL(30,6))) AS DOUBLE) AS profit
+FROM (
+    SELECT n.n_name, year(l.l_shipdate) AS yr,
+           l.l_extendedprice * (1 - l.l_discount)
+             - p.p_retailprice * 0.6 * l.l_quantity AS amount
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'STANDARD'
+) profit_src
+GROUP BY n_name, yr
+""",
+)
+def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year.  partsupp does
+    not exist in the testdata, so unit cost is the documented proxy
+    ``0.6 * p_retailprice`` — the plan shape (selective part filter
+    broadcast into the fact, supplier→nation broadcast chain, two-key
+    aggregate) is identical to spec-Q9.  The per-row amount is computed in
+    double with one fixed parenthesization, then decimal-summed."""
+    t = load(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    std_parts = t["part"].filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = t["supplier"].join(
+        F.broadcast(t["nation"]),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.6) * F.col("l_quantity")
+    ).cast("decimal(30,6)")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(std_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", F.year("l_shipdate").cast("long").alias("yr"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "returned_revenue_top20",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       n.n_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def returned_revenue_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in one
+    quarter.  The returnflag + date filters push to their scans; nation
+    broadcasts; the final top-20 is a TakeOrderedAndProject heap (no global
+    sort materialization) with an explicit custkey tiebreak."""
+    t = load(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", "n_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "top_value_parts",
+    """
+WITH pv AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+               AS val
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(val AS DOUBLE) >
+      (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) * 1.5 FROM pv)
+""",
+)
+def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: groups filtered against a scalar computed over ALL
+    groups (HAVING vs a global subquery).  The per-part aggregate runs
+    once (persisted); the global threshold re-aggregates the (already tiny)
+    per-part result down to ONE row fetched as a bounded driver scalar and
+    re-injected as a literal — the fact table is scanned exactly once, and
+    the threshold is share-based so the query is scale-free.  Sums stay
+    decimal until the final double division, so the threshold is
+    bit-identical across engines (cf. customer_spend_quartiles for the
+    same scalar-fetch pattern)."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        ).alias("val")
+    ).persist()
+    thr = pv.agg(
+        (F.sum("val").cast("double") / F.count("*") * F.lit(1.5)).alias("thr")
+    ).first()["thr"]
+    return (
+        pv.filter(F.col("val").cast("double") > F.lit(thr))
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "priority_linestatus_counts",
+    """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+)
+def priority_linestatus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional split-count aggregation
+    (l_shipmode doesn't exist in the testdata; l_linestatus is the group
+    key).  One shuffle for the join, map-side partial conditional counts."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(is_high.cast("long")).alias("high_line_count"),
+            F.sum((~is_high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+SELECT ROUND(
+         100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(30,6))
+                     ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE), 6) AS promo_share_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue as a share of one month's total.
+    part broadcasts into the filtered fact; numerator and denominator are
+    decimal-exact sums combined with one rounded double division."""
+    t = load(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    zero = F.lit(0).cast("decimal(30,6)")
+    return (
+        li.join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "part_supplier_diversity",
+    """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#4'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute group,
+    with a NOT IN exclusion list.  NOT IN compiles to a broadcast left-anti
+    join against the (filtered, small) supplier side — never a
+    NestedLoopJoin, because the exclusion list is known non-null
+    (s_suppkey is a key).  COUNT(DISTINCT) expands to the standard two-pass
+    partial-distinct aggregate."""
+    t = load(spark, sf_dir, "lineitem", "part", "supplier")
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#4")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) >
+           CAST(280 AS DECIMAL(30,2))
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery on the same fact.
+    The qualifying-order aggregate runs once and carries its sum into the
+    output, so the IN never re-scans lineitem a third time; orders and
+    customer join on their keys.  Decimal-exact quantity sums make the
+    HAVING threshold engine-reproducible."""
+    t = load(spark, sf_dir, "customer", "orders", "lineitem")
+    qty = F.col("l_quantity").cast("decimal(30,2)")
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("qty_sum"))
+        .filter(F.col("qty_sum") > F.lit(280).cast("decimal(30,2)"))
+    )
+    return (
+        t["orders"]
+        .join(big_orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("qty_sum").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "bracketed_part_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def bracketed_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brackets spanning both
+    join sides.  The join stays a single broadcast hash join on partkey;
+    the OR-of-ANDs is a residual filter.  Catalyst additionally derives the
+    implied single-side supersets (brand IN (...), size BETWEEN 1 AND 50,
+    quantity BETWEEN 1 AND 30) and pushes them to the scans, so most
+    non-qualifying rows never reach the join."""
+    t = load(spark, sf_dir, "lineitem", "part")
+    br = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#17")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(30,6)"
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(br)
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "excess_promo_suppliers",
+    """
+WITH sq AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(30,2))) AS promo_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(sq.promo_qty AS DOUBLE) AS promo_qty
+FROM supplier s
+JOIN sq ON s.s_suppkey = sq.l_suppkey
+WHERE CAST(sq.promo_qty AS DOUBLE) >
+      (SELECT CAST(SUM(promo_qty) AS DOUBLE) / COUNT(*) * 1.1 FROM sq)
+""",
+)
+def excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers qualified by a nested aggregate over
+    their own shipments (here: above-average PROMO-part volume).  The
+    per-supplier aggregate computes once (persisted) and is reused for
+    both the threshold (one aggregate row fetched as a bounded driver
+    scalar) and the join back to supplier — no second fact scan, no
+    correlated re-execution per supplier."""
+    t = load(spark, sf_dir, "lineitem", "part", "supplier")
+    promo_parts = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    sq = (
+        t["lineitem"]
+        .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("promo_qty"))
+    ).persist()
+    thr = sq.agg(
+        (F.sum("promo_qty").cast("double") / F.count("*") * F.lit(1.1)).alias(
+            "thr"
+        )
+    ).first()["thr"]
+    return (
+        t["supplier"]
+        .join(sq, F.col("s_suppkey") == F.col("l_suppkey"))
+        .filter(F.col("promo_qty").cast("double") > F.lit(thr))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("promo_qty").cast("double").alias("promo_qty"),
+        )
+    )
+
+
+@register(
+    "dormant_customer_balances",
+    """
+WITH avg_bal AS (
+    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+           AS thr
+    FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_bal
+FROM customer c, avg_bal
+WHERE c.c_acctbal > avg_bal.thr
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  )
+GROUP BY c.c_nationkey
+""",
+)
+def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar threshold (average positive balance)
+    + NOT EXISTS anti join against recent orders, grouped per nation.  The
+    decimal-exact average comes back as ONE bounded driver scalar
+    re-injected as a literal (so the customer scan gets it as a pushable
+    predicate); the anti join shuffles on custkey against the
+    date-filtered (scan-pruned) orders slice."""
+    t = load(spark, sf_dir, "customer", "orders")
+    bal = F.col("c_acctbal").cast("decimal(30,2)")
+    thr = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(bal).cast("double") / F.count("*")).alias("thr"))
+    ).first()["thr"]
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") > F.lit(thr))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
+    )
