@@ -4494,3 +4494,264 @@ def dormant_customer_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 third pass: vocabulary build, unpivot, interval window frames,
+# embedding-cluster cohesion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_vocabulary",
+    f"""
+WITH tok AS (
+    SELECT unnest(string_split({NORM_SQL.format(c='text')}, ' ')) AS token
+    FROM documents
+),
+cnt AS (
+    SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY token
+),
+top AS (SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) - 1
+           AS token_id,
+       token, n
+FROM top
+""",
+)
+def token_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build: corpus token counts → top-K vocabulary
+    with contiguous ids (count-desc, token-asc tiebreak — the deterministic
+    BPE-merge-table ordering).
+
+    Scale shape: explode + one map-side-combined hash aggregate (shuffle is
+    O(distinct tokens), not O(corpus tokens)); the top-K is a
+    TakeOrderedAndProject heap, and the id-assigning row_number window runs
+    AFTER the limit, over exactly K rows — the single-partition window is
+    bounded by the vocabulary size the caller asked for, never by data."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        F.explode(F.split(dd.normalize_text(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.select(
+        (F.row_number().over(w).cast("long") - 1).alias("token_id"),
+        "token",
+        "n",
+    )
+
+
+@register(
+    "returnflag_measures_unpivot",
+    """
+WITH agg AS (
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+               AS base_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE)
+               AS discount,
+           CAST(SUM(CAST(l_tax AS DECIMAL(30,2))) AS DOUBLE) AS tax
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+    SELECT l_returnflag, 'qty' AS metric, qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'base_price', base_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'discount', discount FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'tax', tax FROM agg
+) u
+""",
+)
+def returnflag_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt), the inverse of status_revenue_pivot:
+    aggregate FIRST (4 decimal-exact sums per return flag), then melt the
+    wide row into (metric, value) pairs with ``unpivot`` — a zero-shuffle
+    Expand over the already-tiny aggregate, not a 4× blowup of the fact."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        sum_money("l_quantity").alias("qty"),
+        sum_money("l_extendedprice").alias("base_price"),
+        sum_money("l_discount").alias("discount"),
+        sum_money("l_tax").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["qty", "base_price", "discount", "tax"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "weekly_range_frame_revenue",
+    """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           o_orderstatus AS status,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1, 2, 3
+)
+SELECT d, status,
+       ROUND(CAST(SUM(CAST(rev AS DECIMAL(30,2))) OVER (
+           PARTITION BY status ORDER BY day_no
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+           AS rev_7d
+FROM daily
+""",
+)
+def weekly_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-calendar-day revenue via a RANGE window frame — unlike
+    the rowsBetween moving average (revenue_7d_moving), a RANGE frame spans
+    value distance, so calendar gaps shorten the window instead of pulling
+    in older rows.  Runs over the per-(day,status) pre-aggregate —
+    partitions are bounded by calendar days (~2.4k), and the frame key is
+    an integer day number so Spark and the oracle share identical frame
+    semantics."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = (
+        o.groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(sum_money("o_totalprice").alias("rev"))
+        .withColumn(
+            "day_no", F.datediff(F.col("d"), F.lit("1995-01-01").cast("date"))
+        )
+    )
+    w = (
+        Window.partitionBy("status")
+        .orderBy("day_no")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "d",
+        "status",
+        F.round(
+            F.sum(F.col("rev").cast("decimal(30,2)")).over(w).cast("double"), 2
+        ).alias("rev_7d"),
+    )
+
+
+@register(
+    "label_cohesion",
+    """
+WITH cent AS (
+    SELECT label, i,
+           ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,20)))
+                      AS DOUBLE) / COUNT(*), 6) AS c
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+    GROUP BY label, i
+),
+ex AS (
+    SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)
+),
+dots AS (
+    SELECT ex.vec_id, ex.label,
+           SUM(CAST(ex.v * cent.c AS DECIMAL(32,20))) AS dot,
+           SUM(CAST(ex.v * ex.v AS DECIMAL(32,20))) AS n2v,
+           SUM(CAST(cent.c * cent.c AS DECIMAL(32,20))) AS n2c
+    FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+    GROUP BY ex.vec_id, ex.label
+),
+cos AS (
+    SELECT vec_id, label,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(n2v AS DOUBLE)) * sqrt(CAST(n2c AS DOUBLE))),
+                 6) AS cs
+    FROM dots
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(cs AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_cohesion
+FROM cos GROUP BY label
+""",
+)
+def label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-cluster cohesion: average cosine of every vector to its
+    label's centroid — the clustering-QA / embedding-drift metric.
+
+    Scale shape: centroids are O(labels × dims) (tiny) and broadcast back
+    onto the corpus by label; each vector's dot/norms are pure Catalyst
+    higher-order folds (zip_with + aggregate) over the array column — no
+    explode of the corpus, no UDF, map-side only — and the final per-label
+    average is one hash aggregate.  All cross-row sums run in DECIMAL so
+    the result is bit-identical regardless of partitioning (the oracle
+    computes the same folds via an explicit position explode)."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "f"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("f").cast("double").cast("decimal(38,20)")).cast(
+                    "double"
+                )
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("centroid")
+        )
+    )
+    # fold in DECIMAL(32,20): each step's (33,20) sum casts back to (32,20)
+    # exactly (|value| < 10^12), so the fold is exact in any order — matching
+    # the oracle's SUM over the same-typed products
+    dec0 = F.lit(0).cast("decimal(32,20)")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dec_fold(arr):
+        return F.aggregate(arr, dec0, lambda a, b: (a + b).cast("decimal(32,20)"))
+
+    joined = emb.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        dec_fold(
+            F.zip_with(v, F.col("centroid"), lambda x, y: (x * y).cast("decimal(32,20)"))
+        ).alias("dot"),
+        dec_fold(
+            F.transform(v, lambda x: (x * x).cast("decimal(32,20)"))
+        ).alias("n2v"),
+        dec_fold(
+            F.transform(F.col("centroid"), lambda y: (y * y).cast("decimal(32,20)"))
+        ).alias("n2c"),
+    )
+    cos = joined.select(
+        "label",
+        F.round(
+            F.col("dot").cast("double")
+            / (
+                F.sqrt(F.col("n2v").cast("double"))
+                * F.sqrt(F.col("n2c").cast("double"))
+            ),
+            6,
+        ).alias("cs"),
+    )
+    return cos.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(F.col("cs").cast("decimal(30,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_cohesion"),
+    )
