@@ -3436,7 +3436,7 @@ upd AS (
   SELECT c_custkey, c_name, c_mktsegment, c_acctbal + 100.0 AS c_acctbal
   FROM customer WHERE c_custkey % 7 = 0
   UNION ALL
-  SELECT c_custkey + 10000, c_name, 'NEWSEG', c_acctbal
+  SELECT c_custkey + 10000000, c_name, 'NEWSEG', c_acctbal
   FROM customer WHERE c_custkey % 31 = 0
 ),
 changed AS (
@@ -3471,7 +3471,8 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacks: changed keys close their current row and open a new version at
     the effective date; no-op updates change nothing (idempotent replay);
     new keys insert.  The update batch here is deterministic (acctbal +100
-    for custkey%7, brand-new NEWSEG keys for custkey%31), so the full
+    for custkey%7, brand-new NEWSEG keys for custkey%31 offset far past
+    the live key domain so the two legs never collide at any SF), so the full
     resulting dimension — history, closures, openings — is value-checked
     against the oracle."""
     c = load(spark, sf_dir, "customer")["customer"].select(
@@ -3487,7 +3488,7 @@ def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
         .unionByName(
             c.filter(F.col("c_custkey") % 31 == 0).select(
-                (F.col("c_custkey") + 10000).alias("c_custkey"),
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
                 "c_name",
                 F.lit("NEWSEG").alias("c_mktsegment"),
                 "c_acctbal",
@@ -4754,4 +4755,113 @@ def label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*"),
             6,
         ).alias("avg_cohesion"),
+    )
+
+
+@register(
+    "doc_chunking",
+    f"""
+WITH base AS (
+    SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS toks
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(
+               0, CAST(ceil(len(toks) / 50.0) AS BIGINT) - 1)) AS chunk_id
+    FROM base
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * 50 + 1, chunk_id * 50 + 50))
+            AS BIGINT) AS n_tokens,
+       array_to_string(
+           list_slice(toks, chunk_id * 50 + 1, chunk_id * 50 + 50), ' ')
+           AS chunk_text
+FROM idx
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking, the LLM-pretraining tokenizer-feed
+    primitive: split every document into fixed 50-token chunks with stable
+    (doc_id, chunk_id) addressing.
+
+    Scale shape: tokenize once, explode a per-doc ``sequence`` of chunk
+    ids (bounded by ceil(len/50), never a cross join), ``slice`` the token
+    array per chunk — all Catalyst array ops in one codegen stage, no
+    shuffle at all: chunking is embarrassingly parallel and stays
+    map-side at any corpus size."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(dd.normalize_text(F.col("text")), " ")
+    base = docs.select("doc_id", toks.alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(50.0)).cast("long")
+    ex = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_id") * 50 + 1).cast("int"), 50
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "nation_share_of_region",
+    """
+WITH nn AS (
+    SELECT r_name, n_name,
+           SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name, n_name
+)
+SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE), 6)
+           AS share_of_region
+FROM nn
+""",
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchical rollup: each nation's share of its
+    region's revenue.  One fact aggregate to the (region, nation) grain
+    (≤25 rows), then a partitioned window sum — partitions are bounded by
+    the dimension hierarchy, not the data.  The window sum runs in DECIMAL
+    so the share denominator is order-independent; the share itself is one
+    rounded double division."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "orders", "customer", "nation", "region")
+    nn = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return nn.select(
+        "r_name",
+        "n_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"),
+            6,
+        ).alias("share_of_region"),
     )
