@@ -4865,3 +4865,276 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_of_region"),
     )
+
+
+@register(
+    "cohort_retention",
+    """
+WITH um AS (
+    SELECT DISTINCT user_id,
+           CAST(date_trunc('week', ts) AS DATE) AS act_week
+    FROM events
+),
+fc AS (
+    SELECT user_id, MIN(act_week) AS cohort_week FROM um GROUP BY 1
+),
+r AS (
+    SELECT cohort_week,
+           CAST(datediff('day', cohort_week, act_week) / 7 AS BIGINT)
+               AS weeks_since,
+           COUNT(*) AS n_active
+    FROM um JOIN fc USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT cohort_week,
+       weeks_since,
+       CAST(n_active AS BIGINT) AS n_active,
+       ROUND(CAST(n_active AS DOUBLE)
+             / CAST(MAX(CASE WHEN weeks_since = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort_week) AS DOUBLE), 6)
+           AS retention_rate
+FROM r
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the classic product-analytics triangle:
+    users are assigned to the week of their first event (Monday-start in
+    both engines), and each cell is how many (and what share) of that
+    cohort were active N weeks later.
+
+    Scale shape: one distinct on (user, week) — cardinality bounded by
+    users x weeks, far below raw events thanks to map-side partial
+    aggregation; the first-week aggregate and the cohort join both hash on
+    ``user_id`` so the join reuses the distinct's shuffle partitioning; the
+    retention window partitions by cohort week (bounded by the calendar,
+    never by user count).  The rate divides in double from exact counts;
+    weeks_since is an exact day-difference of week starts over 7."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")["events"]
+    um = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("act_week"),
+    ).distinct()
+    fc = um.groupBy("user_id").agg(F.min("act_week").alias("cohort_week"))
+    r = (
+        um.join(fc, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    w = Window.partitionBy("cohort_week")
+    base = F.max(
+        F.when(F.col("weeks_since") == 0, F.col("n_active"))
+    ).over(w)
+    return r.select(
+        "cohort_week",
+        "weeks_since",
+        F.col("n_active").cast("long").alias("n_active"),
+        F.round(
+            F.col("n_active").cast("double") / base.cast("double"), 6
+        ).alias("retention_rate"),
+    )
+
+
+@register(
+    "copurchase_part_pairs",
+    """
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM op a JOIN op b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+""",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts bought together in at
+    least 2 distinct orders — the "frequently bought together" primitive.
+
+    Scale shape: the pair generation is a SELF-EQUI-JOIN on ``l_orderkey``
+    (never a cross join): both sides hash to the same partitions, and the
+    per-order pair blowup is bounded by (lines per order choose 2) — a
+    small constant (~21 for TPC-H's <=7 lines) independent of corpus size.
+    The distinct first collapses repeat part purchases within an order so
+    the support count means "orders", not "line pairs".  The pair aggregate
+    shuffles on (part_a, part_b); min-support HAVING keeps the output to
+    genuinely co-occurring pairs."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split({NORM_SQL.format(c='text')}, ' ')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+           CAST(tf.tf * ((SELECT COUNT(*) FROM documents) + 1) AS DOUBLE)
+               / (df.df + 1) AS score
+    FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, ROUND(score, 6) AS tfidf
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+    FROM scored
+)
+WHERE rk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf — the keyword-extraction /
+    feature-selection primitive for text corpora.  The idf is the RATIONAL
+    form ``(N+1)/(df+1)`` (same engine-determinism argument as
+    ``bm25_search_topk``: one correctly-rounded double division of exact
+    integers, no libm ``log`` whose last ulp differs between engines);
+    ranking is unchanged because log is monotone.
+
+    Scale shape: tokenize+explode is map-side; (doc, term) tf and per-term
+    df are two hash aggregates with map-side combine (df's cardinality is
+    the vocabulary, not the corpus); the idf join hashes on term; the
+    corpus size N is ONE driver-side scalar folded in as a literal; the
+    top-3 window partitions per doc (bounded by a doc's distinct terms).
+    Ties at the cut are broken by term order, keeping the result stable
+    under repartitioning."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(dd.normalize_text(F.col("text")), " ")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        (
+            (F.col("tf") * F.lit(n_docs + 1)).cast("double")
+            / (F.col("df") + 1)
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round("score", 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "event_value_outliers",
+    """
+WITH s AS (
+    SELECT event_type,
+           COUNT(value) AS n,
+           SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+           SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+               AS svv
+    FROM events
+    GROUP BY 1
+),
+st AS (
+    SELECT event_type,
+           CAST(sv AS DOUBLE) / n AS mean,
+           sqrt((CAST(svv AS DOUBLE)
+                 - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n)
+                / (n - 1)) AS sd
+    FROM s WHERE n > 1
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       ROUND(MIN(e.value), 6) AS min_outlier,
+       ROUND(MAX(e.value), 6) AS max_outlier
+FROM events e JOIN st ON e.event_type = st.event_type
+WHERE abs(e.value - st.mean) > 3 * st.sd
+GROUP BY 1
+""",
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose value sits more
+    than 3 sample standard deviations from their type's mean — the
+    monitoring/data-quality outlier primitive.
+
+    Engine-determinism: mean and variance come from EXACT decimal sums
+    (``sum(x)``, ``sum(x*x)`` in DECIMAL — order-independent under
+    repartitioning, unlike naive double sums), converted once to double and
+    combined in the identical expression order in both engines, so the
+    3-sigma boundary is bit-identical.  Scale shape: the stats table is one
+    hash-aggregate to O(event types) rows, broadcast back onto the fact
+    scan (no second shuffle of raw events); the final aggregate is
+    O(types)."""
+    ev = load(spark, sf_dir, "events")["events"]
+    dec = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(dec).alias("sv"),
+        F.sum(dec * dec).alias("svv"),
+    )
+    st = s.filter(F.col("n") > 1).select(
+        "event_type",
+        (F.col("sv").cast("double") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double")
+                * F.col("sv").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_outliers"),
+            F.round(F.min("value"), 6).alias("min_outlier"),
+            F.round(F.max("value"), 6).alias("max_outlier"),
+        )
+    )
