@@ -57,9 +57,11 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
 
     Settings are applied at runtime so this works inside the driver's own
     SparkSession: UTC timestamps (deterministic, matches the DuckDB oracle)
-    and nanos-as-long for the events table (its parquet uses TIMESTAMP(NANOS)
-    which Spark has no native type for; we truncate to micros exactly like
-    DuckDB does).
+    and nanos-as-long so an events table written as TIMESTAMP(NANOS) (which
+    Spark has no native type for) surfaces as a long we truncate to micros
+    exactly like DuckDB does.  Testdata generated with TIMESTAMP(MICROS)
+    reads natively as a timestamp — both layouts normalize to the same
+    ``timestamp_ntz`` column here.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -68,12 +70,30 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     for n in names:
         df = cat.load(n)
         if n == "events":
-            df = df.withColumn(
-                "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-            )
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
+                )
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
         out[n] = df
     return out
+
+
+def _events_stream_schema(spark: SparkSession, sf_dir: str) -> str:
+    """File-source streams need an explicit schema; the ``ts`` physical type
+    depends on how the testdata was written (TIMESTAMP(NANOS) surfaces as a
+    long under ``nanosAsLong``, TIMESTAMP(MICROS) as a native timestamp), so
+    peek at the batch schema once and mirror it."""
+    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    ts_ddl = "long" if ts_type == "bigint" else "timestamp"
+    return (
+        f"event_id long, ts {ts_ddl}, user_id long, event_type string, "
+        "value double, props string"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1239,11 +1259,8 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events,
     )
 
-    load(spark, sf_dir)  # session settings (nanosAsLong for the schema below)
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    load(spark, sf_dir)  # session settings (UTC + nanosAsLong)
+    schema = _events_stream_schema(spark, sf_dir)
     stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
     result = hourly_event_counts(stream, watermark="2 hours")
     table = f"hourly_counts_{uuid.uuid4().hex[:8]}"
@@ -2293,10 +2310,7 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    schema = _events_stream_schema(spark, sf_dir)
 
     def side(event_type: str, id_alias: str, ts_alias: str):
         s = stream_events(spark, sf_dir, schema, glob="events.parquet")

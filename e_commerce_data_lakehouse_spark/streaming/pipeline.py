@@ -39,13 +39,22 @@ def stream_events(
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path)
     if ts_from_nanos:
-        # TimestampType (not NTZ): watermarks require TIMESTAMP; with the
-        # session pinned to UTC the instant equals the NTZ value and the
-        # final result casts back to NTZ for oracle comparison
-        df = df.withColumn(
-            ts_from_nanos,
-            F.timestamp_micros((F.col(ts_from_nanos) / F.lit(1000)).cast("long")),
-        )
+        # Normalize to TimestampType (not NTZ): watermarks require TIMESTAMP;
+        # with the session pinned to UTC the instant equals the NTZ value and
+        # the final result casts back to NTZ for oracle comparison.  A bigint
+        # column is epoch-nanos (TIMESTAMP(NANOS) parquet under nanosAsLong);
+        # anything else is already a timestamp and only needs the cast.
+        if dict(df.dtypes).get(ts_from_nanos) == "bigint":
+            df = df.withColumn(
+                ts_from_nanos,
+                F.timestamp_micros(
+                    (F.col(ts_from_nanos) / F.lit(1000)).cast("long")
+                ),
+            )
+        else:
+            df = df.withColumn(
+                ts_from_nanos, F.col(ts_from_nanos).cast("timestamp")
+            )
     return df
 
 
