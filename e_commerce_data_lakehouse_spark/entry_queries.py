@@ -88,8 +88,14 @@ def _events_stream_schema(spark: SparkSession, sf_dir: str) -> str:
     depends on how the testdata was written (TIMESTAMP(NANOS) surfaces as a
     long under ``nanosAsLong``, TIMESTAMP(MICROS) as a native timestamp), so
     peek at the batch schema once and mirror it."""
+    # self-contained: reading a TIMESTAMP(NANOS) footer throws without
+    # nanosAsLong, so set it here instead of relying on call-site ordering
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
-    ts_ddl = "long" if ts_type == "bigint" else "timestamp"
+    # mirror the batch dtype exactly (timestamp_ntz stays ntz in the DDL);
+    # stream_events' cast('timestamp') is then the single place where the
+    # UTC-session assumption converts ntz -> instant for watermarking
+    ts_ddl = "long" if ts_type == "bigint" else ts_type
     return (
         f"event_id long, ts {ts_ddl}, user_id long, event_type string, "
         "value double, props string"
@@ -3422,16 +3428,19 @@ def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("incremental_near_dup", None)  # Spark-internal hashing -> rows-only
 def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental fuzzy dedup: MinHash-LSH near-dup pairs for a NEW batch
-    (doc_id >= 400) against the existing corpus (doc_id < 400) plus
-    batch-internal pairs — the corpus-vs-corpus quadrant is excluded inside
-    the band join, which is what a daily 100 TB corpus build runs instead
-    of a full re-dedup.  Equivalence to the full self-join restricted to
+    (a deterministic ~10% hash bucket of doc_id — a constant share at every
+    sf, so the query measures incremental cost, not a nearly-full re-dedup)
+    against the existing corpus (the other ~90%) plus batch-internal pairs.
+    The corpus-vs-corpus quadrant is never generated (asymmetric band join),
+    which is what a daily 100 TB corpus build runs instead of a full
+    re-dedup.  Equivalence to the full self-join restricted to
     batch-touching pairs is pinned by
     ``test_incremental_lsh_equals_restricted_full_run``."""
     docs = load(spark, sf_dir, "documents")["documents"]
+    is_batch = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) == 0
     return dd.minhash_lsh_pairs_incremental(
-        docs.filter(F.col("doc_id") >= 400),
-        docs.filter(F.col("doc_id") < 400),
+        docs.filter(is_batch),
+        docs.filter(~is_batch),
         "doc_id", "text",
         num_hashes=32, bands=8, shingle_n=5, verify_threshold=0.5,
     )

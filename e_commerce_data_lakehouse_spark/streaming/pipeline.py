@@ -45,11 +45,13 @@ def stream_events(
         # column is epoch-nanos (TIMESTAMP(NANOS) parquet under nanosAsLong);
         # anything else is already a timestamp and only needs the cast.
         if dict(df.dtypes).get(ts_from_nanos) == "bigint":
+            # integer division, NOT `/1000` double division: epoch-nanos
+            # (~1.7e18) exceed double's 2^53 exact range, so the double path
+            # can truncate 1 µs off — and the batch path (entry_queries.load)
+            # uses exact `div`, so stream and batch must agree bit-for-bit.
             df = df.withColumn(
                 ts_from_nanos,
-                F.timestamp_micros(
-                    (F.col(ts_from_nanos) / F.lit(1000)).cast("long")
-                ),
+                F.timestamp_micros(F.expr(f"`{ts_from_nanos}` div 1000")),
             )
         else:
             df = df.withColumn(
