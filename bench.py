@@ -96,6 +96,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold_timings: dict[str, float] = {}
     for name in HEADLINE:
+        # Each query is an independent job: drop DataFrames persisted by the
+        # PREVIOUS query (the minhash/simhash family caches signatures and
+        # cannot unpersist them itself — the returned frame still reads
+        # them).  Leaked entries accumulated across ~48 queries in round 2
+        # and showed up as 0.5-1 s session-level "regressions" on unrelated
+        # queries (memory/GC pressure), reproducible in the full bench but
+        # absent when queries ran in isolation.  The cache stays live
+        # BETWEEN a query's two runs, so warm numbers keep their meaning.
+        spark.catalog.clearCache()
         fn = eq.QUERIES[name].spark_fn
         for i in range(runs):
             t0 = time.monotonic()
@@ -107,6 +116,7 @@ def main() -> None:
             timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
+    funnel = _funnel_stats(spark, sf_dir)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -117,12 +127,38 @@ def main() -> None:
         # archaeology; "queries"/"value" stay warm-run by design (docstring)
         "queries_cold": cold_timings,
         "value_cold": round(sum(cold_timings.values()), 3),
+        # achieved candidate-cut ratio of the minhash estimate funnel
+        # (band-join candidates -> exact-verify input), measured, not
+        # claimed — counted outside the timed runs
+        "funnel": funnel,
     }
     prev = _load_previous_round(timings)
     if prev:
         out["vs_previous"] = prev
     print(json.dumps(out))
     spark.stop()
+
+
+def _funnel_stats(spark, sf_dir: str) -> dict:
+    """Measured cut ratio of the MinHash estimate funnel on the documents
+    table: band-join candidate pairs vs pairs that reach the exact verify
+    UDF (VERDICT r2 #6 — the docstring used to claim ~50×; record reality
+    instead)."""
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        minhash_lsh_parts,
+    )
+
+    spark.catalog.clearCache()
+    docs = eq.load(spark, sf_dir, "documents")["documents"]
+    parts = minhash_lsh_parts(docs, "doc_id", "text")
+    n_band = parts["band_candidates"].count()
+    n_funneled = parts["funneled"].count()
+    spark.catalog.clearCache()
+    return {
+        "band_candidates": n_band,
+        "verify_input": n_funneled,
+        "cut_ratio": round(n_band / n_funneled, 3) if n_funneled else None,
+    }
 
 
 def _load_previous_round(timings: dict[str, float]) -> dict | None:
