@@ -76,6 +76,7 @@ HEADLINE = [
     "multimodal_embed_topk",
     "heavy_hitter_tokens",
     "incremental_near_dup",
+    "incremental_near_dup_stored",
     "scd2_customer_dim",
     "funnel_view_click_purchase",
 ]

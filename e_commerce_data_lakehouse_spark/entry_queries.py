@@ -3446,6 +3446,39 @@ def incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("incremental_near_dup_stored", None)  # Spark hashing -> rows-only
+def incremental_near_dup_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-signature incremental dedup — the shape a daily corpus build
+    actually runs at 100 TB: the corpus side's minhash signatures are READ
+    from a persisted signature table (built once per corpus, here an
+    idempotent ``ManagedTable``; Delta table on a cluster), so each
+    increment computes the shingle explode + min aggregate ONLY over the
+    new batch.  Same results as ``incremental_near_dup`` (signatures are
+    deterministic; pinned by
+    ``test_incremental_lsh_stored_signatures_equal``)."""
+    import hashlib
+    import tempfile
+
+    from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    is_batch = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) == 0
+    corpus = docs.filter(~is_batch)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    table = ManagedTable(
+        spark, f"{tempfile.gettempdir()}/minhash_sig_store_{tag}"
+    )
+    if not table.exists():
+        table.create(dd.minhash_signatures(corpus, "doc_id", "text"))
+    return dd.minhash_lsh_pairs_incremental(
+        docs.filter(is_batch),
+        corpus,
+        "doc_id", "text",
+        corpus_signatures=table.read(),
+        num_hashes=32, bands=8, shingle_n=5, verify_threshold=0.5,
+    )
+
+
 @register(
     "scd2_customer_dim",
     """

@@ -178,6 +178,79 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> list[Column]:
     return [seeded_min(i).alias(f"mh_{i}") for i in range(num_hashes)]
 
 
+def _signature_mins(
+    base: DataFrame, carry: list[str], num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """MinHash signature aggregate over a ``(__id, __txt[, carry…])`` frame.
+
+    Shingle stream WITHOUT materializing arrays: posexplode a position
+    sequence and substr the text — every expression whole-stage-codegen
+    (building array<string> shingles via transform() runs in the
+    interpreted expression evaluator and was ~10× slower).  No distinct:
+    min() is duplicate-insensitive, so repeated shingles can't change any
+    minhash.  The partial (map-side) agg collapses each partition to one
+    row per doc BEFORE the shuffle, so shuffle volume is O(docs ×
+    num_hashes longs), not O(shingles).
+    """
+    p = F.lit(_MINHASH_P)
+    exploded = (
+        base.select(
+            "__id",
+            "__txt",
+            *carry,
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length("__txt") - (shingle_n - 1), F.lit(1)),
+                )
+            ).alias("__i"),
+        )
+        .select(
+            "__id",
+            *carry,
+            F.xxhash64(F.col("__txt").substr(F.col("__i"), F.lit(shingle_n))).alias(
+                "__h"
+            ),
+        )
+        .select(
+            "__id",
+            *carry,
+            F.pmod("__h", p).alias("__h1"),
+            F.pmod(F.xxhash64("__h"), p).alias("__h2"),
+        )
+    )
+    return exploded.groupBy("__id", *carry).agg(
+        *[
+            F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % p).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """``(id, mh_0..mh_{n-1})`` minhash signature table for ``df``.
+
+    Deterministic (pure xxhash64 arithmetic), so persisting it (e.g. to a
+    ``ManagedTable``) and reading it back on later increments is a pure-win
+    cache: the corpus side of :func:`minhash_lsh_pairs_incremental` then
+    skips the explode + min aggregate entirely — at 100 TB that aggregate IS
+    the dominant cost of an incremental run.
+    """
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        normalize_text(F.col(text_col)).alias("__txt"),
+    )
+    return _signature_mins(base, [], num_hashes, shingle_n).withColumnRenamed(
+        "__id", id_col
+    )
+
+
 def minhash_lsh_parts(
     df: DataFrame,
     id_col: str,
@@ -187,12 +260,20 @@ def minhash_lsh_parts(
     shingle_n: int = 5,
     verify_threshold: float = 0.5,
     flag_col: str | None = None,
+    mins_override: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Pipeline stages of :func:`minhash_lsh_pairs`, exposed for
     observability: ``band_candidates`` (distinct pairs out of the band
     join), ``funneled`` (after the minhash-estimate pre-filter) and
     ``verified`` (final).  ``bench.py`` counts the first two to record the
     achieved funnel cut ratio per run.
+
+    ``mins_override`` replaces the computed signature frame with a caller-
+    supplied one (columns ``__id`` [, ``__flag``], ``mh_0..mh_{n-1}``) — the
+    stored-signature path: signatures are deterministic, so an incremental
+    run can read the corpus side's from a persisted table instead of
+    recomputing the explode + min aggregate over the whole corpus (see
+    :func:`minhash_lsh_pairs_incremental`).
 
     ``flag_col`` (optional boolean column, "already-in-corpus") makes the
     run incremental: the band join becomes ASYMMETRIC — the probe side is
@@ -233,50 +314,18 @@ def minhash_lsh_parts(
         *flag_cols,
     )
 
-    # Shingle stream WITHOUT materializing arrays: posexplode a position
-    # sequence and substr the text — every expression whole-stage-codegen
-    # (building array<string> shingles via transform() runs in the
-    # interpreted expression evaluator and was ~10× slower).  No distinct:
-    # min() is duplicate-insensitive, so repeated shingles can't change any
-    # minhash.
-    p = F.lit(_MINHASH_P)
     carry = ["__flag"] if flag_col is not None else []
-    exploded = (
-        base.select(
-            "__id",
-            "__txt",
-            *carry,
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("__txt") - (shingle_n - 1), F.lit(1)),
-                )
-            ).alias("__i"),
-        )
-        .select(
-            "__id",
-            *carry,
-            F.xxhash64(F.col("__txt").substr(F.col("__i"), F.lit(shingle_n))).alias(
-                "__h"
-            ),
-        )
-        .select(
-            "__id",
-            *carry,
-            F.pmod("__h", p).alias("__h1"),
-            F.pmod(F.xxhash64("__h"), p).alias("__h2"),
-        )
-    )
+    group_keys = ["__id"] + carry
     # persist: the band self-join AND the estimate filter below both consume
     # the signatures; without an explicit cache each consumer would re-run
-    # the explode + 32-min aggregate
-    group_keys = ["__id"] + (["__flag"] if flag_col is not None else [])
-    mins = exploded.groupBy(*group_keys).agg(
-        *[
-            F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % p).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    ).persist()
+    # the explode + 32-min aggregate.  An override is NOT persisted here —
+    # the stored-signature caller's corpus side is already a cheap parquet
+    # scan (re-reading it per consumer is the right disk-backed behavior),
+    # and the caller persists the recomputed batch slice itself.
+    if mins_override is not None:
+        mins = mins_override
+    else:
+        mins = _signature_mins(base, carry, num_hashes, shingle_n).persist()
     sig = mins.select(
         *group_keys,
         *[
@@ -449,6 +498,7 @@ def minhash_lsh_pairs_incremental(
     corpus: DataFrame,
     id_col: str,
     text_col: str,
+    corpus_signatures: DataFrame | None = None,
     **kwargs,
 ) -> DataFrame:
     """Incremental fuzzy dedup: near-dup pairs where at least one side is a
@@ -456,12 +506,20 @@ def minhash_lsh_pairs_incremental(
     the whole corpus.
 
     The corpus-vs-corpus quadrant (O(corpus²) — by far the largest) is
-    excluded inside the band join, so each increment pays O(batch×corpus
-    collisions + batch²).  At true scale the corpus side's minhash
-    signatures would be read from a stored signature table instead of
-    recomputed (the signature aggregate is deterministic, so storing it is
-    a pure-win cache); the band-join/funnel/verify stages are identical
-    either way.
+    never generated: the band join probes only batch-side band rows against
+    the full band index, so each increment pays O(batch×corpus collisions +
+    batch²).
+
+    ``corpus_signatures`` — a previously persisted
+    :func:`minhash_signatures` frame for ``corpus`` (e.g. from a
+    ``ManagedTable``) — activates the stored-signature path: only the BATCH
+    computes the shingle explode + min aggregate; the corpus side's
+    signatures are read back, so the plan has one explode+agg over the
+    (small) batch instead of one over batch+corpus.  ``corpus`` is still
+    needed for the exact-verify stage (candidate texts), which at scale
+    reads only the candidate ids' rows via the verify equi-join.  Results
+    are identical either way (signatures are deterministic; pinned by
+    ``test_incremental_lsh_stored_signatures_equal``).
     """
     b = batch.select(
         F.col(id_col), F.col(text_col), F.lit(False).alias("__is_old")
@@ -469,9 +527,37 @@ def minhash_lsh_pairs_incremental(
     c = corpus.select(
         F.col(id_col), F.col(text_col), F.lit(True).alias("__is_old")
     )
-    return minhash_lsh_pairs(
-        c.unionByName(b), id_col, text_col, flag_col="__is_old", **kwargs
-    )
+    mins_override = None
+    if corpus_signatures is not None:
+        num_hashes = kwargs.get("num_hashes", 32)
+        shingle_n = kwargs.get("shingle_n", 5)
+        # persist the batch slice (it feeds the band join AND the estimate
+        # funnel); the corpus slice stays an un-persisted parquet scan of
+        # the signature table
+        batch_sigs = minhash_signatures(
+            batch, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        ).persist()
+        mh = [f"mh_{i}" for i in range(num_hashes)]
+        mins_override = (
+            corpus_signatures.select(
+                F.col(id_col).alias("__id"), F.lit(True).alias("__flag"), *mh
+            )
+            .unionByName(
+                batch_sigs.select(
+                    F.col(id_col).alias("__id"),
+                    F.lit(False).alias("__flag"),
+                    *mh,
+                )
+            )
+        )
+    return minhash_lsh_parts(
+        c.unionByName(b),
+        id_col,
+        text_col,
+        flag_col="__is_old",
+        mins_override=mins_override,
+        **kwargs,
+    )["verified"]
 
 
 # ---------------------------------------------------------------------------

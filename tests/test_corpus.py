@@ -219,3 +219,64 @@ def test_incremental_lsh_equals_restricted_full_run(spark):
     }
     assert got == expected
     assert all(a >= 400 or b >= 400 for a, b, _ in got)
+
+
+def test_incremental_lsh_stored_signatures_equal(spark, tmp_path):
+    """Stored-signature path: corpus signatures persisted to a ManagedTable
+    and read back must give byte-identical pairs to the recompute path, and
+    the stored plan must contain exactly ONE shingle explode+agg (over the
+    batch) instead of one over batch+corpus."""
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+    from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+    from pyspark.sql import functions as F
+
+    docs = eq.load(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    is_batch = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) == 0
+    batch, corpus = docs.filter(is_batch), docs.filter(~is_batch)
+
+    table = ManagedTable(spark, str(tmp_path / "sig_store"))
+    table.create(dd.minhash_signatures(corpus, "doc_id", "text"))
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dd.minhash_lsh_pairs_incremental(
+                batch, corpus, "doc_id", "text", **kw
+            ).collect()
+        }
+
+    recomputed = pairs()
+    stored_df = dd.minhash_lsh_pairs_incremental(
+        batch, corpus, "doc_id", "text", corpus_signatures=table.read()
+    )
+    stored = {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in stored_df.collect()
+    }
+    assert stored == recomputed and stored
+
+    # corpus signatures must come from the signature-table parquet scan
+    # (a Relation with mh_* columns), and no shingle explode may sit over
+    # the corpus filter (NOT pmod(...) = 0) — the corpus explode+agg is
+    # gone; only the batch side (pmod(...) = 0, possibly hidden behind its
+    # persist) still shingles.
+    plan = stored_df._jdf.queryExecution().optimizedPlan().toString()
+    sig_scans = [
+        l
+        for l in plan.splitlines()
+        if "Relation" in l and "mh_0" in l and "parquet" in l
+    ]
+    assert sig_scans, "signature-table parquet scan missing from plan"
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Generate explode(sequence" not in l:
+            continue
+        src = next(
+            (
+                lines[j]
+                for j in range(i + 1, min(i + 15, len(lines)))
+                if "pmod(xxhash64" in lines[j]
+            ),
+            "",
+        )
+        assert "NOT" not in src, f"corpus-side shingle explode survived:\n{src}"
