@@ -43,6 +43,42 @@ def test_query_plan_has_no_scale_hazards(spark, name):
         assert op not in plan, f"{name}: {op} in physical plan"
 
 
+@pytest.mark.parametrize("name", sorted(eq.QUERIES))
+def test_global_windows_consume_bounded_input(spark, name):
+    """A Window with NO partition spec serializes onto one task — a scale
+    hazard UNLESS its input is already a bounded aggregate (e.g. a
+    months×years frame of ~100 rows; the source of the benign
+    'WindowExec: No Partition Defined' warnings).  Pin that invariant:
+    every global Window node must have an Aggregate strictly between it
+    and any source Relation, so the single-task input is O(groups), never
+    O(rows).
+
+    Logical ``Window`` prints ``[exprs], [partSpec], [orderSpec]`` when
+    fully specified; empty specs are omitted, so a 2-group line is global
+    iff its trailing group is an ORDER spec (contains ASC/DESC) — a bare
+    attribute list there is a partition spec (partitioned, unordered
+    window, e.g. a per-key min).
+    """
+    df = eq.QUERIES[name].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Window [") or s.count("], [") != 1:
+            continue
+        tail = s.rsplit("], [", 1)[-1]
+        if " ASC" not in tail and " DESC" not in tail:
+            continue  # trailing group is a partition spec, not an order
+        below = lines[i + 1 :]
+        for b in below:
+            if "Aggregate" in b or "AggregateExec" in b:
+                break  # bounded: window reads an aggregated frame
+            assert "Relation" not in b, (
+                f"{name}: global Window over un-aggregated source "
+                f"(single-task O(rows) input):\n{line}"
+            )
+
+
 @pytest.mark.parametrize(
     "name", ["near_dup_minhash_lsh", "incremental_near_dup"]
 )
