@@ -65,6 +65,8 @@ HEADLINE = [
     "revenue_mom_growth",
     "top_orders_per_month",
     "dataset_split_counts",
+    "sequence_packing",
+    "source_quota_sample",
     "pii_scrub_preview",
     "repetition_flags",
     "benchmark_contamination",

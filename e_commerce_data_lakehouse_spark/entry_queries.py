@@ -2455,6 +2455,73 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKET32_SQL = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 4))::INT % 32)"
+
+
+@register(
+    "sequence_packing",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         {_BUCKET32_SQL.format(c='doc_id')} AS bucket,
+         CAST(len(string_split({NORM_SQL.format(c='text')}, ' ')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM toks
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket, n_tokens,
+       CAST(cum_before // 2048 AS BIGINT) AS seq_id,
+       CAST(cum_before % 2048 AS BIGINT) AS seq_offset
+FROM cum
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing (concatenate-and-chunk): every doc gets
+    the 2048-token sequence its first token lands in and its offset inside
+    it, under a deterministic (hash-bucket, id) concatenation order.  Each
+    bucket packs independently — the sharding a 1000-executor packing job
+    uses — so the only shuffle is the window's partition on bucket and no
+    global sort exists."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    out = cp.sequence_packing(docs, "doc_id", "text", seq_len=2048,
+                              n_buckets=32)
+    return out.withColumn("bucket", F.col("bucket").cast("int"))
+
+
+@register(
+    "source_quota_sample",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+""",
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain rebalancing: cap every source at its 5 longest documents
+    (quality-first quota sampling).  Compiles to WindowGroupLimit — each
+    input partition keeps only its local top-5 per source BEFORE the
+    shuffle, so a dominant source ships O(partitions × 5) rows, not its
+    whole group."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return cp.quota_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        quota=5,
+    )
+
+
 @register(
     "pii_scrub_preview",
     """

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -349,4 +349,79 @@ def heavy_hitter_tokens(
         .agg(F.count("*").cast("long").alias("n"))
         .filter(F.col("n") >= threshold)
         .select(F.col("tok").alias("token"), F.col("n").alias("n_occurrences"))
+    )
+
+
+def sequence_packing(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 2048,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Assign each document to its pretraining sequence under
+    concatenate-and-chunk packing: docs are laid out in a deterministic
+    order (hash bucket, then id), the token stream is cut every ``seq_len``
+    tokens, and each doc reports the sequence its first token lands in plus
+    its offset inside that sequence — the bookkeeping a sequence-packing
+    writer needs.
+
+    Scale shape: a GLOBAL concatenation order would need a global sort, so
+    the order is (bucket, id) — each hash bucket is packed independently,
+    which is exactly how a 1000-executor packing job shards.  The only
+    shuffle is the window's hash partition on ``bucket``; the running sum
+    is a cumulative window per bucket (bounded memory: one running long).
+    Deterministic (md5 bucket + id order) so packing is reproducible and
+    oracle-checkable.
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import normalize_text
+
+    n_tokens = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    bucket = hash_bucket(F.col(id_col), n_buckets)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            bucket.alias("bucket"),
+            n_tokens.cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            id_col,
+            "bucket",
+            "n_tokens",
+            (F.col("cum_before") / seq_len).cast("long").alias("seq_id"),
+            (F.col("cum_before") % seq_len).cast("long").alias("seq_offset"),
+        )
+    )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    quota: int,
+) -> DataFrame:
+    """Cap each group at ``quota`` rows, keeping the best by ``order_cols``
+    — the language/domain-rebalancing step of corpus curation (e.g. at most
+    N documents per language, best-quality first).
+
+    Scale shape: rank-per-group compiles to ``WindowGroupLimit`` (Spark
+    3.5+), which keeps only the per-partition top-``quota`` rows BEFORE the
+    shuffle — so a skewed group (one language dominating the corpus) ships
+    O(partitions × quota) rows, not the whole group, to the window task.
+    ``order_cols`` must be a total order (include the id) for deterministic
+    results.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= quota)
+        .drop("__rk")
     )

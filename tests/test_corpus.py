@@ -280,3 +280,65 @@ def test_incremental_lsh_stored_signatures_equal(spark, tmp_path):
             "",
         )
         assert "NOT" not in src, f"corpus-side shingle explode survived:\n{src}"
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing bookkeeping must be internally consistent per bucket:
+    offsets in [0, seq_len), seq_id non-decreasing along the (bucket, id)
+    concatenation order, and the cumulative arithmetic exact."""
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    docs = eq.load(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    rows = (
+        cp.sequence_packing(docs, "doc_id", "text", seq_len=2048, n_buckets=8)
+        .orderBy("bucket", "doc_id")
+        .collect()
+    )
+    assert rows
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r["seq_offset"] < 2048
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rs in by_bucket.values():
+        cum = 0
+        prev_seq = 0
+        for r in rs:
+            assert r["seq_id"] == cum // 2048
+            assert r["seq_offset"] == cum % 2048
+            assert r["seq_id"] >= prev_seq
+            prev_seq = r["seq_id"]
+            cum += r["n_tokens"]
+
+
+def test_quota_sample_caps_and_group_limit(spark):
+    """Every group capped at the quota, deterministic membership, and the
+    physical plan carries WindowGroupLimit (partial per-partition top-N
+    before the shuffle — the skew guard)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    docs = eq.load(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    out = cp.quota_sample(
+        docs.select("doc_id", "source", "n_chars"),
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        quota=3,
+    )
+    counts = out.groupBy("source").count().collect()
+    assert counts and all(r["count"] <= 3 for r in counts)
+    expected = {
+        r["doc_id"]
+        for r in docs.selectExpr(
+            "doc_id",
+            "row_number() over (partition by source"
+            " order by n_chars desc, doc_id) rk",
+        )
+        .filter("rk <= 3")
+        .collect()
+    }
+    assert {r["doc_id"] for r in out.collect()} == expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
