@@ -76,6 +76,7 @@ HEADLINE = [
     "dsir_importance_sample",
     "ann_ivfpq_topk",
     "multimodal_embed_topk",
+    "semantic_dedup",
     "heavy_hitter_tokens",
     "incremental_near_dup",
     "incremental_near_dup_stored",

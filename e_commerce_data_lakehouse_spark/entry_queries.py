@@ -1200,6 +1200,22 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("semantic_dedup", None)  # sampled k-means -> Spark-internal
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune): k-means the embedding space, drop
+    every vector whose cosine to a lower-id cluster-mate is >= 0.35,
+    return the semantic representatives — paraphrase-level dedup that
+    n-gram methods can't see.  Sampled centroid training makes a DuckDB
+    oracle impossible (rows-only); the no-two-survivors-too-close
+    invariant is pinned by ``test_semantic_dedup_survivor_invariants``."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    # n_centroids ~ corpus/80: the knob that bounds per-cluster pair volume
+    # (docstring of sim.semantic_dedup); fixed here for a stable result set
+    return sim.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_centroids=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns (decode stub over mapInPandas)
 # ---------------------------------------------------------------------------

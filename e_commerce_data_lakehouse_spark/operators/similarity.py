@@ -489,3 +489,68 @@ def ivf_pq_topk(
         cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
     )
     return _topk_per_query(exact, k)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup by cluster-then-prune (Abbas et al., 2023)
+# ---------------------------------------------------------------------------
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_size: int = 10_000,
+) -> DataFrame:
+    """Semantic deduplication: k-means-cluster the embedding space, then
+    inside each cluster drop every item whose cosine to a LOWER-id
+    cluster-mate is >= ``threshold``; survivors are the semantic
+    representatives.  This is the cluster-then-prune shape of SemDeDup
+    (arXiv:2303.09540) — the embedding-space complement of MinHash dedup:
+    it removes *paraphrase-level* duplicates that share no n-grams.
+
+    Deterministic: seeded sample k-means + id-ordered pruning, so the
+    survivor set is reproducible run-over-run.
+
+    Scale shape: centroids train on a bounded sample (driver memory
+    O(sample), never O(corpus)); assignment is one Arrow matmul per batch
+    against the broadcast centroid matrix (map-only); candidate pairs come
+    from an equi-join on the cluster id, so no cross-cluster pair is ever
+    generated.  Choose ``n_centroids ~ corpus_size / target_cluster_size``
+    so per-cluster pair volume stays bounded — the same knob IVF uses for
+    cell size (at 1B vectors: ~100k centroids).  The prune is a left_anti
+    join on the dropped-id set.
+    """
+    from e_commerce_data_lakehouse_spark.functions.vectors import cosine
+
+    cents = _train_centroids(
+        df.select(vec_col), vec_col, n_centroids, seed, sample_size
+    )
+    assign = _assign_udf(cents, 1)
+    # persist: the self-join (a, b) and the final anti-join all consume the
+    # assignment — without a cache the Arrow matmul would run three times
+    base = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("cluster", assign(F.col("__v")).getItem(0))
+        .persist()
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("b.__id").alias("__id"),
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("__id")
+        .distinct()
+    )
+    return (
+        base.join(dropped, "__id", "left_anti")
+        .select(F.col("__id").alias(id_col), F.col("cluster").cast("int"))
+    )

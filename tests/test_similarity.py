@@ -106,3 +106,39 @@ def test_ivfpq_exact_rerank_scores(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact_scores:
             assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-9
+
+
+def test_semantic_dedup_survivor_invariants(spark):
+    """SemDeDup semantics: (1) survivors are a subset with their cluster
+    ids, (2) no survivor has a lower-id SURVIVING cluster-mate at cosine >=
+    threshold, (3) every dropped vector has a lower-id cluster-mate (any,
+    not necessarily surviving) above threshold, (4) deterministic."""
+    import numpy as np
+
+    from e_commerce_data_lakehouse_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = sim.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_centroids=8
+    )
+    rows = out.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    survivors = {r["vec_id"]: r["cluster"] for r in rows}
+    assert survivors and set(survivors) <= set(vecs)
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, c in survivors.items():
+        by_cluster.setdefault(c, []).append(vid)
+    for members in by_cluster.values():
+        members.sort()
+        for i, x in enumerate(members):
+            for y in members[i + 1 :]:
+                assert round(cos(vecs[x], vecs[y]), 6) < 0.35, (x, y)
+
+    rows2 = sim.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, n_centroids=8
+    ).collect()
+    assert {r["vec_id"] for r in rows2} == set(survivors)
