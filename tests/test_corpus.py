@@ -342,3 +342,44 @@ def test_quota_sample_caps_and_group_limit(spark):
     assert {r["doc_id"] for r in out.collect()} == expected
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_incremental_lifecycle_with_signature_store(spark, tmp_path):
+    """The daily-corpus-build lifecycle end-to-end: dedup a batch against
+    the signature STORE, roll the batch's signatures into the store
+    (O(batch) append, no corpus recompute), then dedup the NEXT batch
+    against the grown store.  Each day's pairs must equal the recompute
+    path over the same corpus — the store never drifts."""
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+    from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+
+    docs = eq.load(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    day0 = docs.filter("doc_id < 300")
+    batch1 = docs.filter("doc_id >= 300 and doc_id < 400")
+    batch2 = docs.filter("doc_id >= 400")
+
+    store = ManagedTable(spark, str(tmp_path / "sig_store"))
+    store.create(dd.minhash_signatures(day0, "doc_id", "text"))
+
+    def pairs(batch, corpus, sigs=None):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dd.minhash_lsh_pairs_incremental(
+                batch, corpus, "doc_id", "text", corpus_signatures=sigs
+            ).collect()
+        }
+
+    # day 1: batch1 vs stored day-0 signatures == recompute path
+    got1 = pairs(batch1, day0, sigs=store.read())
+    assert got1 == pairs(batch1, day0)
+
+    # roll batch1 into the store: O(batch) append, no corpus recompute
+    store.append(dd.minhash_signatures(batch1, "doc_id", "text"))
+
+    # day 2: corpus is now day0+batch1; the grown store must agree with a
+    # from-scratch recompute over that corpus
+    corpus2 = docs.filter("doc_id < 400")
+    got2 = pairs(batch2, corpus2, sigs=store.read())
+    assert got2 == pairs(batch2, corpus2)
+    assert got2  # non-vacuous: the sf0.01 slice contains planted near-dups
