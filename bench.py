@@ -121,25 +121,46 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     funnel = _funnel_stats(spark, sf_dir)
+    # The driver records only the LAST ~2000 chars of stdout (BENCH_r02's
+    # "parsed": null came from a line that outgrew that window and lost its
+    # head).  Keep the printed line compact — 2-decimal timings, no spaces
+    # — and put the full record (cold timings, per-query deltas vs the
+    # previous round) in BENCH_LOCAL_FULL.json next to this script.
     out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
-        # first-run (codegen/fork-inclusive) timings for round-over-round
-        # archaeology; "queries"/"value" stay warm-run by design (docstring)
-        "queries_cold": cold_timings,
-        "value_cold": round(sum(cold_timings.values()), 3),
         # achieved candidate-cut ratio of the minhash estimate funnel
         # (band-join candidates -> exact-verify input), measured, not
         # claimed — counted outside the timed runs
         "funnel": funnel,
+        "value_cold": round(sum(cold_timings.values()), 3),
     }
+    full = dict(
+        out,
+        queries=timings,
+        queries_cold=cold_timings,
+    )
     prev = _load_previous_round(timings)
     if prev:
-        out["vs_previous"] = prev
-    print(json.dumps(out))
+        full["vs_previous"] = prev
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL_FULL.json"), "w") as f:
+            json.dump(full, f)
+    except OSError:
+        pass  # read-only checkout: the stdout line is the record
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # stay inside the driver's stdout-tail window
+        out["queries"] = {
+            k: round(v, 2)
+            for k, v in sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+        }
+        out["queries_truncated_see"] = "BENCH_LOCAL_FULL.json"
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
