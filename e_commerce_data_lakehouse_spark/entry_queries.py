@@ -2612,6 +2612,42 @@ def repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_ngram_flags",
+    f"""
+WITH t AS (
+  SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         GREATEST(len(toks) - 1, 0) AS n_bigrams,
+         list_transform(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS grams
+  FROM t
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CASE WHEN n_bigrams <= 0 THEN 0.0
+            ELSE ROUND((n_bigrams - len(list_distinct(grams)))
+                       / CAST(n_bigrams AS DOUBLE), 6) END AS dup_bigram_frac
+FROM g
+""",
+)
+def dup_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's duplicate-n-gram quality signal (bigrams): the fraction of
+    a doc's word bigrams that repeat an earlier one — boilerplate/looping
+    text scores high.  Map-only per-row Catalyst expressions (no explode,
+    no shuffle): composes into any quality-filter projection for free."""
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
+    toks = F.split(dd.normalize_text(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.greatest(F.size(toks) - 1, F.lit(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        cp.dup_ngram_fraction(F.col("text"), n=2).alias("dup_bigram_frac"),
+    )
+
+
+@register(
     "benchmark_contamination",
     """
 WITH w AS (

@@ -123,6 +123,36 @@ def word_repetition_stats(
     )
 
 
+def dup_ngram_fraction(text_col: Column, n: int = 2) -> Column:
+    """Gopher's duplicate-n-gram signal: the fraction of a document's word
+    ``n``-grams that are repeats of an earlier one (``1 -
+    distinct/total``); high values mean boilerplate/looping text.
+
+    Pure per-row Catalyst expressions (transform over an index sequence +
+    array_distinct) — map-only, no explode, no shuffle, so it composes
+    into any quality-filter projection for free.
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    n_grams = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    # F.get is 0-based and null-safe out of bounds (element_at throws under
+    # ANSI mode on the 1-token edge case); concat_ws skips nulls
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + (j - 1)) for j in range(n)]
+        ),
+    )
+    return F.when(n_grams <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            (n_grams - F.size(F.array_distinct(grams)))
+            / n_grams.cast("double"),
+            6,
+        )
+    )
+
+
 def ngram_overlap(
     corpus: DataFrame,
     benchmark: DataFrame,

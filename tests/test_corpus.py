@@ -383,3 +383,25 @@ def test_incremental_lifecycle_with_signature_store(spark, tmp_path):
     got2 = pairs(batch2, corpus2, sigs=store.read())
     assert got2 == pairs(batch2, corpus2)
     assert got2  # non-vacuous: the sf0.01 slice contains planted near-dups
+
+
+def test_dup_ngram_fraction_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            (2, "w x y z"),          # all distinct -> 0.0
+            (3, "solo"),             # no bigrams -> 0.0
+            (4, "q q q q"),          # qq qq qq -> 3 total 1 distinct -> 2/3
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", cp.dup_ngram_fraction(F.col("text"), n=2).alias("f")
+        ).collect()
+    }
+    assert got[1] == 0.6
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == round(2 / 3, 6)
