@@ -1140,6 +1140,35 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(queries, emb, "vec_id", "embedding", k=5)
 
 
+@register(
+    "hard_negative_topk",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       ROUND(list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))),
+             6) AS cosine_sim,
+       CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY ROUND(list_dot_product(q.v, c.v) /
+                  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                  c.vec_id ASC) AS INT) AS rank
+FROM e q JOIN e c ON q.vec_id < 20 AND c.label != q.label
+QUALIFY rank <= 5
+""",
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector, the
+    5 most-similar vectors with a DIFFERENT label — boundary-adjacent
+    negatives, the ones that actually train retrieval models.  Same
+    broadcast-bounded-queries plan shape as ``ann_cosine_topk``."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    return sim.hard_negative_topk(
+        queries, emb, "vec_id", "embedding", "label", k=5
+    )
+
+
 @register("ann_lsh_topk", None)  # hyperplane buckets not SQL-reproducible
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH + exact

@@ -554,3 +554,41 @@ def semantic_dedup(
         base.join(dropped, "__id", "left_anti")
         .select(F.col("__id").alias(id_col), F.col("cluster").cast("int"))
     )
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the ``k``
+    most-similar candidates with a DIFFERENT label — negatives near the
+    decision boundary, which train retrieval/embedding models far better
+    than random negatives.
+
+    Plan shape: identical to :func:`brute_force_topk` (bounded query set
+    broadcast against one pass over the candidates, map-side scoring,
+    per-query top-k) with the label inequality as a join residual; the
+    allowlisted BroadcastNestedLoopJoin is correct here because the
+    broadcast side is the k queries, never the corpus.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__cl"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("__ql") != F.col("__cl"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+    )
+    return _topk_per_query(scored, k)

@@ -27,7 +27,12 @@ FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 # BroadcastNestedLoopJoin, and it is the correct exact-kNN shape (the
 # broadcast side is k queries, never the corpus).  Only these two queries
 # may carry one; everything else must block/bucket.
-BNLJ_ALLOWED = {"ann_cosine_topk", "multimodal_features", "multimodal_embed_topk"}
+BNLJ_ALLOWED = {
+    "ann_cosine_topk",
+    "multimodal_features",
+    "multimodal_embed_topk",
+    "hard_negative_topk",  # same bounded-broadcast-queries exact-kNN shape
+}
 
 
 @pytest.mark.parametrize("name", sorted(eq.QUERIES))
