@@ -2676,6 +2676,22 @@ def dup_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bloom_contamination", None)  # xxhash64 bloom -> Spark-internal
+def bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination pre-filter via a broadcast Bloom filter over the
+    benchmark's 4-gram hashes — the shape that scales when the corpus is
+    100 TB and the benchmark is small: corpus grams are hashed JVM-side
+    and membership-tested map-side (vectorized int64 math per Arrow
+    batch); only the per-doc count aggregate shuffles.  No false
+    negatives vs the exact gram join (superset guarantee pinned by
+    ``test_bloom_contamination_superset_of_exact``); flagged docs go to
+    the exact join for confirmation."""
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return cp.bloom_contaminated_grams(corpus, bench, n=4)
+
+
 @register(
     "benchmark_contamination",
     """

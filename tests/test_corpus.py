@@ -405,3 +405,38 @@ def test_dup_ngram_fraction_known_values(spark):
     assert got[2] == 0.0
     assert got[3] == 0.0
     assert got[4] == round(2 / 3, 6)
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    """Bloom decontamination must have NO false negatives: every doc the
+    exact gram join flags appears in the bloom output with at least as
+    many flagged grams; and the false-positive overhead stays small."""
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+
+    docs = eq.load(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    exact = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in cp.ngram_overlap(corpus, bench, n=4).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_flagged_grams"]
+        for r in cp.bloom_contaminated_grams(corpus, bench, n=4).collect()
+    }
+    assert exact, "exact contamination must be non-vacuous on this corpus"
+    for doc, n_exact in exact.items():
+        assert bloom.get(doc, 0) >= n_exact, f"false negative on doc {doc}"
+    # false positives scale with the number of corpus grams TESTED (not
+    # with the exact-hit volume): ~2e-4 fpp at 16 bits/item, 7 probes.
+    # Bound at 10x theory to keep the test stable.
+    n_corpus_grams = (
+        corpus.selectExpr(
+            "greatest(size(split(trim(text), '\\\\s+')) - 3, 0) AS g"
+        )
+        .agg({"g": "sum"})
+        .collect()[0][0]
+    )
+    false_pos = sum(bloom.values()) - sum(exact.values())
+    assert false_pos <= max(20, 10 * 2e-4 * n_corpus_grams)
