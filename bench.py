@@ -69,7 +69,10 @@ HEADLINE = [
     "source_quota_sample",
     "pii_scrub_preview",
     "repetition_flags",
+    "dup_ngram_flags",
     "benchmark_contamination",
+    "bloom_contamination",
+    "hard_negative_topk",
     "winnowing_near_dup",
     "curated_pretraining_set",
     "dup_clusters_cc",
