@@ -2676,6 +2676,37 @@ def dup_ngram_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "uniform_lang_sample",
+    """
+SELECT doc_id, lang, n_chars
+FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0,
+                      doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 20
+""",
+)
+def uniform_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform fixed-N-per-group sampling: exactly 20 documents per
+    language, chosen by deterministic content-hash order — the UNBIASED
+    counterpart to ``source_quota_sample``'s quality-ranked cap (language
+    rebalancing without length/quality selection bias).  Stable under
+    re-runs and partition layout; same WindowGroupLimit skew-guard shape."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return cp.quota_sample(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        [cp.uniform01(F.col("doc_id")), F.col("doc_id")],
+        quota=20,
+    )
+
+
 @register("bloom_contamination", None)  # xxhash64 bloom -> Spark-internal
 def bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination pre-filter via a broadcast Bloom filter over the
