@@ -481,61 +481,144 @@ def bloom_contaminated_grams(
     Bloom semantics: NO false negatives (every exactly-contaminated gram
     is flagged), false positives at ~0.02% with the defaults (16 bits/item
     × 7 probes) — callers route flagged docs to the exact join for
-    confirmation, so the filter's job is to keep 99.9% of the corpus away
-    from that join.  Returns (id, n_flagged_grams) per doc with >= 1 hit.
+    confirmation (:func:`bloom_confirmed_contamination`), so the filter's
+    job is to keep 99.9% of the corpus away from that join.  Returns
+    (id, n_flagged_grams) per doc with >= 1 hit.
+
+    Bit array: ``m`` is rounded UP to a power of two, so (a) the per-probe
+    ``mod`` is a bitmask ``& (m-1)`` and (b) the odd step ``h2`` is coprime
+    with ``m`` — all ``k`` probes are distinct (an even gcd would revisit
+    slots and degrade the FP rate).  Bits are ``np.packbits``-packed — 1
+    bit/slot, so the closure each task deserializes is m/8 bytes, e.g.
+    ~0.5 MB for a 250k-gram benchmark — not numpy's 1 byte/bool.
     """
+    return _bloom_flagged(
+        corpus, benchmark, n, id_col, text_col, bits_per_item, k_hashes
+    ).groupBy(id_col).agg(
+        F.count_distinct("gh").cast("long").alias("n_flagged_grams")
+    )
+
+
+def _gram_frame(
+    df: DataFrame, n: int, id_col: str, text_col: str, with_text: bool
+) -> DataFrame:
+    """(id, gh [, gram]) word n-gram xxhash64 rows of ``df``."""
     words = F.split(
         F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
     )
-
-    def gram_hashes(df: DataFrame) -> DataFrame:
-        return (
-            df.select(id_col, words.alias("ws"))
-            .filter(F.size("ws") >= n)
-            .select(
-                id_col,
-                F.explode(
-                    F.sequence(F.lit(1), F.size("ws") - (n - 1))
-                ).alias("i"),
-                "ws",
-            )
-            .select(
-                id_col,
-                F.xxhash64(
-                    F.concat_ws(" ", F.slice("ws", F.col("i"), n))
-                ).alias("gh"),
-            )
+    gram = F.concat_ws(" ", F.slice("ws", F.col("i"), n))
+    cols = [F.xxhash64(gram).alias("gh")]
+    if with_text:
+        cols.append(gram.alias("gram"))
+    return (
+        df.select(id_col, words.alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"),
+            "ws",
         )
+        .select(id_col, *cols)
+    )
 
+
+def _bloom_flagged(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    bits_per_item: int,
+    k_hashes: int,
+    with_text: bool = False,
+) -> DataFrame:
+    """Corpus (id, gh[, gram]) rows whose gram hash passes the benchmark's
+    Bloom filter — the shared map-side stage of the flag-count and
+    exact-confirm paths."""
     bench_hashes = np.array(
         [
             r["gh"]
-            for r in gram_hashes(benchmark).select("gh").distinct().collect()
+            for r in _gram_frame(benchmark, n, id_col, text_col, False)
+            .select("gh")
+            .distinct()
+            .collect()
         ],
         dtype=np.int64,
     ).view(np.uint64)
-    m = max(64, int(bits_per_item) * max(1, len(bench_hashes)))
-    bits = np.zeros(m, dtype=bool)
-    h1 = bench_hashes % np.uint64(m)
-    h2 = (bench_hashes >> np.uint64(33)) | np.uint64(1)  # odd => full cover
+    m = 64
+    while m < int(bits_per_item) * max(1, len(bench_hashes)):
+        m <<= 1  # power of two: mod == bitmask, odd h2 coprime with m
+    mask = np.uint64(m - 1)
+    h1 = bench_hashes & mask
+    h2 = (bench_hashes >> np.uint64(33)) | np.uint64(1)
+    packed = np.zeros(m // 8, dtype=np.uint8)
     for i in range(k_hashes):
-        bits[(h1 + np.uint64(i) * h2) % np.uint64(m)] = True
+        idx = (h1 + np.uint64(i) * h2) & mask
+        # bitwise_or.at, NOT packed[...] |= — two probe bits landing in the
+        # same byte within one probe round would otherwise lose one update
+        # (numpy fancy-indexed in-place ops don't accumulate duplicates),
+        # which is a silent false NEGATIVE — the one error class a Bloom
+        # filter must never make
+        np.bitwise_or.at(
+            packed,
+            (idx >> np.uint64(3)).astype(np.int64),
+            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+        )
 
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("boolean")
     def might_contain(gh: pd.Series) -> pd.Series:
         h = gh.to_numpy(dtype=np.int64).view(np.uint64)
-        a = h % np.uint64(m)
+        a = h & mask
         b = (h >> np.uint64(33)) | np.uint64(1)
         hit = np.ones(len(h), dtype=bool)
         for i in range(k_hashes):
-            hit &= bits[(a + np.uint64(i) * b) % np.uint64(m)]
+            idx = (a + np.uint64(i) * b) & mask
+            hit &= (
+                packed[(idx >> np.uint64(3)).astype(np.int64)]
+                >> (idx & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1) != 0
         return pd.Series(hit)
 
+    return _gram_frame(corpus, n, id_col, text_col, with_text).filter(
+        might_contain(F.col("gh"))
+    )
+
+
+def bloom_confirmed_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits_per_item: int = 16,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Full Bloom decontamination: map-side Bloom pre-filter, then an exact
+    gram equi-join over ONLY the flagged grams.  Because the Bloom filter
+    has no false negatives, the confirmed output is exactly the exact-path
+    answer (:func:`ngram_overlap` semantics) — which is what makes this
+    oracle-checkable — while the expensive string join touches ~0.1% of the
+    corpus grams instead of all of them.  Returns (id, n_confirmed_grams).
+    """
+    flagged = _bloom_flagged(
+        corpus,
+        benchmark,
+        n,
+        id_col,
+        text_col,
+        bits_per_item,
+        k_hashes,
+        with_text=True,
+    )
+    bench_grams = (
+        _gram_frame(benchmark, n, id_col, text_col, True)
+        .select("gram")
+        .distinct()
+    )
     return (
-        gram_hashes(corpus)
-        .filter(might_contain(F.col("gh")))
+        flagged.join(bench_grams, "gram", "left_semi")
         .groupBy(id_col)
-        .agg(F.count_distinct("gh").cast("long").alias("n_flagged_grams"))
+        .agg(F.count_distinct("gram").cast("long").alias("n_confirmed_grams"))
     )

@@ -227,27 +227,99 @@ def _signature_mins(
     )
 
 
+# Version tag for the text normalization baked into every signature; bumped
+# if normalize_text ever changes, so stored tables from an older scheme fail
+# fast instead of silently missing pairs.
+_SIG_NORM_VERSION = "norm-v1"
+
+
+def band_key_columns(num_hashes: int, bands: int) -> list[Column]:
+    """``band_0..band_{bands-1}`` LSH band keys derived from ``mh_*``
+    columns (xxhash64 of each band's minhash rows).  Used both at query time
+    and when persisting a signature table WITH precomputed band keys, so an
+    incremental run's corpus side can skip the banding projection too."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+
+
+def signature_num_hashes(df: DataFrame) -> int:
+    """Number of minhash functions a signature frame was built with, derived
+    from its ``mh_*`` columns (the fail-fast floor when no metadata rode
+    along with the table)."""
+    import re
+
+    idx = [
+        int(m.group(1))
+        for c in df.columns
+        if (m := re.fullmatch(r"mh_(\d+)", c))
+    ]
+    if not idx or sorted(idx) != list(range(len(idx))):
+        raise ValueError(
+            f"not a minhash signature frame (mh_* columns malformed): "
+            f"{df.columns}"
+        )
+    return len(idx)
+
+
+def signature_params(df: DataFrame) -> dict | None:
+    """Signature parameters stored as field metadata on ``mh_0`` (survives a
+    parquet round-trip via Spark's schema JSON in the file footer), or None
+    for tables written without metadata (pre-r4 / foreign tables)."""
+    for f in df.schema.fields:
+        if f.name == "mh_0" and f.metadata and "num_hashes" in f.metadata:
+            return dict(f.metadata)
+    return None
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
     shingle_n: int = 5,
+    bands: int | None = None,
 ) -> DataFrame:
-    """``(id, mh_0..mh_{n-1})`` minhash signature table for ``df``.
+    """``(id, mh_0..mh_{n-1}[, band_0..])`` minhash signature table.
 
     Deterministic (pure xxhash64 arithmetic), so persisting it (e.g. to a
     ``ManagedTable``) and reading it back on later increments is a pure-win
     cache: the corpus side of :func:`minhash_lsh_pairs_incremental` then
     skips the explode + min aggregate entirely — at 100 TB that aggregate IS
     the dominant cost of an incremental run.
+
+    ``bands`` additionally materializes the LSH band keys (``bands`` extra
+    longs/doc) so a stored table also skips the banding projection at read
+    time.  The build parameters (num_hashes, shingle_n, normalization
+    version, bands) ride along as field metadata on ``mh_0`` — Spark writes
+    its schema JSON (metadata included) into the parquet footer, so
+    :func:`minhash_lsh_pairs_incremental` can fail fast on a parameter
+    mismatch instead of silently missing pairs (a shingle_n=5 table probed
+    with shingle_n=7 has the identical schema but incompatible values).
     """
     base = ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         normalize_text(F.col(text_col)).alias("__txt"),
     )
-    return _signature_mins(base, [], num_hashes, shingle_n).withColumnRenamed(
-        "__id", id_col
+    mins = _signature_mins(base, [], num_hashes, shingle_n)
+    meta = {
+        "num_hashes": num_hashes,
+        "shingle_n": shingle_n,
+        "normalization": _SIG_NORM_VERSION,
+    }
+    extra: list[Column] = []
+    if bands is not None:
+        meta["bands"] = bands
+        extra = band_key_columns(num_hashes, bands)
+    return mins.select(
+        F.col("__id").alias(id_col),
+        F.col("mh_0").alias("mh_0", metadata=meta),
+        *[F.col(f"mh_{i}") for i in range(1, num_hashes)],
+        *extra,
     )
 
 
@@ -303,8 +375,6 @@ def minhash_lsh_parts(
     codegen and is ~5× faster at equal semantics.  No cross join anywhere;
     skew is bounded because identical band keys imply near-identical docs.
     """
-    rows_per_band = num_hashes // bands
-
     flag_cols = (
         [F.col(flag_col).alias("__flag")] if flag_col is not None else []
     )
@@ -316,25 +386,28 @@ def minhash_lsh_parts(
 
     carry = ["__flag"] if flag_col is not None else []
     group_keys = ["__id"] + carry
+    persisted: list[DataFrame] = []
     # persist: the band self-join AND the estimate filter below both consume
     # the signatures; without an explicit cache each consumer would re-run
-    # the explode + 32-min aggregate.  An override is NOT persisted here —
-    # the stored-signature caller's corpus side is already a cheap parquet
-    # scan (re-reading it per consumer is the right disk-backed behavior),
-    # and the caller persists the recomputed batch slice itself.
+    # the explode + 32-min aggregate.  An override arrives already persisted
+    # by the stored-signature caller (one cached scan of signature table +
+    # batch slice serves all consumers — measured faster than re-reading the
+    # parquet per consumer at sf0.1).  Persisted frames are returned under
+    # ``persisted`` so a long-lived session can unpersist after consuming
+    # the results (bench.py instead clearCache()s between queries).
     if mins_override is not None:
         mins = mins_override
     else:
         mins = _signature_mins(base, carry, num_hashes, shingle_n).persist()
-    sig = mins.select(
-        *group_keys,
-        *[
-            F.xxhash64(
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ],
-    )
+        persisted.append(mins)
+    if f"band_{bands - 1}" in mins.columns:
+        # stored band keys (signature table written with bands=...) — skip
+        # the banding projection entirely
+        sig = mins.select(
+            *group_keys, *[F.col(f"band_{b}") for b in range(bands)]
+        )
+    else:
+        sig = mins.select(*group_keys, *band_key_columns(num_hashes, bands))
     bands_long = sig.select(
         *group_keys,
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
@@ -465,6 +538,7 @@ def minhash_lsh_parts(
         "band_candidates": band_candidates,
         "funneled": funneled,
         "verified": verified,
+        "persisted": persisted,
     }
 
 
@@ -499,6 +573,7 @@ def minhash_lsh_pairs_incremental(
     id_col: str,
     text_col: str,
     corpus_signatures: DataFrame | None = None,
+    assume_disjoint_ids: bool = False,
     **kwargs,
 ) -> DataFrame:
     """Incremental fuzzy dedup: near-dup pairs where at least one side is a
@@ -510,17 +585,42 @@ def minhash_lsh_pairs_incremental(
     the full band index, so each increment pays O(batch×corpus collisions +
     batch²).
 
+    Id contract: ``batch`` and ``corpus`` ids must be disjoint — a doc
+    re-ingested under the same id would carry two rows through the funnel
+    and verify joins (fan-out, duplicated pairs).  By default this is
+    ENFORCED with a left-anti join (batch wins — the re-ingested text is
+    the one to dedup against): the batch id set is broadcast-sized, so the
+    anti-join is a map-side probe, never a corpus shuffle.  Callers whose
+    split is disjoint by construction (e.g. a hash bucket of the id space)
+    pass ``assume_disjoint_ids=True`` to skip it.
+
     ``corpus_signatures`` — a previously persisted
     :func:`minhash_signatures` frame for ``corpus`` (e.g. from a
     ``ManagedTable``) — activates the stored-signature path: only the BATCH
     computes the shingle explode + min aggregate; the corpus side's
-    signatures are read back, so the plan has one explode+agg over the
-    (small) batch instead of one over batch+corpus.  ``corpus`` is still
-    needed for the exact-verify stage (candidate texts), which at scale
-    reads only the candidate ids' rows via the verify equi-join.  Results
-    are identical either way (signatures are deterministic; pinned by
-    ``test_incremental_lsh_stored_signatures_equal``).
+    signatures are read back (and its stored ``band_*`` keys reused, when
+    the table was written with ``bands=``), so the plan has one explode+agg
+    over the (small) batch instead of one over batch+corpus.  ``corpus`` is
+    still needed for the exact-verify stage (candidate texts), which at
+    scale reads only the candidate ids' rows via the verify equi-join.
+    Results are identical either way (signatures are deterministic; pinned
+    by ``test_incremental_lsh_stored_signatures_equal``).  The stored
+    frame's build parameters are validated against this call's (field
+    metadata when present — written by :func:`minhash_signatures` — plus
+    the ``mh_*`` column count as the floor): a table built with a different
+    shingle_n/num_hashes/normalization has the same schema but incompatible
+    values, and would silently miss pairs (the exact-verify stage protects
+    precision, not recall).
+
+    Caching: the signature frames built here are ``persist()``-ed (each
+    feeds the band join AND the estimate funnel).  In a long-lived session,
+    unpersist after consuming the result (``spark.catalog.clearCache()`` or
+    track via :func:`minhash_lsh_parts`'s ``persisted`` entry).
     """
+    if not assume_disjoint_ids:
+        corpus = corpus.join(
+            batch.select(F.col(id_col)), id_col, "left_anti"
+        )
     b = batch.select(
         F.col(id_col), F.col(text_col), F.lit(False).alias("__is_old")
     )
@@ -531,24 +631,71 @@ def minhash_lsh_pairs_incremental(
     if corpus_signatures is not None:
         num_hashes = kwargs.get("num_hashes", 32)
         shingle_n = kwargs.get("shingle_n", 5)
-        # persist the batch slice (it feeds the band join AND the estimate
-        # funnel); the corpus slice stays an un-persisted parquet scan of
-        # the signature table
-        batch_sigs = minhash_signatures(
-            batch, id_col, text_col, num_hashes=num_hashes, shingle_n=shingle_n
-        ).persist()
+        bands = kwargs.get("bands", 8)
+        stored_n = signature_num_hashes(corpus_signatures)
+        if stored_n != num_hashes:
+            raise ValueError(
+                f"corpus_signatures has {stored_n} mh_* columns but this "
+                f"call uses num_hashes={num_hashes}"
+            )
+        params = signature_params(corpus_signatures)
+        if params is not None:
+            want = {
+                "num_hashes": num_hashes,
+                "shingle_n": shingle_n,
+                "normalization": _SIG_NORM_VERSION,
+            }
+            got = {k: params.get(k) for k in want}
+            # metadata stores ints as long; normalize for the compare
+            got = {
+                k: int(v) if isinstance(v, float) else v
+                for k, v in got.items()
+            }
+            if got != want:
+                raise ValueError(
+                    f"corpus_signatures built with {got}, query wants {want}"
+                )
+        if not assume_disjoint_ids:
+            corpus_signatures = corpus_signatures.join(
+                batch.select(F.col(id_col)), id_col, "left_anti"
+            )
+        # ONE persisted frame (signature-table scan ∪ recomputed batch
+        # slice) serves every consumer — band join, estimate funnel probe ×2
+        # — instead of re-reading the parquet per consumer (measured: the
+        # per-consumer re-read made the stored path LOSE to recompute warm
+        # at sf0.1, VERDICT r3 #1).  Stored band_* keys are carried through
+        # when present so the banding projection is skipped too; the batch
+        # slice computes the same columns.
+        carry_bands = (
+            [f"band_{i}" for i in range(bands)]
+            if f"band_{bands - 1}" in corpus_signatures.columns
+            else []
+        )
         mh = [f"mh_{i}" for i in range(num_hashes)]
+        batch_sigs = minhash_signatures(
+            batch,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            shingle_n=shingle_n,
+            bands=bands if carry_bands else None,
+        )
         mins_override = (
             corpus_signatures.select(
-                F.col(id_col).alias("__id"), F.lit(True).alias("__flag"), *mh
+                F.col(id_col).alias("__id"),
+                F.lit(True).alias("__flag"),
+                *mh,
+                *carry_bands,
             )
             .unionByName(
                 batch_sigs.select(
                     F.col(id_col).alias("__id"),
                     F.lit(False).alias("__flag"),
                     *mh,
+                    *carry_bands,
                 )
             )
+            .persist()
         )
     return minhash_lsh_parts(
         c.unionByName(b),

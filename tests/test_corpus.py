@@ -256,15 +256,19 @@ def test_incremental_lsh_stored_signatures_equal(spark, tmp_path):
     assert stored == recomputed and stored
 
     # corpus signatures must come from the signature-table parquet scan
-    # (a Relation with mh_* columns), and no shingle explode may sit over
-    # the corpus filter (NOT pmod(...) = 0) — the corpus explode+agg is
-    # gone; only the batch side (pmod(...) = 0, possibly hidden behind its
-    # persist) still shingles.
+    # (since r4 it sits INSIDE the persisted union's InMemoryRelation —
+    # one cached frame serves the band join and both funnel probes — so it
+    # prints as a FileScan in the cached plan), and no shingle explode may
+    # sit over the corpus filter (NOT pmod(...) = 0) — the corpus
+    # explode+agg is gone; only the batch side (pmod(...) = 0) shingles.
     plan = stored_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan, "signature union no longer cached"
     sig_scans = [
         l
         for l in plan.splitlines()
-        if "Relation" in l and "mh_0" in l and "parquet" in l
+        if ("Relation" in l or "FileScan" in l)
+        and "mh_0" in l
+        and "parquet" in l
     ]
     assert sig_scans, "signature-table parquet scan missing from plan"
     lines = plan.splitlines()
@@ -280,6 +284,81 @@ def test_incremental_lsh_stored_signatures_equal(spark, tmp_path):
             "",
         )
         assert "NOT" not in src, f"corpus-side shingle explode survived:\n{src}"
+
+
+def test_incremental_lsh_stored_bands_and_validation(spark, tmp_path):
+    """r4 stored-signature upgrades: (a) a table written with ``bands=``
+    carries precomputed band keys and still gives byte-identical pairs;
+    (b) a table built with different parameters fails fast instead of
+    silently missing pairs (ADVICE r3: the exact-verify stage protects
+    precision, not recall, so a silent mismatch loses recall)."""
+    import pytest
+
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+    from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+    from pyspark.sql import functions as F
+
+    docs = eq.load(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    is_batch = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) == 0
+    batch, corpus = docs.filter(is_batch), docs.filter(~is_batch)
+
+    sigs = dd.minhash_signatures(corpus, "doc_id", "text", bands=8)
+    assert [f"band_{b}" in sigs.columns for b in range(8)] == [True] * 8
+    meta = dd.signature_params(sigs)
+    assert meta and int(meta["shingle_n"]) == 5 and int(meta["bands"]) == 8
+
+    table = ManagedTable(spark, str(tmp_path / "sig_store_banded"))
+    table.create(sigs)
+    # metadata survives the parquet round-trip (Spark schema JSON in footer)
+    assert dd.signature_params(table.read()) is not None
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dd.minhash_lsh_pairs_incremental(
+                batch, corpus, "doc_id", "text", **kw
+            ).collect()
+        }
+
+    assert pairs(corpus_signatures=table.read()) == pairs() != set()
+
+    with pytest.raises(ValueError, match="shingle_n"):
+        dd.minhash_lsh_pairs_incremental(
+            batch, corpus, "doc_id", "text",
+            corpus_signatures=table.read(), shingle_n=7,
+        )
+    with pytest.raises(ValueError, match="mh_"):
+        dd.minhash_lsh_pairs_incremental(
+            batch, corpus, "doc_id", "text",
+            corpus_signatures=table.read().drop("mh_31"),
+        )
+
+
+def test_incremental_lsh_overlapping_ids_deduped(spark):
+    """A doc re-ingested in the batch under an id already in the corpus
+    must not fan out the funnel/verify joins: by default the corpus copy is
+    anti-joined away (batch wins), so pairs involving that id appear once
+    and no self-pair survives (ADVICE r3 #2)."""
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+
+    docs = eq.load(spark, "/root/testdata/sf0.001", "documents")["documents"]
+    batch = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 <> 0 OR doc_id % 10 = 0")  # overlap!
+    got = dd.minhash_lsh_pairs_incremental(
+        batch, corpus, "doc_id", "text"
+    ).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in got]
+    assert len(keys) == len(set(keys)), "fan-out duplicated pairs"
+    assert all(a != b for a, b in keys), "self-pair leaked"
+    # and equals the clean-disjoint run (overlap resolved batch-side)
+    clean = dd.minhash_lsh_pairs_incremental(
+        batch, docs.filter("doc_id % 5 <> 0"), "doc_id", "text"
+    ).collect()
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in got} == {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in clean
+    }
 
 
 def test_sequence_packing_invariants(spark):

@@ -56,3 +56,25 @@ def test_dedup_by_components_keeps_reps_and_isolated(spark):
     )
     # 2, 3, 8 are non-representative members; everything else survives.
     assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+
+def test_distributed_path_matches_driver_path(spark):
+    """broadcast_threshold=0 forces the O(log n) shuffle rounds (the
+    100 TB path); results must be identical to the driver union-find fast
+    path on the same graph — chain, clique, isolated pair, dup edges."""
+    pairs = (
+        [(i, i + 1) for i in range(20)]           # chain 0..20
+        + [(100, 101), (101, 102), (100, 102)]    # triangle
+        + [(500, 501), (501, 500)]                # dup/reversed pair
+    )
+    e = _edges(spark, pairs)
+    fast = _comp_map(gr.connected_components(e))
+    dist = _comp_map(gr.connected_components(e, broadcast_threshold=0))
+    assert fast == dist
+    assert set(fast.values()) == {0, 100, 500}
+
+
+def test_driver_path_long_chain(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(500)])
+    got = _comp_map(gr.connected_components(e))
+    assert set(got.values()) == {0} and len(got) == 501
