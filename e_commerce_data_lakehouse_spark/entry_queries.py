@@ -18,6 +18,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
 from e_commerce_data_lakehouse_spark.catalog import testdata_catalog
 from e_commerce_data_lakehouse_spark.functions.exact import (
     avg_money,
@@ -2115,8 +2117,8 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_money("o_totalprice").alias("spend"),
             F.count("*").alias("n_orders"),
         )
-        .persist()
     )
+    s = tracked_persist(s)
     b = s.agg(
         F.percentile("spend", 0.25).alias("p25"),
         F.percentile("spend", 0.50).alias("p50"),
@@ -2218,8 +2220,8 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "lang", "text", "quality", "n_tok")
-        .persist()
     )
+    curated = tracked_persist(curated)
     prof = lid.language_profiles_from_corpus(curated, "lang", "text", top_n=50)
     pred = lid.classify_corpus(curated, prof, ["doc_id"], "text").select(
         "doc_id", "predicted_lang"
@@ -4488,7 +4490,8 @@ def top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decimal(30,6)"
             )
         ).alias("val")
-    ).persist()
+    )
+    pv = tracked_persist(pv)
     thr = pv.agg(
         (F.sum("val").cast("double") / F.count("*") * F.lit(1.5)).alias("thr")
     ).first()["thr"]
@@ -4754,7 +4757,8 @@ def excess_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(promo_parts), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("promo_qty"))
-    ).persist()
+    )
+    sq = tracked_persist(sq)
     thr = sq.agg(
         (F.sum("promo_qty").cast("double") / F.count("*") * F.lit(1.1)).alias(
             "thr"

@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
 
 def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
     """Deterministic, engine-portable bucket in ``[0, n_buckets)`` from the
@@ -345,7 +347,7 @@ def heavy_hitter_tokens(
     # two consumers (candidate phase + exact recount) — persist so the
     # corpus is tokenized once, not re-exploded per pass (r2 verdict noted
     # 3 tokenization passes; now 1 materialization + 1 cheap doc-level agg)
-    toks = ensure_parallelism(toks).persist()
+    toks = tracked_persist(ensure_parallelism(toks))
 
     def mg_partition(batches):
         counters: dict[str, int] = {}

@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
 
 # ---------------------------------------------------------------------------
 # W1: dedup keep-latest
@@ -398,7 +400,7 @@ def minhash_lsh_parts(
     if mins_override is not None:
         mins = mins_override
     else:
-        mins = _signature_mins(base, carry, num_hashes, shingle_n).persist()
+        mins = tracked_persist(_signature_mins(base, carry, num_hashes, shingle_n))
         persisted.append(mins)
     if f"band_{bands - 1}" in mins.columns:
         # stored band keys (signature table written with bands=...) — skip
@@ -614,8 +616,10 @@ def minhash_lsh_pairs_incremental(
 
     Caching: the signature frames built here are ``persist()``-ed (each
     feeds the band join AND the estimate funnel).  In a long-lived session,
-    unpersist after consuming the result (``spark.catalog.clearCache()`` or
-    track via :func:`minhash_lsh_parts`'s ``persisted`` entry).
+    unpersist after consuming the result — every internal persist is
+    registered with :mod:`..caching`; call
+    :func:`e_commerce_data_lakehouse_spark.caching.release_persisted`
+    (or ``spark.catalog.clearCache()``).
     """
     if not assume_disjoint_ids:
         corpus = corpus.join(
@@ -695,8 +699,8 @@ def minhash_lsh_pairs_incremental(
                     *carry_bands,
                 )
             )
-            .persist()
         )
+        mins_override = tracked_persist(mins_override)
     return minhash_lsh_parts(
         c.unionByName(b),
         id_col,
@@ -773,7 +777,7 @@ def simhash_pairs(
         sim_col = sim_col.bitwiseOR(
             F.when(F.col(f"v{b}") > 0, m).otherwise(F.lit(0).cast("long"))
         )
-    sh = votes.select("__id", sim_col.alias("__sim")).persist()
+    sh = tracked_persist(votes.select("__id", sim_col.alias("__sim")))
     chunks = sh.select(
         "__id",
         "__sim",

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
 from e_commerce_data_lakehouse_spark.functions.vectors import cosine, dot
 
 
@@ -533,8 +535,8 @@ def semantic_dedup(
     base = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .withColumn("cluster", assign(F.col("__v")).getItem(0))
-        .persist()
     )
+    base = tracked_persist(base)
     a, b = base.alias("a"), base.alias("b")
     dropped = (
         a.join(
