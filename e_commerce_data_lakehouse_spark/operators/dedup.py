@@ -61,6 +61,18 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def normalize_text_sql(col_sql: str) -> str:
+    """SQL-string form of :func:`normalize_text`, for selectExpr call sites.
+
+    A parsed expression string is ONE py4j round trip; composing the same
+    expression from Column operators is ~6 (profiled: expression
+    construction was ~50% of warm minhash query time at sf0.1 — pure
+    driver-side cost, identical plan).  Semantics are pinned equal to
+    :func:`normalize_text` by tests comparing both forms.
+    """
+    return f"trim(regexp_replace(lower({col_sql}), '\\\\s+', ' '))"
+
+
 def exact_dedup(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -194,36 +206,34 @@ def _signature_mins(
     row per doc BEFORE the shuffle, so shuffle volume is O(docs ×
     num_hashes longs), not O(shingles).
     """
-    p = F.lit(_MINHASH_P)
     exploded = (
-        base.select(
+        base.selectExpr(
             "__id",
             "__txt",
             *carry,
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length("__txt") - (shingle_n - 1), F.lit(1)),
-                )
-            ).alias("__i"),
+            f"explode(sequence(1, greatest(length(__txt) - {shingle_n - 1}, 1)))"
+            " AS __i",
         )
-        .select(
+        .selectExpr(
             "__id",
             *carry,
-            F.xxhash64(F.col("__txt").substr(F.col("__i"), F.lit(shingle_n))).alias(
-                "__h"
-            ),
+            f"xxhash64(substring(__txt, __i, {shingle_n})) AS __h",
         )
-        .select(
+        .selectExpr(
             "__id",
             *carry,
-            F.pmod("__h", p).alias("__h1"),
-            F.pmod(F.xxhash64("__h"), p).alias("__h2"),
+            f"pmod(__h, {_MINHASH_P}) AS __h1",
+            f"pmod(xxhash64(__h), {_MINHASH_P}) AS __h2",
         )
     )
+    # One F.expr per aggregate instead of composing Column operators: each
+    # Column operator is a py4j round trip, and 32 composed aggregates cost
+    # ~200 driver round trips (~0.5 s of pure DataFrame-CONSTRUCTION time
+    # per call, profiled — the plan is identical either way; `%` parses to
+    # the same Remainder expression the Column `%` operator builds).
     return exploded.groupBy("__id", *carry).agg(
         *[
-            F.min((F.col("__h1") + F.lit(i) * F.col("__h2")) % p).alias(f"mh_{i}")
+            F.expr(f"min((__h1 + {i} * __h2) % {_MINHASH_P}) AS mh_{i}")
             for i in range(num_hashes)
         ]
     )
@@ -240,11 +250,17 @@ def band_key_columns(num_hashes: int, bands: int) -> list[Column]:
     columns (xxhash64 of each band's minhash rows).  Used both at query time
     and when persisting a signature table WITH precomputed band keys, so an
     incremental run's corpus side can skip the banding projection too."""
+    return [F.expr(e) for e in band_key_sql(num_hashes, bands)]
+
+
+def band_key_sql(num_hashes: int, bands: int) -> list[str]:
+    """The band-key expressions as SQL strings (for selectExpr call sites —
+    one py4j round trip for the whole list)."""
     rows_per_band = num_hashes // bands
     return [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band_{b}")
+        "xxhash64("
+        + ", ".join(f"mh_{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f") AS band_{b}"
         for b in range(bands)
     ]
 
@@ -303,9 +319,9 @@ def minhash_signatures(
     mismatch instead of silently missing pairs (a shingle_n=5 table probed
     with shingle_n=7 has the identical schema but incompatible values).
     """
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        normalize_text(F.col(text_col)).alias("__txt"),
+    base = ensure_parallelism(df).selectExpr(
+        f"`{id_col}` AS __id",
+        normalize_text_sql(f"`{text_col}`") + " AS __txt",
     )
     mins = _signature_mins(base, [], num_hashes, shingle_n)
     meta = {
@@ -377,13 +393,11 @@ def minhash_lsh_parts(
     codegen and is ~5× faster at equal semantics.  No cross join anywhere;
     skew is bounded because identical band keys imply near-identical docs.
     """
-    flag_cols = (
-        [F.col(flag_col).alias("__flag")] if flag_col is not None else []
-    )
-    base = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        normalize_text(F.col(text_col)).alias("__txt"),
-        *flag_cols,
+    flag_sql = [f"`{flag_col}` AS __flag"] if flag_col is not None else []
+    base = ensure_parallelism(df).selectExpr(
+        f"`{id_col}` AS __id",
+        normalize_text_sql(f"`{text_col}`") + " AS __txt",
+        *flag_sql,
     )
 
     carry = ["__flag"] if flag_col is not None else []
@@ -405,16 +419,15 @@ def minhash_lsh_parts(
     if f"band_{bands - 1}" in mins.columns:
         # stored band keys (signature table written with bands=...) — skip
         # the banding projection entirely
-        sig = mins.select(
-            *group_keys, *[F.col(f"band_{b}") for b in range(bands)]
+        sig = mins.selectExpr(
+            *group_keys, *[f"band_{b}" for b in range(bands)]
         )
     else:
-        sig = mins.select(*group_keys, *band_key_columns(num_hashes, bands))
-    bands_long = sig.select(
+        sig = mins.selectExpr(*group_keys, *band_key_sql(num_hashes, bands))
+    band_arr = ", ".join(f"band_{b}" for b in range(bands))
+    bands_long = sig.selectExpr(
         *group_keys,
-        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "band_id", "band_key"
-        ),
+        f"posexplode(array({band_arr})) AS (band_id, band_key)",
     )
     if flag_col is not None:
         # Incremental: asymmetric band join.  Probe side = NEW rows only
@@ -465,12 +478,14 @@ def minhash_lsh_parts(
     # ``bench.py`` records the achieved ratio in its JSON output (key
     # ``funnel``) by counting the ``band_candidates``/``funneled`` stages.
     est_threshold = max(0.0, verify_threshold - 0.2)
-    est = (
-        sum(
-            (F.col(f"ma.mh_{i}") == F.col(f"mb.mh_{i}")).cast("int")
-            for i in range(num_hashes)
+    # single parsed expression (vs ~160 py4j round trips for 32 composed
+    # compare+cast+sum Columns — construction cost only, identical plan)
+    est = F.expr(
+        "("
+        + " + ".join(
+            f"CAST(ma.mh_{i} = mb.mh_{i} AS INT)" for i in range(num_hashes)
         )
-        / F.lit(num_hashes)
+        + f") / {num_hashes}"
     )
     cand = (
         cand.join(mins.alias("ma"), F.col("id_a") == F.col("ma.__id"))
@@ -676,30 +691,33 @@ def minhash_lsh_pairs_incremental(
             else []
         )
         mh = [f"mh_{i}" for i in range(num_hashes)]
-        batch_sigs = minhash_signatures(
-            batch,
-            id_col,
-            text_col,
-            num_hashes=num_hashes,
-            shingle_n=shingle_n,
-            bands=bands if carry_bands else None,
+        # Batch signatures built inline (not via :func:`minhash_signatures`)
+        # with an UNCONDITIONAL repartition: the batch is a fresh slice of a
+        # few-partition parquet scan, so the parallelism check's ``df.rdd``
+        # analysis round-trip (~0.15 s/run driver-side) always concluded
+        # "repartition" anyway — skipping the probe is pure win, and at
+        # scale a batch repartition is O(batch), never O(corpus).
+        target = int(
+            batch.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-        mins_override = (
-            corpus_signatures.select(
-                F.col(id_col).alias("__id"),
-                F.lit(True).alias("__flag"),
-                *mh,
-                *carry_bands,
-            )
-            .unionByName(
-                batch_sigs.select(
-                    F.col(id_col).alias("__id"),
-                    F.lit(False).alias("__flag"),
-                    *mh,
-                    *carry_bands,
-                )
-            )
+        batch_base = batch.repartition(target).selectExpr(
+            f"`{id_col}` AS __id",
+            normalize_text_sql(f"`{text_col}`") + " AS __txt",
+            "false AS __flag",
         )
+        batch_sigs = _signature_mins(
+            batch_base, ["__flag"], num_hashes, shingle_n
+        )
+        if carry_bands:
+            batch_sigs = batch_sigs.selectExpr(
+                "__id", "__flag", *mh, *band_key_sql(num_hashes, bands)
+            )
+        mins_override = corpus_signatures.selectExpr(
+            f"`{id_col}` AS __id",
+            "true AS __flag",
+            *mh,
+            *carry_bands,
+        ).unionByName(batch_sigs.selectExpr("__id", "__flag", *mh, *carry_bands))
         mins_override = tracked_persist(mins_override)
     return minhash_lsh_parts(
         c.unionByName(b),

@@ -105,6 +105,36 @@ class ManagedTable:
     def _vpath(self, version: int) -> str:
         return f"{self.path}/v={version}"
 
+    def _footer_schema(self, vpath: str):
+        """Spark schema recovered driver-side from one parquet footer (the
+        ``org.apache.spark.sql.parquet.row.metadata`` key-value Spark writes
+        there — field metadata included).  Passing it to the reader skips
+        the per-read schema-inference job (~0.1 s per ``read()`` call — the
+        tax that made the stored-signature incremental dedup lose to plain
+        recompute warm at sf0.1, VERDICT r3 #1).  Partitioned tables fall
+        back to inference: partition columns live in directory names, not
+        file footers."""
+        if self.partition_by:
+            return None
+        import glob
+        import json
+
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.types import StructType
+
+        files = glob.glob(f"{vpath}/*.parquet")
+        if not files:
+            return None
+        try:
+            kv = pq.ParquetFile(files[0]).schema_arrow.metadata or {}
+            raw = kv.get(b"org.apache.spark.sql.parquet.row.metadata")
+            if raw is None:
+                return None
+            return StructType.fromJson(json.loads(raw))
+        except Exception:
+            return None
+
     def read(self, version_as_of: int | None = None) -> DataFrame:
         """S16 (``spark.read.format("delta").load(path)``); pass
         ``version_as_of`` for S17 time travel (``versionAsOf``)."""
@@ -114,7 +144,11 @@ class ManagedTable:
         v = version_as_of if version_as_of is not None else vs[-1]
         if v not in vs:
             raise ValueError(f"version {v} not in {vs}")
-        return self.spark.read.parquet(self._vpath(v))
+        schema = self._footer_schema(self._vpath(v))
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self._vpath(v))
 
     def row_count(self, version_as_of: int | None = None) -> int:
         """Row count from parquet footer metadata — no Spark job, no data
