@@ -775,40 +775,40 @@ def simhash_pairs(
     # vote columns in ONE codegen hash aggregate (the array-expression form
     # in :func:`simhash64` evaluates interpreted per element; this form's
     # partial agg also collapses to one row per doc before the shuffle).
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-        ).alias("__t"),
-    ).select("__id", F.xxhash64("__t").alias("__h"))
-    masks = [F.shiftleft(F.lit(1).cast("long"), b) for b in range(64)]
+    # Expressions as parsed SQL strings: the 64 vote aggregates + the
+    # 64-term simhash reconstruction composed as Column operators cost
+    # ~900 py4j round trips of pure DataFrame-construction time (~1.3 s/run
+    # at sf0.1, profiled); the parsed form is a handful, identical plan.
+    toks = ensure_parallelism(df).selectExpr(
+        f"`{id_col}` AS __id",
+        "explode(array_distinct(split("
+        + normalize_text_sql(f"`{text_col}`")
+        + ", ' '))) AS __t",
+    ).selectExpr("__id", "xxhash64(__t) AS __h")
     votes = toks.groupBy("__id").agg(
         *[
-            F.sum(
-                F.when(F.col("__h").bitwiseAND(m) != 0, 1).otherwise(-1)
-            ).alias(f"v{b}")
-            for b, m in enumerate(masks)
+            F.expr(
+                f"sum(CASE WHEN (__h & shiftleft(1L, {b})) != 0 "
+                f"THEN 1 ELSE -1 END) AS v{b}"
+            )
+            for b in range(64)
         ]
     )
-    sim_col = masks[0].bitwiseAND(F.lit(0))  # typed zero
-    for b, m in enumerate(masks):
-        sim_col = sim_col.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, m).otherwise(F.lit(0).cast("long"))
+    sim_sql = "CAST(0 AS BIGINT)"
+    for b in range(64):
+        sim_sql = (
+            f"({sim_sql} | CASE WHEN v{b} > 0 THEN shiftleft(1L, {b}) "
+            "ELSE CAST(0 AS BIGINT) END)"
         )
-    sh = tracked_persist(votes.select("__id", sim_col.alias("__sim")))
-    chunks = sh.select(
+    sh = tracked_persist(votes.selectExpr("__id", f"{sim_sql} AS __sim"))
+    chunk_arr = ", ".join(
+        f"(shiftright(__sim, {b * width}) & {(1 << width) - 1})"
+        for b in range(bands)
+    )
+    chunks = sh.selectExpr(
         "__id",
         "__sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("__sim"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias(f"c{b}")
-                    for b in range(bands)
-                ]
-            )
-        ).alias("chunk_id", "chunk"),
+        f"posexplode(array({chunk_arr})) AS (chunk_id, chunk)",
     )
     a, b_ = chunks.alias("a"), chunks.alias("b")
     cand = (
@@ -856,8 +856,18 @@ def winnow_fingerprints(
     explode.  Returns (id, fp) distinct rows.
     """
     norm = normalize_text(F.col(text_col))
+    # Partition by DOC before exploding: the sliding-min window needs rows
+    # co-located per doc, and hash-partitioning the raw text here (small)
+    # satisfies the window's distribution requirement so no exchange of the
+    # exploded gram stream (k-gram hashes are ~10× the text bytes) happens —
+    # the window pays only a local sort.  Replaces the round-robin
+    # ensure_parallelism, which forced a second, full-width shuffle of the
+    # grams at the window.
+    target = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     base = (
-        ensure_parallelism(df)
+        df.repartition(target, F.col(id_col))
         .select(F.col(id_col), norm.alias("__t"))
         .filter(F.length("__t") >= k + w - 1)
     )
@@ -901,7 +911,12 @@ def winnowing_pairs(
     fingerprint column is the blocking key (equi-self-join — fingerprints
     are discriminative, so buckets are tiny), pairs keep ``id_a < id_b``,
     then HAVING count >= min_shared."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    # persist: both sides of the self-join consume the fingerprint frame —
+    # without the cache the explode + sliding-window min runs twice (the
+    # whole fingerprint build, ~half this operator's cost; r3's unexplained
+    # winnowing_near_dup drift was this double compute).  The frame is
+    # bounded at ~n_chars/w rows per doc, far smaller than the gram stream.
+    fps = tracked_persist(winnow_fingerprints(df, id_col, text_col, k, w))
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(

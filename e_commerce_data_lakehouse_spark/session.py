@@ -54,6 +54,14 @@ def get_spark(
         .config("spark.sql.legacy.allowHashOnMapType", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # ContextCleaner only reclaims finished broadcasts/shuffles/RDDs
+        # when the DRIVER GCs, and a mostly-idle multi-GB heap can go many
+        # minutes between collections — in a long-lived session the
+        # executors accumulate stale broadcast/shuffle blocks until memory
+        # pressure turns into multi-second stalls (observed: same warm
+        # query 3-5x slower late in a 55-query run).  The default interval
+        # is 30 min; 1 min bounds the accumulation at a negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
