@@ -31,3 +31,43 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
     associativity noise between engines so ranking and hash-matching are
     stable."""
     return F.round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+
+def dot_fixed_sql(a_sql: str, b_sql: str, dim: int) -> str:
+    """Unrolled fixed-dimension dot product as ONE SQL string.
+
+    ``zip_with``/``aggregate`` higher-order functions run in the
+    interpreted expression evaluator per ELEMENT — measured ~45M lambda
+    evals for one sf0.3 semantic-dedup pair stage (the whole query's hot
+    loop).  With the dimension known, the same sum unrolls into plain
+    arithmetic that whole-stage codegen compiles.  The leading
+    ``CAST(0 AS DOUBLE)`` and left-to-right association reproduce the
+    fold's float addition order EXACTLY, so results are bit-identical to
+    :func:`dot` (pinned by ``tests/test_similarity.py``).
+    """
+    terms = " + ".join(
+        f"CAST({a_sql}[{i}] AS DOUBLE) * CAST({b_sql}[{i}] AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def cosine_fixed(
+    a_sql: str, b_sql: str, dim: int, scale: int = 6
+) -> Column:
+    """Fixed-dimension :func:`cosine` as one parsed codegen expression —
+    same rounding, same association order, ~10× faster on wide pair
+    volumes.  ``a_sql``/``b_sql`` are column names (qualified ok)."""
+    d = dot_fixed_sql(a_sql, b_sql, dim)
+    na = dot_fixed_sql(a_sql, a_sql, dim)
+    nb = dot_fixed_sql(b_sql, b_sql, dim)
+    return F.expr(f"ROUND({d} / (SQRT({na}) * SQRT({nb})), {scale})")
+
+
+def infer_dim(df, vec_col: str) -> int:
+    """Array length of ``vec_col`` from one row (bounded scalar job).
+    All vectors in a column share one dimension by contract; a ragged row
+    surfaces as an ANSI index error in the unrolled expression instead of
+    a silent null."""
+    row = df.selectExpr(f"size({vec_col}) AS s").first()
+    return int(row["s"])

@@ -153,7 +153,7 @@ def token_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path for fuzzy dedup)
 # ---------------------------------------------------------------------------
-def shingle_array(text_col: Column, n: int = 5) -> Column:
+def shingle_array(text_col: Column, n: int = 12) -> Column:
     """Distinct character n-grams of the normalized text, built with
     sequence+transform (pure Catalyst expressions, whole-stage codegen)."""
     s = normalize_text(text_col)
@@ -162,30 +162,56 @@ def shingle_array(text_col: Column, n: int = 5) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
 
 
-# Mersenne prime 2^31-1: minhash arithmetic stays below 2^37, so the
-# Kirsch-Mitzenmacher family g_i = (h1 + i*h2) mod p never overflows a long
-# even under ANSI mode.
+# Mersenne prime 2^31-1: with a_i, h < 2^31 the product a_i*h stays below
+# 2^62, so the universal family g_i = (a_i*h + b_i) mod p never overflows a
+# long even under ANSI mode.
 _MINHASH_P = (1 << 31) - 1
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Per-function random constants for the universal hash family
+    ``g_i(h) = (a_i*h + b_i) mod p``.
+
+    Why per-i multipliers and not Kirsch-Mitzenmacher double hashing
+    (``g_i = h1 + i*h2``): KM is sound for Bloom-filter INDEXING but not
+    MIN-WISE independent — a shingle whose h1 AND h2 are both small is the
+    argmin of every g_i at once, so docs sharing one such shingle agree on
+    many mins simultaneously and the per-band argmins correlate.  (Note
+    the r4 scale series showed the DOMINANT source of band-bucket bloat on
+    the test corpus was the 5-char shingle length — near-universal char
+    5-grams give unrelated docs true Jaccard ≈0.3-0.5, which no hash
+    family can fix and shingle_n=12 does — but KM's cross-function
+    correlation is a defect regardless of data, so both were fixed.)
+    Distinct random multipliers make each g_i's argmin independent; one
+    string hash + one mul/add/mod per (shingle, i), same cost as KM.
+    Fixed seed → stable signatures across processes (stored signature
+    tables from this scheme stay valid; pre-r4 tables carry the old
+    version tag and fail fast)."""
+    import random
+
+    rng = random.Random(0x5EED42)
+    out = []
+    for _ in range(num_hashes):
+        out.append((rng.randrange(1, _MINHASH_P), rng.randrange(_MINHASH_P)))
+    return out
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> list[Column]:
     """num_hashes min-hash values of a shingle array (array-expression form;
     :func:`minhash_lsh_pairs` uses the faster explode+hash-agg form).
 
-    One xxhash64 per shingle, then the hash family derives by
-    Kirsch-Mitzenmacher double hashing ``g_i = (h1 + i*h2) mod p`` — two
-    mods per shingle instead of a rehash per (shingle, seed)."""
-    base = F.transform(shingles, lambda sh: F.xxhash64(sh))
+    One xxhash64 per shingle, then the universal family
+    ``g_i = (a_i*h + b_i) mod p`` (see :func:`_minhash_coeffs` for why NOT
+    Kirsch-Mitzenmacher) — one mul+mod per (shingle, i), no rehash."""
+    base = F.transform(shingles, lambda sh: F.pmod(F.xxhash64(sh), F.lit(_MINHASH_P)))
+    coeffs = _minhash_coeffs(num_hashes)
 
     def seeded_min(i: int) -> Column:
+        a, b = coeffs[i]
         return F.array_min(
             F.transform(
                 base,
-                lambda h: (
-                    F.pmod(h, F.lit(_MINHASH_P))
-                    + F.lit(i) * F.pmod(F.xxhash64(h), F.lit(_MINHASH_P))
-                )
-                % F.lit(_MINHASH_P),
+                lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P),
             )
         )
 
@@ -217,13 +243,8 @@ def _signature_mins(
         .selectExpr(
             "__id",
             *carry,
-            f"xxhash64(substring(__txt, __i, {shingle_n})) AS __h",
-        )
-        .selectExpr(
-            "__id",
-            *carry,
-            f"pmod(__h, {_MINHASH_P}) AS __h1",
-            f"pmod(xxhash64(__h), {_MINHASH_P}) AS __h2",
+            f"pmod(xxhash64(substring(__txt, __i, {shingle_n})),"
+            f" {_MINHASH_P}) AS __h1",
         )
     )
     # One F.expr per aggregate instead of composing Column operators: each
@@ -231,10 +252,13 @@ def _signature_mins(
     # ~200 driver round trips (~0.5 s of pure DataFrame-CONSTRUCTION time
     # per call, profiled — the plan is identical either way; `%` parses to
     # the same Remainder expression the Column `%` operator builds).
+    coeffs = _minhash_coeffs(num_hashes)
     return exploded.groupBy("__id", *carry).agg(
         *[
-            F.expr(f"min((__h1 + {i} * __h2) % {_MINHASH_P}) AS mh_{i}")
-            for i in range(num_hashes)
+            F.expr(
+                f"min(({a}L * __h1 + {b}L) % {_MINHASH_P}) AS mh_{i}"
+            )
+            for i, (a, b) in enumerate(coeffs)
         ]
     )
 
@@ -242,7 +266,9 @@ def _signature_mins(
 # Version tag for the text normalization baked into every signature; bumped
 # if normalize_text ever changes, so stored tables from an older scheme fail
 # fast instead of silently missing pairs.
-_SIG_NORM_VERSION = "norm-v1"
+# "mh2": the r4 universal hash family (_minhash_coeffs) — tables written
+# with the earlier Kirsch-Mitzenmacher mins carry "norm-v1" and fail fast.
+_SIG_NORM_VERSION = "mh2-norm-v1"
 
 
 def band_key_columns(num_hashes: int, bands: int) -> list[Column]:
@@ -299,7 +325,7 @@ def minhash_signatures(
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
-    shingle_n: int = 5,
+    shingle_n: int = 12,
     bands: int | None = None,
 ) -> DataFrame:
     """``(id, mh_0..mh_{n-1}[, band_0..])`` minhash signature table.
@@ -347,7 +373,7 @@ def minhash_lsh_parts(
     text_col: str,
     num_hashes: int = 32,
     bands: int = 8,
-    shingle_n: int = 5,
+    shingle_n: int = 12,
     verify_threshold: float = 0.5,
     flag_col: str | None = None,
     mins_override: DataFrame | None = None,
@@ -497,7 +523,7 @@ def minhash_lsh_parts(
     # Verify by true shingle Jaccard.  Candidate pairs join back to the raw
     # normalized text (small strings — cheaper to shuffle than shingle
     # arrays) and an Arrow-batched pandas UDF computes the exact distinct
-    # 5-gram Jaccard; at ~100k+ candidate pairs this beats interpreted
+    # n-gram Jaccard; at ~100k+ candidate pairs this beats interpreted
     # array_intersect/array_union by ~2×, and candidate count — not corpus
     # size — is what grows under near-dup-heavy data.
     from pyspark.sql.functions import pandas_udf
@@ -565,7 +591,7 @@ def minhash_lsh_pairs(
     text_col: str,
     num_hashes: int = 32,
     bands: int = 8,
-    shingle_n: int = 5,
+    shingle_n: int = 12,
     verify_threshold: float = 0.5,
     flag_col: str | None = None,
 ) -> DataFrame:
@@ -649,7 +675,7 @@ def minhash_lsh_pairs_incremental(
     mins_override = None
     if corpus_signatures is not None:
         num_hashes = kwargs.get("num_hashes", 32)
-        shingle_n = kwargs.get("shingle_n", 5)
+        shingle_n = kwargs.get("shingle_n", 12)
         bands = kwargs.get("bands", 8)
         stored_n = signature_num_hashes(corpus_signatures)
         if stored_n != num_hashes:

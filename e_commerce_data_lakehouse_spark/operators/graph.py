@@ -244,3 +244,41 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_by_components_policy(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    order_by: list,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep the BEST member per near-dup cluster under a caller-supplied
+    ordering (e.g. longest text, highest quality score) instead of the
+    min-id representative of :func:`dedup_by_components`.
+
+    Real corpus builds keep the canonical/highest-quality variant, not an
+    arbitrary one: ``order_by`` is a list of Columns over ``df`` ranking
+    cluster members best-first (make it total — break ties on the id — or
+    the survivor is nondeterministic).
+
+    Same scale shape as min-id dedup: components are computed on the pair
+    graph only, the ranking window partitions by component over the
+    (small) member set after a semi join, and the resulting drop-list is
+    applied to the full table as one broadcast-able left-anti join — the
+    100 TB side never reshuffles.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst)
+    members = df.join(
+        comp.select(F.col("id").alias(id_col), "comp"), id_col
+    )
+    w = Window.partitionBy("comp").orderBy(*order_by)
+    losers = (
+        members.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from e_commerce_data_lakehouse_spark.caching import tracked_persist
 
-from e_commerce_data_lakehouse_spark.functions.vectors import cosine, dot
+from e_commerce_data_lakehouse_spark.functions.vectors import (
+    cosine,
+    cosine_fixed,
+    dot,
+    infer_dim,
+)
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -64,10 +69,13 @@ def brute_force_topk(
     pairs = c.join(F.broadcast(q), how="cross")
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    # unrolled fixed-dim cosine: the scoring loop IS this operator's cost
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        cosine_fixed("__qv", "__cv", infer_dim(candidates, vec_col)).alias(
+            "cosine_sim"
+        ),
     )
     return _topk_per_query(scored, k)
 
@@ -151,7 +159,7 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        cosine_fixed("__qv", "__cv", dim).alias("cosine_sim"),
     )
     return _topk_per_query(scored, k)
 
@@ -193,7 +201,7 @@ def near_dup_pairs(
     )
     return (
         cand.select(
-            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim")
+            "id_a", "id_b", cosine_fixed("__va", "__vb", dim).alias("cosine_sim")
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -317,7 +325,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        cosine_fixed("__qv", "__cv", cents.shape[1]).alias("cosine_sim"),
     )
     return _topk_per_query(scored, k)
 
@@ -488,7 +496,7 @@ def ivf_pq_topk(
     exact = short.join(raw, "neighbor_id").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        cosine_fixed("__qv", "__cv", coarse.shape[1]).alias("cosine_sim"),
     )
     return _topk_per_query(exact, k)
 
@@ -524,7 +532,6 @@ def semantic_dedup(
     cell size (at 1B vectors: ~100k centroids).  The prune is a left_anti
     join on the dropped-id set.
     """
-    from e_commerce_data_lakehouse_spark.functions.vectors import cosine
 
     cents = _train_centroids(
         df.select(vec_col), vec_col, n_centroids, seed, sample_size
@@ -546,7 +553,7 @@ def semantic_dedup(
         )
         .select(
             F.col("b.__id").alias("__id"),
-            cosine(F.col("a.__v"), F.col("b.__v")).alias("__cos"),
+            cosine_fixed("a.__v", "b.__v", cents.shape[1]).alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
         .select("__id")
@@ -591,6 +598,8 @@ def hard_negative_topk(
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        cosine_fixed("__qv", "__cv", infer_dim(candidates, vec_col)).alias(
+            "cosine_sim"
+        ),
     )
     return _topk_per_query(scored, k)

@@ -231,3 +231,115 @@ def build_catalog_table(
     return spark.createDataFrame(
         rows, "table_name string, row_count long, version int, status string"
     )
+
+
+def e2e_orders_pipeline(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> tuple[list[StageResult], dict[str, ManagedTable]]:
+    """The reference's production path as ONE call: raw CSV drops →
+    bronze (file-ledger ingest) → silver (watermark + clean + dedup +
+    MERGE) → gold star (dims + date-key fact) → daily rollup → catalog.
+
+    Mirrors ``Airflow Dags/lakehouse_pipeline_dag.py``'s orders chain at
+    library level so ``bench.py`` can record an end-to-end ETL number with
+    a per-stage breakdown (VERDICT r3 #6) against the reference's
+    1800 s/stage Airflow budget.  Raw-file creation (re-exporting the
+    parquet testdata as two CSV deliveries with ~1% cross-file duplicates)
+    is part of the returned ``raw_export`` stage; callers benching only
+    the pipeline can drop that stage's seconds.
+    """
+    import glob
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from e_commerce_data_lakehouse_spark.functions.dates import build_dim_date
+    from e_commerce_data_lakehouse_spark.sources.files import read_csv
+
+    raw_schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", DateType()),
+        ]
+    )
+    t0 = time.monotonic()
+    # raw deliveries are external inputs: export once, reuse on re-runs
+    # (a fresh Spark CSV write mints new part-file names, which the ledger
+    # would rightly treat as new deliveries and re-ingest)
+    if not glob.glob(f"{workdir}/raw/drop_*/*.csv"):
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        dup = orders.filter(F.dayofmonth("o_orderdate") % 2 == 1).limit(
+            max(1, orders.count() // 100)
+        )
+        odd = orders.filter(F.dayofmonth("o_orderdate") % 2 == 1)
+        even = orders.filter(F.dayofmonth("o_orderdate") % 2 == 0)
+        for name, part in (
+            ("drop_a", even.unionByName(dup)),
+            ("drop_b", odd.unionByName(dup)),
+        ):
+            part.write.option("header", "true").mode("overwrite").csv(
+                f"{workdir}/raw/{name}"
+            )
+    raw_files = sorted(glob.glob(f"{workdir}/raw/drop_*/*.csv"))
+    r0 = _timed("raw_export", len(raw_files), t0)
+
+    ledger = FileLedger(spark, f"{workdir}/ledger")
+    tables = {
+        "bronze_orders": ManagedTable(spark, f"{workdir}/bronze_orders"),
+        "silver_orders": ManagedTable(spark, f"{workdir}/silver_orders"),
+        "dim_customer_ids": ManagedTable(spark, f"{workdir}/dim_customer_ids"),
+        "fact_orders": ManagedTable(spark, f"{workdir}/fact_orders"),
+        "agg_daily": ManagedTable(spark, f"{workdir}/agg_daily"),
+    }
+    dim_date = build_dim_date(spark, "1992-01-01", "2001-12-31")
+
+    r1 = ingest_raw_to_bronze(
+        spark,
+        ledger,
+        raw_files,
+        lambda paths: read_csv(spark, paths, raw_schema),
+        tables["bronze_orders"],
+        "o_orderdate",
+    )
+    r2 = bronze_to_silver(
+        tables["bronze_orders"],
+        tables["silver_orders"],
+        key=["o_orderkey"],
+        ts_col="o_orderdate",
+        clean_fn=lambda df: df.filter(
+            F.col("o_orderkey").isNotNull() & (F.col("o_totalprice") > 0)
+        ),
+    )
+    r3 = silver_to_gold_star(
+        tables["silver_orders"],
+        dim_specs={
+            "dim_customer_ids": (tables["dim_customer_ids"], ["o_custkey"], [])
+        },
+        fact=tables["fact_orders"],
+        dim_date=dim_date,
+        fact_ts_col="o_orderdate",
+        fact_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    r4 = gold_daily_rollup(
+        tables["fact_orders"], tables["agg_daily"], "date_key", "o_totalprice",
+        "o_orderkey",
+    )
+    t5 = time.monotonic()
+    n_cat = build_catalog_table(spark, tables).count()
+    r5 = _timed("catalog", n_cat, t5)
+    return [r0, r1, r2, r3, r4, r5], tables

@@ -306,7 +306,7 @@ def test_incremental_lsh_stored_bands_and_validation(spark, tmp_path):
     sigs = dd.minhash_signatures(corpus, "doc_id", "text", bands=8)
     assert [f"band_{b}" in sigs.columns for b in range(8)] == [True] * 8
     meta = dd.signature_params(sigs)
-    assert meta and int(meta["shingle_n"]) == 5 and int(meta["bands"]) == 8
+    assert meta and int(meta["shingle_n"]) == 12 and int(meta["bands"]) == 8
 
     table = ManagedTable(spark, str(tmp_path / "sig_store_banded"))
     table.create(sigs)

@@ -78,3 +78,46 @@ def test_driver_path_long_chain(spark):
     e = _edges(spark, [(i, i + 1) for i in range(500)])
     got = _comp_map(gr.connected_components(e))
     assert set(got.values()) == {0} and len(got) == 501
+
+
+def test_dedup_by_components_policy_keeps_best(spark):
+    """Policy dedup keeps the best-ranked member per cluster (longest,
+    ties -> min id), not the min id; isolated docs always survive."""
+    df = spark.createDataFrame(
+        [(i, (10 + i) if i != 2 else 99) for i in range(10)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in gr.dedup_by_components_policy(
+            df, "doc_id", pairs,
+            [F.col("quality").desc(), F.col("doc_id").asc()],
+        ).collect()
+    )
+    # cluster {1,2,3}: doc 2 has quality 99 -> survives (min-id would keep 1)
+    # cluster {7,8}: tie-free, 8 has higher quality -> survives
+    assert kept == [0, 2, 4, 5, 6, 8, 9]
+
+
+def test_dedup_by_components_policy_min_id_equiv(spark):
+    """With the ordering (id asc) the policy dedup must equal the min-id
+    dedup exactly."""
+    df = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)] + [(25, 26), (26, 27)],
+        "id_a long, id_b long",
+    )
+    a = sorted(
+        r["doc_id"]
+        for r in gr.dedup_by_components(df, "doc_id", pairs).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in gr.dedup_by_components_policy(
+            df, "doc_id", pairs, [F.col("doc_id").asc()]
+        ).collect()
+    )
+    assert a == b

@@ -183,3 +183,30 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     assert got == want
     # first increment produced only pre-1996 keys
     assert n_after_b1 == b1.select("date_key").distinct().count()
+
+
+def test_e2e_orders_pipeline_composition(spark, tmp_path):
+    """The one-call composition (bench's medallion entry) runs the whole
+    chain and lands on the same invariants as the hand-assembled build:
+    silver == distinct orders, no -1 date keys, rollup == one row per
+    order date, catalog sees every table active."""
+    results, tables = m.e2e_orders_pipeline(spark, SF, str(tmp_path))
+    names = [r.name for r in results]
+    assert names == [
+        "raw_export", "raw_to_bronze", "bronze_to_silver",
+        "silver_to_gold", "gold_daily_rollup", "catalog",
+    ]
+    n_orders = spark.read.parquet(f"{SF}/orders.parquet").count()
+    assert tables["silver_orders"].read().count() == n_orders
+    fact = tables["fact_orders"].read()
+    assert fact.count() == n_orders
+    assert fact.filter(F.col("date_key") == -1).count() == 0
+    n_days = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select(F.to_date("o_orderdate")).distinct().count()
+    )
+    assert tables["agg_daily"].read().count() == n_days
+    assert results[-1].rows_written == len(tables)
+    # idempotent: nothing new on a second pass over the same raw files
+    results2, _ = m.e2e_orders_pipeline(spark, SF, str(tmp_path))
+    assert results2[1].rows_written == 0 and results2[2].rows_written == 0

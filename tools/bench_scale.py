@@ -1,0 +1,175 @@
+"""Scale-proof bench: measure how the dedup/ANN family scales with data.
+
+Runs the seven queries VERDICT r3 named (the ones whose 100 TB story was
+argued from plans, not measurements) over the deterministic scale series
+produced by ``tools/gen_scale_data.py`` and records per-query warm
+timings, output rows, and sf-to-sf scaling factors.
+
+Methodology:
+- Same generator at every scale point (gen-sf0.1 -> gen-sf3, 30x data),
+  so a timing ratio is a pure data-scaling factor, not a
+  distribution-shift artifact.  The driver's own sf0.1 dir is also run as
+  a cross-check column (timings comparable => the generated data is not
+  trivially easier).
+- Warm timings (second run; cold also recorded): Janino codegen compile
+  and Python-worker fork amortize to zero at scale and would otherwise
+  dominate the small points.
+- noop sink: full plan execution, no driver collect.
+- clearCache() between queries (the minhash family persists signatures
+  the returned frame still reads).
+
+A query "scales" if time grows <= ~linearly in rows (modulo the shuffle
+log factor and the fixed per-job floor that dominates sub-second points).
+Output: SCALE_BENCH.json at the repo root + a human table on stdout.
+
+Usage: python tools/bench_scale.py [--sfs 0.1 0.3 1 3] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+from e_commerce_data_lakehouse_spark import entry_queries as eq  # noqa: E402
+from e_commerce_data_lakehouse_spark.session import get_spark  # noqa: E402
+
+TARGETS = [
+    "near_dup_minhash_lsh",
+    "incremental_near_dup",
+    "incremental_near_dup_stored",
+    "dup_clusters_cc",
+    "cc_over_lsh_pairs",
+    "semantic_dedup",
+    "ann_ivfpq_topk",
+    "sequence_packing",
+    "bloom_contamination",
+]
+
+
+def _cc_over_lsh_pairs(spark, sf_dir: str):
+    """The at-scale dedup composition: connected components over
+    MinHash-LSH pairs.  The registry's ``dup_clusters_cc`` keeps the
+    blocked token-Jaccard pair source because that is what a DuckDB
+    recursive CTE can replay — but blocked all-pairs verify is quadratic
+    in block size, so above ~sf1 the honest scale measurement is CC fed
+    by the banded-LSH pair generator (linear candidate volume at constant
+    dup rate)."""
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+    from e_commerce_data_lakehouse_spark.operators import graph as gr
+
+    docs = eq.load(spark, sf_dir, "documents")["documents"]
+    pairs = dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, shingle_n=12,
+        verify_threshold=0.5,
+    ).selectExpr("id_a", "id_b")
+    return gr.cluster_members(pairs, "id_a", "id_b")
+
+
+SYNTHETIC = {"cc_over_lsh_pairs": _cc_over_lsh_pairs}
+
+
+def run_point(spark, sf_dir: str, runs: int, targets: list[str]) -> dict:
+    out = {}
+    for name in targets:
+        spark.catalog.clearCache()
+        fn = SYNTHETIC.get(name) or eq.QUERIES[name].spark_fn
+        timings = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings.append(round(time.monotonic() - t0, 3))
+        # row count outside the timed loop (second job over the same plan)
+        rows = fn(spark, sf_dir).count()
+        out[name] = {"warm": timings[-1], "cold": timings[0], "rows": rows}
+        print(f"  {name}: warm {timings[-1]:.2f}s rows {rows}", flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sfs", nargs="+", type=float, default=[0.1, 0.3, 1, 3])
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--gen-root", default=os.path.join(ROOT, ".scaledata"))
+    ap.add_argument("--driver-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--no-driver", action="store_true")
+    ap.add_argument("--queries", nargs="+", default=TARGETS)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="bench_scale")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # merge into an existing record so points can run as separate
+    # invocations (bounded wall-clock each) and accumulate
+    out_path = os.path.join(ROOT, "SCALE_BENCH.json")
+    points: dict[str, dict] = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            points = json.load(f).get("points", {})
+
+    def record(label: str, d: str) -> None:
+        print(f"== {label} ({d})", flush=True)
+        got = run_point(spark, d, args.runs, args.queries)
+        points.setdefault(label, {}).update(got)
+        with open(out_path, "w") as f:
+            json.dump({"metric": "scale_series", "points": points}, f, indent=1)
+
+    if not args.no_driver and args.driver_dir and os.path.isdir(args.driver_dir):
+        record("driver_sf0.1", args.driver_dir)
+    for sf in args.sfs:
+        d = os.path.join(args.gen_root, f"sf{sf:g}")
+        if not os.path.isdir(d):
+            raise SystemExit(f"missing {d}; run tools/gen_scale_data.py {sf:g}")
+        record(f"gen_sf{sf:g}", d)
+
+    # ratios over the widest gen-sf span present in the accumulated record
+    have = sorted(
+        float(k[len("gen_sf"):]) for k in points if k.startswith("gen_sf")
+    )
+    summary = {"metric": "scale_series", "points": points}
+    if len(have) >= 2:
+        lo, hi = f"gen_sf{have[0]:g}", f"gen_sf{have[-1]:g}"
+        data_ratio = have[-1] / have[0]
+        summary["data_ratio_lo_hi"] = data_ratio
+        summary["time_ratio_lo_hi"] = {
+            q: round(
+                points[hi][q]["warm"] / max(points[lo][q]["warm"], 1e-9), 2
+            )
+            for q in points[hi]
+            if q in points[lo]
+        }
+        summary["note"] = (
+            "time_ratio <= data_ratio (modulo shuffle log factor) at "
+            f"{data_ratio:g}x data = scales; generated points share one "
+            "generator so ratios are pure data-scaling factors"
+        )
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+
+    cols = list(points)
+    shown = [q for q in TARGETS if any(q in points[c] for c in cols)]
+    print(f"\n{'query':<28}" + "".join(f"{c:>16}" for c in cols))
+    for q in shown:
+        line = f"{q:<28}"
+        for c in cols:
+            p = points[c].get(q)
+            line += (
+                f"{p['warm']:>9.2f}s r{p['rows']:<5}" if p else " " * 16
+            )
+        if "time_ratio_lo_hi" in summary and q in summary["time_ratio_lo_hi"]:
+            line += f"  {summary['time_ratio_lo_hi'][q]:.2f}x"
+        print(line)
+    print("\nwrote SCALE_BENCH.json", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
