@@ -88,6 +88,8 @@ HEADLINE = [
     "dedup_keep_best",
     "token_rarity_scores",
     "sketch_monthly_distinct_users",
+    "span_dedup_c4",
+    "bigram_coherence_scores",
 ]
 
 

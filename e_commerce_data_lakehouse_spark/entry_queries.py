@@ -3455,6 +3455,171 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_dedup_c4",
+    f"""
+WITH base AS (
+  SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS w
+  FROM documents
+),
+spanned AS (
+  SELECT doc_id,
+         unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS span_idx, w
+  FROM base
+),
+spans AS (
+  SELECT doc_id, span_idx,
+         array_to_string(list_slice(w, span_idx * 10 + 1, span_idx * 10 + 10),
+                         ' ') AS span_text
+  FROM spanned
+),
+flagged AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY span_text
+                               ORDER BY doc_id, span_idx) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_spans,
+       SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_spans_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END, ' '
+                           ORDER BY span_idx), '') AS text_deduped
+FROM flagged
+GROUP BY doc_id
+""",
+)
+def span_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-span scrub (new r4): every 10-word span that
+    occurs more than once corpus-wide survives only at its first
+    occurrence (C4 did this with three-sentence spans; this corpus has no
+    sentence marks).  The engine finds first occurrences with a
+    map-side-combine ``min(struct(id, idx))`` aggregate instead of the
+    oracle's row_number window, so boilerplate spans repeated millions of
+    times collapse per-partition before the shuffle — the skew-safe form
+    at 100 TB.  See ``operators/corpus.py:span_dedup``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return cp.span_dedup(docs, "doc_id", "text", span_w=10)
+
+
+@register(
+    "bigram_coherence_scores",
+    f"""
+WITH base AS (
+  SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS w
+  FROM documents
+),
+bgs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1),
+                               i -> w[i + 1] || ' ' || w[i + 2])) AS bg
+  FROM base
+  WHERE len(w) >= 2
+),
+vocab AS (SELECT bg, COUNT(*)::BIGINT AS cnt FROM bgs GROUP BY bg),
+tot AS (SELECT SUM(cnt)::BIGINT AS n, COUNT(*)::BIGINT AS d FROM vocab)
+SELECT b.doc_id,
+       COUNT(*)::BIGINT AS n_bigrams,
+       SUM(v.cnt)::BIGINT AS bigram_freq_sum,
+       SUM(v.cnt) * (SELECT d FROM tot)
+           > (SELECT n FROM tot) * COUNT(*) AS above_avg_coherence
+FROM bgs b JOIN vocab v USING (bg)
+GROUP BY b.doc_id
+""",
+)
+def bigram_coherence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency proxy (new r4): per-doc mean corpus frequency of
+    its word bigrams — the KenLM/CCNet perplexity-filter signal in
+    log-free integer form (a doc of globally-rare bigrams is the
+    high-perplexity doc a quality filter drops).  The bigram stream is
+    built from the word array with ``transform`` (no per-word explode),
+    counted with one map-side-combine aggregate, and scored by joining
+    the counts back; the above/below-corpus-average decision is the
+    multiplied-through integer comparison ``sum*D > N*n`` so Spark and
+    DuckDB agree bit-exactly (no log, no division).  The count join is
+    left to AQE: at bench scale the vocab side auto-broadcasts, at web
+    scale (bigram vocab ~billions) it degrades to a plain shuffle join —
+    no hint pinning the wrong strategy."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    base = docs.select(
+        "doc_id", F.split(dd.normalize_text(F.col("text")), " ").alias("__w")
+    )
+    bgs = base.filter(F.expr("size(__w) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(__w, 1, size(__w) - 1),"
+                " (w, i) -> concat(w, ' ', __w[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    vocab = bgs.groupBy("bg").agg(F.count("*").cast("long").alias("cnt"))
+    n_total, n_distinct = vocab.agg(
+        F.sum("cnt"), F.count("*")
+    ).first()  # bounded: two scalars
+    return (
+        bgs.join(vocab, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("cnt").cast("long").alias("bigram_freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "bigram_freq_sum",
+            (
+                F.col("bigram_freq_sum") * F.lit(int(n_distinct))
+                > F.lit(int(n_total)) * F.col("n_bigrams")
+            ).alias("above_avg_coherence"),
+        )
+    )
+
+
+@register(
+    "source_mixture_weights",
+    """
+WITH counts AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(n_docs) * 1000) AS BIGINT) AS weight_milli
+  FROM counts
+),
+tot AS (SELECT SUM(weight_milli)::BIGINT AS tw FROM weighted)
+SELECT source, n_docs, weight_milli,
+       (weight_milli * 1000000) // (SELECT tw FROM tot) AS share_ppm
+FROM weighted
+""",
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (new r4): per-source sampling
+    weights ∝ count^0.5 (the alpha=0.5 rebalancing used to up-weight
+    rare domains/languages when composing a pretraining mixture — the
+    multilingual-sampling rule of the XLM-R line of work, and the
+    unigram-mixture step DoReMi initializes from).  Exactness: sqrt is
+    correctly-rounded IEEE in both engines, `floor(sqrt*1000)` quantizes
+    to integer milli-units, and the share is integer division in ppm —
+    no float sum anywhere, so the oracle matches bit-for-bit.  One
+    map-side-combine count per source (20 groups), a scalar total, and a
+    20-row projection: free at any scale."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    counts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        F.expr("cast(floor(sqrt(n_docs) * 1000) as bigint)").alias(
+            "weight_milli"
+        ),
+    )
+    total_w = int(weighted.agg(F.sum("weight_milli")).first()[0])  # scalar
+    return weighted.select(
+        "source",
+        "n_docs",
+        "weight_milli",
+        F.expr(f"weight_milli * 1000000 div {total_w}").alias("share_ppm"),
+    )
+
+
+@register(
     "dsir_importance_sample",
     f"""
 WITH feats AS (

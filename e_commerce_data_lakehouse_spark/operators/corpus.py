@@ -436,6 +436,75 @@ def sequence_packing(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_w: int = 10,
+) -> DataFrame:
+    """C4-style duplicate-span removal: cut each document into consecutive
+    ``span_w``-word spans, keep each distinct span only at its first
+    occurrence corpus-wide (ordered by id, then span position), and
+    reassemble the surviving spans — the "discard all but one of any
+    repeated three-sentence span" rule of the C4 pipeline, expressed over
+    word windows because the corpus has no sentence boundaries.
+
+    Returns one row per document: ``(id, n_spans, n_spans_kept,
+    text_deduped)``.  Documents whose every span was seen earlier come back
+    with ``text_deduped = ''`` (they are pure boilerplate/dup content).
+
+    Scale shape: one narrow projection builds the span list per doc
+    (no explode of individual words — the span stream is ~1/``span_w`` the
+    token stream in row count, same total bytes), then ONE shuffle on
+    ``span_text`` where a map-side-combine ``min(struct(id, idx))``
+    aggregate finds each span's first occurrence — an aggregate, not a
+    window, so a heavy-hitter span (boilerplate repeated millions of
+    times) is collapsed per-partition before the shuffle and the join
+    back is a plain equi-join AQE can skew-split.  Reassembly is one
+    shuffle on the id.  No Python, all codegen.
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import normalize_text
+
+    base = df.select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    )
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(__w) / {span_w}.0) as int) - 1),"
+                f" i -> array_join(slice(__w, i * {span_w} + 1, {span_w}), ' '))"
+            )
+        ).alias("span_idx", "span_text"),
+    )
+    firsts = spans.groupBy("span_text").agg(
+        F.min(F.struct(id_col, "span_idx")).alias("__first")
+    )
+    keep = (F.col(id_col) == F.col(f"__first.{id_col}")) & (
+        F.col("span_idx") == F.col("__first.span_idx")
+    )
+    return (
+        spans.join(firsts, "span_text")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum(keep.cast("long")).alias("n_spans_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("span_idx", "span_text"))
+                        )
+                    ),
+                    lambda s: s["span_text"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

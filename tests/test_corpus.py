@@ -519,3 +519,43 @@ def test_bloom_contamination_superset_of_exact(spark):
     )
     false_pos = sum(bloom.values()) - sum(exact.values())
     assert false_pos <= max(20, 10 * 2e-4 * n_corpus_grams)
+
+
+def test_span_dedup_keeps_first_occurrence_and_reassembles(spark):
+    """Known-answer case: a span repeated across docs survives only in the
+    lowest (id, position) occurrence; unique spans all survive; a doc made
+    entirely of earlier content comes back empty."""
+    w = 3  # span width for the test
+    a = "one two three four five six"          # spans: [one two three][four five six]
+    b = "one two three seven eight nine"       # first span dups a's
+    c = "one two three four five six"          # all spans dup a's
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in cp.span_dedup(df, "doc_id", "text", span_w=w).collect()
+    }
+    assert rows[1]["n_spans"] == 2 and rows[1]["n_spans_kept"] == 2
+    assert rows[1]["text_deduped"] == a
+    assert rows[2]["n_spans"] == 2 and rows[2]["n_spans_kept"] == 1
+    assert rows[2]["text_deduped"] == "seven eight nine"
+    assert rows[3]["n_spans"] == 2 and rows[3]["n_spans_kept"] == 0
+    assert rows[3]["text_deduped"] == ""
+
+
+def test_span_dedup_partial_tail_span_and_conservation(spark):
+    """Tail spans shorter than span_w are first-class spans; across the
+    corpus, each distinct span is kept exactly once."""
+    df = spark.createDataFrame(
+        [(10, "a b c d e"), (11, "d e")], ["doc_id", "text"]
+    )  # width 2 -> doc 10: [a b][c d][e]; doc 11: [d e] (distinct from [c d])
+    out = cp.span_dedup(df, "doc_id", "text", span_w=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[10]["n_spans"] == 3 and got[10]["n_spans_kept"] == 3
+    assert got[11]["n_spans"] == 1 and got[11]["n_spans_kept"] == 1
+    # total kept == number of distinct spans corpus-wide
+    from e_commerce_data_lakehouse_spark.operators.dedup import normalize_text  # noqa: F401
+
+    total_kept = sum(r["n_spans_kept"] for r in got.values())
+    assert total_kept == 4

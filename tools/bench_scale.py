@@ -50,6 +50,7 @@ TARGETS = [
     "ann_ivfpq_topk",
     "sequence_packing",
     "bloom_contamination",
+    "span_dedup_c4",
 ]
 
 
