@@ -3550,7 +3550,12 @@ def bigram_coherence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     )
-    vocab = bgs.groupBy("bg").agg(F.count("*").cast("long").alias("cnt"))
+    # persist the (bounded, vocab-sized) counts: the scalar total, the
+    # join probe, and the broadcast build all consume it — without the
+    # cache the corpus-sized bigram explode would run for each
+    vocab = tracked_persist(
+        bgs.groupBy("bg").agg(F.count("*").cast("long").alias("cnt"))
+    )
     n_total, n_distinct = vocab.agg(
         F.sum("cnt"), F.count("*")
     ).first()  # bounded: two scalars
