@@ -34,6 +34,19 @@ from e_commerce_data_lakehouse_spark.functions.vectors import (
 )
 
 
+def _nearest_centroid(x: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - c||^2 via the GEMM identity ||x||^2+||c||^2-2x·c.
+    The naive ``(x[:,None,:] - cents)**2`` broadcast materializes an
+    n×k×dim tensor — 1.3 GB per 10k×250×64 batch and pure memory traffic;
+    the GEMM form is one BLAS call for the same argmin."""
+    d = (
+        (x**2).sum(axis=1)[:, None]
+        + (cents**2).sum(axis=1)[None, :]
+        - 2.0 * (x @ cents.T)
+    )
+    return d.argmin(axis=1)
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k: rank by (rounded sim desc, candidate id asc)."""
     w = Window.partitionBy("query_id").orderBy(
@@ -229,14 +242,8 @@ def _train_centroids(
     x = np.array([r[0] for r in sample], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
-    x2 = (x**2).sum(axis=1)[:, None]  # ||x||^2, constant across iterations
     for _ in range(iters):  # Lloyd iterations on the sample
-        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x·c as one GEMM — the naive
-        # (x[:,None,:] - cents)**2 broadcast materializes an
-        # n_sample×k×dim tensor (1.3 GB and ~17 s at 10k×250×64); the
-        # matmul identity is milliseconds for the same argmin.
-        d = x2 + (cents**2).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
-        assign = d.argmin(axis=1)
+        assign = _nearest_centroid(x, cents)
         sums = np.zeros_like(cents)
         np.add.at(sums, assign, x)
         counts = np.bincount(assign, minlength=len(cents))
@@ -258,7 +265,18 @@ def _assign_udf(cents: np.ndarray, n_probe: int):
         x = np.stack(vecs.to_numpy()).astype(np.float64)
         # argmin over ||x-c||^2 = ||c||^2 - 2 x·c (||x||^2 constant per row)
         d = c2[None, :] - 2.0 * (x @ cents.T)
-        idx = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        if n_probe == 1:
+            # a full argsort of k distances per row is O(k log k) and was
+            # the dominant assignment cost at k=2500 — argmin is O(k)
+            idx = np.argmin(d, axis=1).astype(np.int32)[:, None]
+        elif n_probe < d.shape[1]:
+            part = np.argpartition(d, n_probe - 1, axis=1)[:, :n_probe]
+            sub = np.take_along_axis(d, part, axis=1)
+            idx = np.take_along_axis(
+                part, np.argsort(sub, axis=1), axis=1
+            ).astype(np.int32)
+        else:
+            idx = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
         return pd.Series(list(idx))
 
     return assign
@@ -299,6 +317,13 @@ def ivf_topk(
     c_assign = _assign_udf(cents, 1)
     q_assign = _assign_udf(cents, n_probe)
 
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    # a single-file candidate table scans as 1-2 splits — spread the
+    # O(n x k x dim) assignment GEMM across the cluster
+    candidates = ensure_parallelism(candidates)
     cb = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -343,12 +368,12 @@ def ivf_topk(
 def _kmeans_1sub(x: np.ndarray, ks: int, rng: np.random.RandomState, iters: int) -> np.ndarray:
     cents = x[rng.choice(len(x), size=min(ks, len(x)), replace=False)]
     for _ in range(iters):
-        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(len(cents)):
-            m = assign == c
-            if m.any():
-                cents[c] = x[m].mean(axis=0)
+        assign = _nearest_centroid(x, cents)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=len(cents))
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz][:, None]
     return cents
 
 
@@ -371,7 +396,7 @@ def _train_pq_codebooks(
         candidates.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
     )
     x = np.array([r[0] for r in sample], dtype=np.float64)
-    cell = ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    cell = _nearest_centroid(x, coarse)
     res = x - coarse[cell]
     d = x.shape[1]
     dsub = d // m
@@ -394,15 +419,12 @@ def _pq_encode_udf(coarse: np.ndarray, books: np.ndarray):
     @pandas_udf("struct<cell:int, code:array<int>>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
         x = np.stack(vecs.to_numpy()).astype(np.float64)
-        cell = (
-            ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-        )
+        cell = _nearest_centroid(x, coarse)
         res = x - coarse[cell]
         codes = np.empty((len(x), m), dtype=np.int32)
         for j in range(m):
             sub = res[:, j * dsub : (j + 1) * dsub]
-            dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = dist.argmin(axis=1)
+            codes[:, j] = _nearest_centroid(sub, books[j])
         return pd.DataFrame(
             {"cell": cell.astype(np.int32), "code": list(codes)}
         )
@@ -466,6 +488,12 @@ def ivf_pq_topk(
     )
 
     enc = _pq_encode_udf(coarse, books)
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    # spread the encode GEMM: a single-file table scans as 1-2 splits
+    candidates = ensure_parallelism(candidates)
     cb = candidates.select(
         F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("e")
     ).select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.code").alias("code"))
@@ -551,10 +579,19 @@ def semantic_dedup(
         df.select(vec_col), vec_col, n_centroids, seed, sample_size
     )
     assign = _assign_udf(cents, 1)
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
     # persist: the prune pass and the final anti-join both consume the
-    # assignment — without a cache the Arrow matmul would run twice
+    # assignment — without a cache the Arrow matmul would run twice.
+    # ensure_parallelism: a single-file embeddings table scans as 1-2
+    # splits, which would serialize the O(n x k x dim) assignment GEMM on
+    # two cores no matter the cluster size (at gen-sf10: 200k x 2500
+    # centroids — the whole cost of the query).
     base = (
-        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
         .withColumn("cluster", assign(F.col("__v")).getItem(0))
     )
     base = tracked_persist(base)
