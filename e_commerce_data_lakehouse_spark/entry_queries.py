@@ -3624,6 +3624,27 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_token_stats", None)  # iterative merge loop -> no SQL oracle
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization stats (new r4): train a byte-level BPE tokenizer on
+    a bounded seeded sample (driver-side, the way sentencepiece/tiktoken
+    actually train — O(sample) regardless of corpus size), then tokenize
+    the corpus with one map-only Arrow pass and report per-doc token
+    counts.  The iterative merge loop is not expressible as one SQL query
+    (rows-only); determinism, round-trip losslessness, vocab-size and
+    monotone-compression invariants are pinned by ``tests/test_bpe.py``.
+    See ``operators/bpe.py``."""
+    from e_commerce_data_lakehouse_spark.operators import bpe as bp
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    merges = bp.bpe_train(docs, "text", n_merges=200, sample_size=2_000)
+    return bp.bpe_apply(docs, "doc_id", "text", merges).select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct("tokens")).alias("n_distinct_tokens"),
+    )
+
+
 @register(
     "dsir_importance_sample",
     f"""
