@@ -90,6 +90,7 @@ HEADLINE = [
     "sketch_monthly_distinct_users",
     "span_dedup_c4",
     "bigram_coherence_scores",
+    "bpe_token_stats",
 ]
 
 

@@ -408,7 +408,10 @@ def sequence_packing(
     Deterministic (md5 bucket + id order) so packing is reproducible and
     oracle-checkable.
     """
-    from e_commerce_data_lakehouse_spark.operators.dedup import normalize_text
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        ensure_parallelism,
+        normalize_text,
+    )
 
     n_tokens = F.size(F.split(normalize_text(F.col(text_col)), " "))
     bucket = hash_bucket(F.col(id_col), n_buckets)
@@ -417,6 +420,9 @@ def sequence_packing(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # the token count is regex-heavy per-row work BEFORE the bucket
+    # shuffle; a single-row-group input would otherwise serialize it
+    df = ensure_parallelism(df)
     return (
         df.select(
             F.col(id_col),
@@ -463,9 +469,14 @@ def span_dedup(
     back is a plain equi-join AQE can skew-split.  Reassembly is one
     shuffle on the id.  No Python, all codegen.
     """
-    from e_commerce_data_lakehouse_spark.operators.dedup import normalize_text
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        ensure_parallelism,
+        normalize_text,
+    )
 
-    base = df.select(
+    # span construction is regex+array-build per-row work before the
+    # span_text shuffle; spread a pathologically-few-split input first
+    base = ensure_parallelism(df).select(
         F.col(id_col),
         F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
     )
@@ -575,7 +586,15 @@ def bloom_contaminated_grams(
 def _gram_frame(
     df: DataFrame, n: int, id_col: str, text_col: str, with_text: bool
 ) -> DataFrame:
-    """(id, gh [, gram]) word n-gram xxhash64 rows of ``df``."""
+    """(id, gh [, gram]) word n-gram xxhash64 rows of ``df``.
+
+    The gram explode is the heavy map stage of every contamination path —
+    spread a pathologically-few-split input (single-row-group parquet
+    scans as ONE task) before it; no-op on real multi-split tables."""
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
     words = F.split(
         F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
     )
@@ -584,7 +603,8 @@ def _gram_frame(
     if with_text:
         cols.append(gram.alias("gram"))
     return (
-        df.select(id_col, words.alias("ws"))
+        ensure_parallelism(df)
+        .select(id_col, words.alias("ws"))
         .filter(F.size("ws") >= n)
         .select(
             id_col,
