@@ -3624,6 +3624,101 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_decontamination",
+    f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split({NORM_SQL.format(c='text')}, ' ')) AS tset
+  FROM documents
+),
+c AS (SELECT * FROM d WHERE doc_id % 97 <> 0),
+b AS (SELECT * FROM d WHERE doc_id % 97 = 0)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bench_near_dups,
+       MAX(ROUND(len(list_intersect(c.tset, b.tset)) * 1.0 /
+                 (len(c.tset) + len(b.tset)
+                  - len(list_intersect(c.tset, b.tset))), 6)) AS max_jaccard
+FROM c JOIN b ON c.lang = b.lang
+WHERE ROUND(len(list_intersect(c.tset, b.tset)) * 1.0 /
+            (len(c.tset) + len(b.tset)
+             - len(list_intersect(c.tset, b.tset))), 6) >= 0.9
+GROUP BY c.doc_id
+""",
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (new r4): corpus docs whose token-set
+    Jaccard against ANY held-out benchmark doc (doc_id % 97) reaches 0.9 —
+    the near-dup complement of ``benchmark_contamination``'s exact n-gram
+    overlap (paraphrased benchmark leakage shares few exact n-grams but
+    keeps a high token Jaccard).  The bounded benchmark side is broadcast,
+    so the corpus streams map-side through the blocked join: at 100 TB the
+    big table is touched once with no shuffle.  Blocking is language-only
+    — the benchmark side is small enough that a per-language broadcast
+    probe is cheap, and tighter blocking would cost recall.  See
+    ``operators/dedup.py:token_jaccard_pairs_between``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    base = docs.select("doc_id", "lang", "text")
+    pairs = dd.token_jaccard_pairs_between(
+        base.filter(F.col("doc_id") % 97 != 0),
+        base.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+        "text",
+        ["lang"],
+        threshold=0.9,
+    )
+    return pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_bench_near_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+@register(
+    "quality_topfrac_per_lang",
+    """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS lang_rank,
+         COUNT(*) OVER (PARTITION BY lang) AS lang_total
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, lang_rank
+FROM ranked
+WHERE lang_rank <= CAST(ceil(lang_total * 0.5) AS BIGINT)
+""",
+)
+def quality_topfrac_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language percentile cutoff (new r4): keep the top 50% of each
+    language's documents by quality signal (here ``n_chars``; ties broken
+    by id for a total order) — the per-language threshold step of corpus
+    curation (quality filters are calibrated per language because score
+    distributions differ across them).  Complement of the fixed-N
+    ``quota_sample``: fraction-based, so language shares are preserved.
+    Scale note: the exact form sorts each language partition; at 100 TB
+    the same cutoff comes from ``approx_percentile`` per language and a
+    broadcast threshold join — both shapes ship here, the exact one is
+    what the oracle can replay."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.row_number().over(w).cast("long").alias("lang_rank"),
+            F.count("*").over(wc).alias("__tot"),
+        )
+        .filter(F.col("lang_rank") <= F.ceil(F.col("__tot") * 0.5))
+        .drop("__tot")
+    )
+
+
 @register("bpe_token_stats", None)  # iterative merge loop -> no SQL oracle
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenization stats (new r4): train a byte-level BPE tokenizer on

@@ -166,6 +166,56 @@ def token_jaccard_pairs(
     )
 
 
+def token_jaccard_pairs_between(
+    a_df: DataFrame,
+    b_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float,
+) -> DataFrame:
+    """Cross-set near-dup pairs: every (a, b) with token-set Jaccard >=
+    ``threshold`` inside a blocking key — the FUZZY form of benchmark
+    decontamination (exact n-gram overlap misses paraphrased benchmark
+    leakage; near-dup text against the held-out set is the stronger
+    signal).
+
+    Scale shape: ``b`` (the benchmark) is bounded by the premise of
+    decontamination, so it is broadcast and the corpus streams map-side
+    through the blocked join — the 100 TB side is touched once, no
+    shuffle.  The same lossless size window as
+    :func:`token_jaccard_pairs` short-circuits the per-pair
+    intersect/union.
+    """
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            toks.alias("toks"),
+            F.size(toks).cast("double").alias("__nt"),
+        )
+
+    a = ensure_parallelism(prep(a_df)).alias("a")
+    b = prep(b_df).alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col("a.__nt") >= threshold * F.col("b.__nt"))
+    cond.append(F.col("b.__nt") >= threshold * F.col("a.__nt"))
+    inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+    union = F.size(F.array_union("a.toks", "b.toks")).cast("double")
+    jac = F.round(inter / union, 6)
+    return (
+        a.join(F.broadcast(b), cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path for fuzzy dedup)
 # ---------------------------------------------------------------------------
