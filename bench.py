@@ -91,6 +91,8 @@ HEADLINE = [
     "span_dedup_c4",
     "bigram_coherence_scores",
     "bpe_token_stats",
+    "fuzzy_decontamination",
+    "quality_topfrac_per_lang",
 ]
 
 
