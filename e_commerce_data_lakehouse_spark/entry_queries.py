@@ -3719,6 +3719,48 @@ def quality_topfrac_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "containment_dup_flags",
+    f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         list_distinct(string_split({NORM_SQL.format(c='text')}, ' ')) AS tset,
+         string_split({NORM_SQL.format(c='text')}, ' ')[1] AS tok1
+  FROM documents
+)
+SELECT a.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_containers,
+       MAX(ROUND(len(list_intersect(a.tset, b.tset)) * 1.0 / len(a.tset),
+                 6)) AS max_containment
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.tok1 = b.tok1 AND a.doc_id <> b.doc_id
+WHERE ROUND(len(list_intersect(a.tset, b.tset)) * 1.0 / len(a.tset), 6)
+      >= 0.9
+GROUP BY a.doc_id
+""",
+)
+def containment_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup flags (new r4): docs whose token set is >= 90%
+    contained in another doc of the same (lang, first-token) block — the
+    ASYMMETRIC near-dup signal (a short doc quoted inside a longer one has
+    low Jaccard but containment ~1; pipelines drop the contained copy).
+    One blocked equi-join with a one-sided lossless size short-circuit;
+    aggregate bounds the output by the doc count.  See
+    ``operators/dedup.py:token_containment_pairs``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(dd.normalize_text(F.col("text")), " ")
+    base = docs.select(
+        "doc_id", "lang", toks.getItem(0).alias("tok1"), F.col("text")
+    )
+    pairs = dd.token_containment_pairs(
+        base, "doc_id", "text", ["lang", "tok1"], threshold=0.9
+    )
+    return pairs.groupBy(F.col("id_contained").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_containers"),
+        F.max("containment").alias("max_containment"),
+    )
+
+
 @register("bpe_token_stats", None)  # iterative merge loop -> no SQL oracle
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenization stats (new r4): train a byte-level BPE tokenizer on

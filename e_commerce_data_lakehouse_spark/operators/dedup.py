@@ -216,6 +216,51 @@ def token_jaccard_pairs_between(
     )
 
 
+def token_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by token-set CONTAINMENT: (a, b) where
+    ``|A∩B| / |A| >= threshold`` — doc a's content is (almost) a subset of
+    doc b's.  Containment is the dedup signal Jaccard misses: a short doc
+    quoted inside a much longer one has low Jaccard (the union is large)
+    but containment ~1, and corpus pipelines drop the contained copy.
+
+    Same blocked equi-join shape as :func:`token_jaccard_pairs`; the
+    residual short-circuits on the one-sided lossless size bound
+    (containment >= t forces ``|A| <= |B|/t`` since ``|A∩B| <= |B|``)
+    before touching the token arrays.  Self-pairs are excluded; both
+    orientations of a pair can appear (a⊂b and b⊂a are distinct facts).
+    """
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        toks.alias("toks"),
+        F.size(toks).cast("double").alias("__nt"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond.append(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+    # lossless: |A∩B| <= |B|, so containment >= t forces t*|A| <= |B|
+    cond.append(threshold * F.col("a.__nt") <= F.col("b.__nt"))
+    inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+    containment = F.round(inter / F.col("a.__nt"), 6)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_contained"),
+            F.col(f"b.{id_col}").alias("id_container"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH (the scale path for fuzzy dedup)
 # ---------------------------------------------------------------------------

@@ -98,3 +98,18 @@ def test_langid_scoring_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_fuzzy_decontamination_broadcasts_benchmark(spark):
+    """The decontamination premise: the benchmark side is bounded, so the
+    corpus must stream map-side through a broadcast join — a SortMergeJoin
+    here would shuffle the 100 TB side."""
+    plan = plan_of(spark, "fuzzy_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_containment_join_is_blocked_equi_join(spark):
+    plan = plan_of(spark, "containment_dup_flags")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
