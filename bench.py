@@ -93,6 +93,7 @@ HEADLINE = [
     "bpe_token_stats",
     "fuzzy_decontamination",
     "quality_topfrac_per_lang",
+    "containment_dup_flags",
 ]
 
 
