@@ -559,3 +559,53 @@ def test_span_dedup_partial_tail_span_and_conservation(spark):
 
     total_kept = sum(r["n_spans_kept"] for r in got.values())
     assert total_kept == 4
+
+
+def test_token_containment_pairs_known_answer(spark):
+    """Short doc fully contained in a long one: containment ~1 with low
+    Jaccard — the asymmetric signal; the reverse orientation fails the
+    threshold; unrelated docs produce nothing."""
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+
+    rows = [
+        (1, "en", "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "en", "alpha beta gamma delta"),      # contained in 1
+        (3, "en", "iota kappa lambda mu"),        # unrelated
+        (4, "de", "alpha beta gamma delta"),      # other block
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in dd.token_containment_pairs(
+            df, "doc_id", "text", ["lang"], threshold=0.9
+        ).collect()
+    }
+    assert got == {(2, 1): 1.0}
+
+
+def test_token_jaccard_pairs_between_matches_self_join_restriction(spark):
+    """Cross-set pairs equal the self-join pairs restricted to one side in
+    each set (orientation normalized)."""
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+
+    docs = eq.load(spark, "/root/testdata/sf0.01", "documents")["documents"]
+    base = docs.select("doc_id", "lang", "text")
+    a = base.filter(F.col("doc_id") % 97 != 0)
+    b = base.filter(F.col("doc_id") % 97 == 0)
+    cross = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dd.token_jaccard_pairs_between(
+            a, b, "doc_id", "text", ["lang"], threshold=0.9
+        ).collect()
+    }
+    full = dd.token_jaccard_pairs(
+        base, "doc_id", "text", ["lang"], threshold=0.9
+    ).collect()
+    want = set()
+    for r in full:
+        ia, ib = r["id_a"], r["id_b"]
+        for x, y in ((ia, ib), (ib, ia)):
+            if x % 97 != 0 and y % 97 == 0:
+                want.add((x, y, r["jaccard"]))
+    assert cross == want and len(want) > 0
