@@ -51,6 +51,11 @@ TARGETS = [
     "sequence_packing",
     "bloom_contamination",
     "span_dedup_c4",
+    "winnowing_near_dup",
+    "fuzzy_decontamination",
+    "bpe_token_stats",
+    "fuzzy_decon_fixed_bench",
+    "bloom_fixed_bench",
 ]
 
 
@@ -74,7 +79,50 @@ def _cc_over_lsh_pairs(spark, sf_dir: str):
     return gr.cluster_members(pairs, "id_a", "id_b")
 
 
-SYNTHETIC = {"cc_over_lsh_pairs": _cc_over_lsh_pairs}
+def _fixed_bench_sides(spark, sf_dir: str):
+    """Corpus/benchmark split with a FIXED-SIZE benchmark (~50 docs at
+    every sf): the registry's contamination queries carve the benchmark
+    out of the corpus (doc_id % 97), so benchmark size — and with it true
+    contamination volume — grows WITH the corpus and the series measures
+    output growth, not engine scaling.  A real decontamination run has a
+    fixed benchmark; these variants isolate the corpus axis."""
+    from pyspark.sql import functions as F
+
+    docs = eq.load(spark, sf_dir, "documents")["documents"]
+    bench = docs.filter((F.col("doc_id") % 97 == 0) & (F.col("doc_id") < 5000))
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return corpus, bench
+
+
+def _fuzzy_decon_fixed_bench(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+
+    corpus, bench = _fixed_bench_sides(spark, sf_dir)
+    pairs = dd.token_jaccard_pairs_between(
+        corpus.select("doc_id", "lang", "text"),
+        bench.select("doc_id", "lang", "text"),
+        "doc_id", "text", ["lang"], threshold=0.9,
+    )
+    return pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("n_bench_near_dups"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+def _bloom_fixed_bench(spark, sf_dir: str):
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    corpus, bench = _fixed_bench_sides(spark, sf_dir)
+    return cp.bloom_confirmed_contamination(corpus, bench, n=4)
+
+
+SYNTHETIC = {
+    "cc_over_lsh_pairs": _cc_over_lsh_pairs,
+    "fuzzy_decon_fixed_bench": _fuzzy_decon_fixed_bench,
+    "bloom_fixed_bench": _bloom_fixed_bench,
+}
 
 
 def run_point(spark, sf_dir: str, runs: int, targets: list[str]) -> dict:
