@@ -598,19 +598,22 @@ def _gram_frame(
     words = F.split(
         F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
     )
-    gram = F.concat_ws(" ", F.slice("ws", F.col("i"), n))
-    cols = [F.xxhash64(gram).alias("gh")]
+    # build the gram STRINGS per doc, then explode those — exploding the
+    # index and carrying the word array per gram row copies the whole
+    # array (hundreds of bytes) into each of the N-per-doc output rows,
+    # which dominated the stage at 28M grams (gen-sf10)
+    gram_arr = F.expr(
+        f"transform(sequence(1, size(ws) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(ws, i, {n})))"
+    )
+    cols = [F.xxhash64(F.col("gram")).alias("gh")]
     if with_text:
-        cols.append(gram.alias("gram"))
+        cols.append(F.col("gram"))
     return (
         ensure_parallelism(df)
         .select(id_col, words.alias("ws"))
         .filter(F.size("ws") >= n)
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias("i"),
-            "ws",
-        )
+        .select(id_col, F.explode(gram_arr).alias("gram"))
         .select(id_col, *cols)
     )
 
@@ -644,19 +647,51 @@ def _bloom_flagged(
     mask = np.uint64(m - 1)
     h1 = bench_hashes & mask
     h2 = (bench_hashes >> np.uint64(33)) | np.uint64(1)
-    packed = np.zeros(m // 8, dtype=np.uint8)
+    # bit b lives in 64-bit word b>>6 at position b&63; little-endian view
+    # as bytes gives the byte layout (b>>3, b&7) the Arrow fallback uses
+    words = np.zeros(m // 64, dtype=np.uint64)
     for i in range(k_hashes):
         idx = (h1 + np.uint64(i) * h2) & mask
-        # bitwise_or.at, NOT packed[...] |= — two probe bits landing in the
-        # same byte within one probe round would otherwise lose one update
+        # bitwise_or.at, NOT words[...] |= — two probe bits landing in the
+        # same word within one probe round would otherwise lose one update
         # (numpy fancy-indexed in-place ops don't accumulate duplicates),
         # which is a silent false NEGATIVE — the one error class a Bloom
         # filter must never make
         np.bitwise_or.at(
-            packed,
-            (idx >> np.uint64(3)).astype(np.int64),
-            np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8),
+            words,
+            (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
         )
+
+    grams = _gram_frame(corpus, n, id_col, text_col, with_text)
+
+    if m <= (1 << 21):
+        # JVM path: the bit array fits a literal long-array column, so the
+        # membership test is pure whole-stage codegen — the 100 TB gram
+        # stream never crosses into Python at all (measured 82 s -> gram-
+        # scan floor at 28M grams; the Arrow round trip WAS the cost).
+        # uint64 add/mul wrap == int64 two's-complement wrap, and the >>1
+        # probes use shiftrightunsigned, so the arithmetic matches numpy
+        # bit-for-bit.
+        arr_sql = "array(" + ",".join(
+            f"{int(w)}L" for w in words.view(np.int64)
+        ) + ")"
+        probes = " AND ".join(
+            "((element_at(__bloom, cast(shiftrightunsigned("
+            f"(__a + {i}L * __b) & {m - 1}L, 6) as int) + 1) "
+            f">> cast((__a + {i}L * __b) & 63L as int)) & 1L) = 1L"
+            for i in range(k_hashes)
+        )
+        return (
+            grams.withColumn("__bloom", F.expr(arr_sql))
+            .withColumn("__a", F.expr(f"gh & {m - 1}L"))
+            .withColumn("__b", F.expr("shiftrightunsigned(gh, 33) | 1L"))
+            .filter(F.expr(probes))
+            .drop("__bloom", "__a", "__b")
+        )
+
+    # Arrow fallback for very large benchmarks (literal would bloat codegen)
+    packed = words.view(np.uint8)
 
     from pyspark.sql.functions import pandas_udf
 
@@ -674,9 +709,7 @@ def _bloom_flagged(
             ) & np.uint8(1) != 0
         return pd.Series(hit)
 
-    return _gram_frame(corpus, n, id_col, text_col, with_text).filter(
-        might_contain(F.col("gh"))
-    )
+    return grams.filter(might_contain(F.col("gh")))
 
 
 def bloom_confirmed_contamination(
