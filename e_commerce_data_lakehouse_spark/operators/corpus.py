@@ -172,26 +172,20 @@ def ngram_overlap(
     """
 
     def grams(df: DataFrame) -> DataFrame:
+        # build gram strings per doc, explode only the strings — exploding
+        # an index and carrying the word array per gram row copies the
+        # whole array into each output row (see _gram_frame)
         words = F.split(
             F.regexp_replace(F.col(text_col), r"^\s+|\s+$", ""), r"\s+"
         )
+        gram_arr = F.expr(
+            f"transform(sequence(1, size(ws) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(ws, i, {n})))"
+        )
         return (
-            df.select(
-                id_col,
-                words.alias("ws"),
-            )
+            df.select(id_col, words.alias("ws"))
             .filter(F.size("ws") >= n)
-            .select(
-                id_col,
-                F.explode(F.sequence(F.lit(1), F.size("ws") - (n - 1))).alias(
-                    "i"
-                ),
-                "ws",
-            )
-            .select(
-                id_col,
-                F.concat_ws(" ", F.slice("ws", F.col("i"), n)).alias("gram"),
-            )
+            .select(id_col, F.explode(gram_arr).alias("gram"))
         )
 
     bench_grams = grams(benchmark).select("gram").distinct()
