@@ -94,6 +94,8 @@ HEADLINE = [
     "fuzzy_decontamination",
     "quality_topfrac_per_lang",
     "containment_dup_flags",
+    "quality_classifier_scores",
+    "cross_source_dup_matrix",
 ]
 
 

@@ -5931,3 +5931,104 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("max_outlier"),
         )
     )
+
+
+@register(
+    "quality_classifier_scores",
+    f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         string_split({NORM_SQL.format(c='text')}, ' ') AS w
+  FROM documents
+),
+chart AS (SELECT COUNT(*)::BIGINT AS nd, SUM(n_chars)::BIGINT AS sc FROM d),
+toks AS (
+  SELECT doc_id,
+         n_chars * (SELECT nd FROM chart) > (SELECT sc FROM chart) AS pos,
+         unnest(w) AS tok
+  FROM d
+),
+stats AS (
+  SELECT tok,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS pos_cnt,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS neg_cnt
+  FROM toks GROUP BY tok
+),
+tot AS (SELECT SUM(pos_cnt)::BIGINT AS pt, SUM(neg_cnt)::BIGINT AS nt
+        FROM stats),
+votes AS (
+  SELECT t.doc_id,
+         CASE WHEN s.pos_cnt * (SELECT nt FROM tot)
+                   > s.neg_cnt * (SELECT pt FROM tot) THEN 1
+              WHEN s.pos_cnt * (SELECT nt FROM tot)
+                   < s.neg_cnt * (SELECT pt FROM tot) THEN -1
+              ELSE 0 END AS v
+  FROM toks t JOIN stats s USING (tok)
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS pos_votes,
+       SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END)::BIGINT AS neg_votes,
+       SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)
+           > SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS predicted_positive
+FROM votes GROUP BY doc_id
+""",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (new r4): fasttext-style linear
+    bag-of-words model with sign-quantized log-odds weights, weakly
+    supervised by the above-average-length label (the CCNet/LLaMA-line
+    pipelines train exactly this shape against a high-quality reference
+    corpus; here the weak label keeps the whole train+score round trip
+    inside one oracle-checkable query).  Distinct from the HEURISTIC
+    ``doc_quality_filter``: this one learns token weights from data.
+    Train and score are one corpus explode feeding a vocab-bounded
+    aggregate and a score-back join — see
+    ``operators/corpus.py:quality_classifier_votes`` for the 100 TB plan
+    notes."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    totals = docs.agg(F.count("*"), F.sum("n_chars")).first()
+    n_docs, sum_chars = int(totals[0]), int(totals[1])  # bounded scalars
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") * F.lit(n_docs) > F.lit(sum_chars)).alias("__pos"),
+    )
+    return cp.quality_classifier_votes(labeled, "doc_id", "text", "__pos")
+
+
+@register(
+    "cross_source_dup_matrix",
+    f"""
+WITH f AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(
+             string_split({NORM_SQL.format(c='text')}, ' ')[1:10],
+             ' ')) AS fp
+  FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*)::BIGINT AS n_shared_fingerprints
+FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+""",
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-overlap matrix (new r4): for every unordered source
+    pair, the number of shared first-10-word fingerprints — the
+    which-crawl-mirrors-which diagnostic a curation pipeline reads before
+    choosing a canonical-source precedence for dedup (CommonCrawl dump
+    overlap analysis is this query; the prefix fingerprint is the
+    boilerplate/copied-lead form that also catches truncated mirrors, and
+    ``prefix_words=None`` gives the strict exact-dup form).  Distinct
+    (source, md5) set, fp-co-partitioned self equi-join, groups-squared
+    output; no document pairwise work.  See
+    ``operators/corpus.py:cross_group_dup_matrix``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return cp.cross_group_dup_matrix(
+        docs, "doc_id", "text", "source", prefix_words=10
+    ).select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "n_shared_fingerprints",
+    )

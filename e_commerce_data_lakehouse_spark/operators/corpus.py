@@ -742,3 +742,142 @@ def bloom_confirmed_contamination(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").cast("long").alias("n_confirmed_grams"))
     )
+
+
+def quality_classifier_votes(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "__pos",
+) -> DataFrame:
+    """Trained fasttext-style quality classifier, sign-vote form.
+
+    The model-based quality filter of modern pretraining pipelines (the
+    fasttext classifiers of CCNet/LLaMA data work) is a linear model over
+    bag-of-words features.  This is that shape with the weights quantized
+    to their sign: token weight = sign of the prior-adjusted log-odds
+    ``log((pos_t / POS) / (neg_t / NEG))``, evaluated as the
+    multiplied-through integer comparison ``pos_t * NEG <=> neg_t * POS``
+    so Spark and a SQL oracle agree bit-exactly (no log, no division —
+    real deployments keep the real-valued weights; the distributed shape
+    is identical).  ``label_col`` must be a boolean column carrying the
+    weak supervision label (e.g. above-average length, a heuristic score
+    band, or human labels joined in).
+
+    Plan: one corpus-sized explode feeding (a) a vocab-bounded
+    map-side-combine aggregate that trains the weights and (b) the scoring
+    join back onto the weight table.  The token stream is persisted for
+    its two consumers; the weight table is vocab-sized and broadcasts
+    under AQE at bench scale, degrading to a shuffle join at web-scale
+    vocabularies.  Per-doc output: token count, +/- vote counts, and the
+    majority-vote prediction.  At 100 TB nothing here is new state: it is
+    explode -> hash agg -> equi-join -> hash agg, all skew-free (token
+    frequency skew collapses in the map-side partial combine).
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        normalize_text_sql,
+    )
+
+    toks = tracked_persist(
+        docs.selectExpr(
+            id_col,
+            f"{label_col} as __pos_lbl",
+            f"explode(split({normalize_text_sql(text_col)}, ' ')) as __tok",
+        )
+    )
+    stats = toks.groupBy("__tok").agg(
+        F.sum(F.when(F.col("__pos_lbl"), 1).otherwise(0))
+        .cast("long")
+        .alias("pos_cnt"),
+        F.sum(F.when(F.col("__pos_lbl"), 0).otherwise(1))
+        .cast("long")
+        .alias("neg_cnt"),
+    )
+    totals = stats.agg(F.sum("pos_cnt"), F.sum("neg_cnt")).first()
+    pos_total, neg_total = int(totals[0]), int(totals[1])  # bounded scalars
+    weights = stats.select(
+        "__tok",
+        F.when(
+            F.col("pos_cnt") * F.lit(neg_total)
+            > F.col("neg_cnt") * F.lit(pos_total),
+            F.lit(1),
+        )
+        .when(
+            F.col("pos_cnt") * F.lit(neg_total)
+            < F.col("neg_cnt") * F.lit(pos_total),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__vote"),
+    )
+    return (
+        toks.join(weights, "__tok")
+        .groupBy(F.col(id_col))
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__vote") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("pos_votes"),
+            F.sum(F.when(F.col("__vote") == -1, 1).otherwise(0))
+            .cast("long")
+            .alias("neg_votes"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "pos_votes",
+            "neg_votes",
+            (F.col("pos_votes") > F.col("neg_votes")).alias(
+                "predicted_positive"
+            ),
+        )
+    )
+
+
+def cross_group_dup_matrix(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    prefix_words: int | None = None,
+) -> DataFrame:
+    """Provenance-overlap matrix: for every unordered pair of groups
+    (sources, dumps, shards), how many exact-duplicate fingerprints they
+    share — the curation diagnostic that tells you which crawls/mirrors
+    copy from which before you pick a canonical-source precedence order
+    for dedup.
+
+    Fingerprint is ``md5`` of the normalized text (engine-portable, same
+    as :func:`~e_commerce_data_lakehouse_spark.operators.dedup.exact_dedup`),
+    or — with ``prefix_words=K`` — of only the first K normalized words:
+    the boilerplate/copied-lead heuristic dump-overlap analyses use, which
+    also catches truncated mirrors that full-text hashing misses.
+    Plan: distinct (group, fp) -> fp-partitioned self equi-join restricted
+    to ``group_a < group_b`` -> count per pair.  The distinct set is at
+    most (#unique docs x #groups containing them); the self-join is a
+    plain hash join co-partitioned on fp, and the output is
+    groups-squared-bounded.  No all-pairs document comparison anywhere.
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        normalize_text_sql,
+    )
+
+    if prefix_words is None:
+        fp_sql = f"md5({normalize_text_sql(text_col)})"
+    else:
+        fp_sql = (
+            f"md5(array_join(slice(split({normalize_text_sql(text_col)},"
+            f" ' '), 1, {prefix_words}), ' '))"
+        )
+    fps = docs.selectExpr(
+        f"{group_col} as __grp",
+        f"{fp_sql} as __fp",
+    ).distinct()
+    a = fps.select(F.col("__grp").alias("group_a"), "__fp")
+    b = fps.select(F.col("__grp").alias("group_b"), "__fp")
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").cast("long").alias("n_shared_fingerprints"))
+    )

@@ -609,3 +609,69 @@ def test_token_jaccard_pairs_between_matches_self_join_restriction(spark):
             if x % 97 != 0 and y % 97 == 0:
                 want.add((x, y, r["jaccard"]))
     assert cross == want and len(want) > 0
+
+
+def test_quality_classifier_votes_known_answer(spark):
+    """Hand-computable corpus: tokens exclusive to positive docs vote +1,
+    exclusive-negative tokens vote -1, and the majority vote decides."""
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    rows = [
+        # positive docs share 'good'; negative docs share 'bad'
+        (1, True, "good good shiny"),
+        (2, True, "good solid"),
+        (3, False, "bad bad rusty"),
+        (4, False, "bad shiny"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "pos", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["pos_votes"],
+            r["neg_votes"],
+            r["predicted_positive"],
+        )
+        for r in cp.quality_classifier_votes(
+            df, "doc_id", "text", "pos"
+        ).collect()
+    }
+    # totals: pos tokens = 5, neg tokens = 5 -> vote = sign(pos_cnt - neg_cnt)
+    # good: (3,0) +1;  bad: (0,3) -1;  shiny: (1,1) 0;  solid: (1,0) +1;
+    # rusty: (0,1) -1
+    assert got == {
+        1: (3, 2, 0, True),
+        2: (2, 2, 0, True),
+        3: (3, 0, 3, False),
+        4: (2, 0, 1, False),
+    }
+
+
+def test_cross_group_dup_matrix_full_and_prefix(spark):
+    """Full-text form counts only exact duplicates across groups; the
+    prefix form also catches shared leads / truncated mirrors."""
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    rows = [
+        (1, "s1", "alpha beta gamma delta"),
+        (2, "s2", "alpha beta gamma delta"),     # exact dup of 1
+        (3, "s2", "alpha beta gamma DIFFERENT"), # shares 3-word prefix
+        (4, "s3", "unrelated text entirely"),
+        (5, "s1", "alpha beta gamma delta"),     # same fp, same pair s1<s2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    full = {
+        (r["group_a"], r["group_b"]): r["n_shared_fingerprints"]
+        for r in cp.cross_group_dup_matrix(
+            df, "doc_id", "text", "source"
+        ).collect()
+    }
+    assert full == {("s1", "s2"): 1}
+    pre = {
+        (r["group_a"], r["group_b"]): r["n_shared_fingerprints"]
+        for r in cp.cross_group_dup_matrix(
+            df, "doc_id", "text", "source", prefix_words=3
+        ).collect()
+    }
+    # prefix-3 collapses docs 1,2,3,5 to one fingerprint -> still one
+    # shared fp per group pair, but now it exists only between s1 and s2
+    assert pre == {("s1", "s2"): 1}
