@@ -96,6 +96,8 @@ HEADLINE = [
     "containment_dup_flags",
     "quality_classifier_scores",
     "cross_source_dup_matrix",
+    "token_budget_fill",
+    "split_leakage_audit",
 ]
 
 

@@ -6032,3 +6032,102 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_b").alias("source_b"),
         "n_shared_fingerprints",
     )
+
+
+@register(
+    "token_budget_fill",
+    f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(string_split({NORM_SQL.format(c='text')}, ' ')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS fill_rank
+  FROM t
+), c AS (
+  SELECT doc_id, source, n_tokens, fill_rank,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY fill_rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before
+  FROM r
+)
+SELECT doc_id, source, n_tokens, CAST(fill_rank AS BIGINT) AS fill_rank,
+       cum_before
+FROM c WHERE cum_before < 600
+""",
+)
+def token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill (new r4): keep each source's longest
+    documents, best first, until 600 tokens are banked — the
+    "take N tokens per source, highest quality first" selection every
+    pretraining mixture executes once its weights are chosen.
+    ``source_quota_sample`` caps by DOCUMENT count; training budgets are
+    set in TOKENS, which is this query.  Rank pre-filter compiles to
+    WindowGroupLimit (a dominant source never ships more than
+    budget rows per partition), then a one-long-of-state running sum
+    decides the cut — see ``operators/corpus.py:token_budget_fill``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        ensure_parallelism,
+        normalize_text,
+    )
+
+    base = ensure_parallelism(docs).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split(normalize_text(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return cp.token_budget_fill(
+        base,
+        "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        "n_tokens",
+        budget=600,
+    ).select("doc_id", "source", "n_tokens", "fill_rank", "cum_before")
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+WITH s AS (
+  SELECT CASE WHEN {_BUCKET_SQL.format(c='doc_id')} < 10 THEN 'val'
+              WHEN {_BUCKET_SQL.format(c='doc_id')} < 20 THEN 'test'
+              ELSE 'train' END AS split,
+         md5(array_to_string(
+             string_split({NORM_SQL.format(c='text')}, ' ')[1:10],
+             ' ')) AS fp
+  FROM documents
+),
+f AS (SELECT DISTINCT split, fp FROM s)
+SELECT a.split AS split_a, b.split AS split_b,
+       COUNT(*)::BIGINT AS n_shared_fingerprints
+FROM f a JOIN f b ON a.fp = b.fp AND a.split < b.split
+GROUP BY 1, 2
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit (new r4): after the deterministic
+    content-hash split (``dataset_split_counts``), count duplicate
+    lead-fingerprints crossing every split boundary — the contamination
+    check a training pipeline runs on its OWN eval split (distinct from
+    ``benchmark_contamination``, which audits against an external
+    benchmark).  Pure composition of two tested operators:
+    ``corpus.dataset_split`` (stateless md5 bucket) feeding
+    ``corpus.cross_group_dup_matrix`` with group = split; one distinct,
+    one fp-co-partitioned equi-join, splits-squared output."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    withsplit = cp.dataset_split(docs, "doc_id", val_pct=10, test_pct=10)
+    return cp.cross_group_dup_matrix(
+        withsplit, "doc_id", "text", "split", prefix_words=10
+    ).select(
+        F.col("group_a").alias("split_a"),
+        F.col("group_b").alias("split_b"),
+        "n_shared_fingerprints",
+    )

@@ -881,3 +881,46 @@ def cross_group_dup_matrix(
         .groupBy("group_a", "group_b")
         .agg(F.count("*").cast("long").alias("n_shared_fingerprints"))
     )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Greedy per-group token-budget fill: walk each group's documents in
+    ``order_cols`` order (best first) and keep documents until the group's
+    cumulative token count reaches ``budget`` — the "take N tokens per
+    source/language, highest quality first" selection step every
+    pretraining mixture executes after its weights are chosen (quota_sample
+    caps by DOCUMENT count; training budgets are set in TOKENS, which is
+    this operator).  The document that crosses the budget line is kept
+    (standard greedy fill: every group ends at >= budget tokens if it has
+    them).
+
+    Scale shape: two windows over ONE hash partition on ``group_col``.
+    First a ``row_number`` rank filtered to ``rank <= budget`` — since
+    every document carries >= 1 token, the greedy fill can never admit
+    more than ``budget`` documents, and this filter compiles to
+    ``WindowGroupLimit``: each input partition keeps only its local
+    top-``budget`` BEFORE the shuffle, so a group holding half the corpus
+    ships O(partitions x budget) rows, not its whole group.  Then the
+    running sum (one long of state per group) over the bounded set decides
+    the cut.  ``order_cols`` must be a total order (include the id) for
+    deterministic, oracle-checkable output.
+    """
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    ranked = df.withColumn(
+        "fill_rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("fill_rank") <= budget)
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("fill_rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ranked.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(token_col).over(w_cum), F.lit(0)).cast("long"),
+    ).filter(F.col("cum_before") < budget)

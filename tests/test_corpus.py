@@ -675,3 +675,46 @@ def test_cross_group_dup_matrix_full_and_prefix(spark):
     # prefix-3 collapses docs 1,2,3,5 to one fingerprint -> still one
     # shared fp per group pair, but now it exists only between s1 and s2
     assert pre == {("s1", "s2"): 1}
+
+
+def test_token_budget_fill_greedy_semantics(spark):
+    """Keeps docs in order until the budget is crossed; the crossing doc
+    is included; later docs are dropped; groups fill independently."""
+    from pyspark.sql import functions as F
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    rows = [
+        # (doc_id, grp, n_tokens) — order within grp is by doc_id
+        (1, "a", 40),   # cum_before 0   -> keep
+        (2, "a", 50),   # cum_before 40  -> keep (crosses 60)
+        (3, "a", 10),   # cum_before 90  -> drop
+        (4, "b", 60),   # cum_before 0   -> keep (exactly fills)
+        (5, "b", 1),    # cum_before 60  -> drop (60 < 60 is false)
+        (6, "c", 5),    # cum_before 0   -> keep (group under budget)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "grp", "n_tokens"])
+    got = {
+        r["doc_id"]: (r["fill_rank"], r["cum_before"])
+        for r in cp.token_budget_fill(
+            df, "grp", [F.col("doc_id")], "n_tokens", budget=60
+        ).collect()
+    }
+    assert got == {1: (1, 0), 2: (2, 40), 4: (1, 0), 6: (1, 0)}
+
+
+def test_token_budget_fill_plan_has_window_group_limit(spark):
+    """The rank pre-filter must compile to WindowGroupLimit so a dominant
+    group never ships more than budget rows per input partition."""
+    from pyspark.sql import functions as F
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).alias("grp"),
+        F.lit(7).alias("n_tokens"),
+    )
+    out = cp.token_budget_fill(
+        df, "grp", [F.col("doc_id")], "n_tokens", budget=50
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
