@@ -3433,15 +3433,29 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(dd.normalize_text(F.col("text")), " ")
         ).alias("tok"),
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    # persist the VOCAB (bounded), not the corpus token stream: the corpus
+    # pays exactly two explode passes (vocab build + scoring join) instead
+    # of three, with no corpus-sized cache.  Rarity arithmetic happens per
+    # VOCAB ENTRY here, so the per-token hot path below is only a decimal
+    # sum — the divide+round used to run once per token.
+    from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
+    vocab = tracked_persist(
+        toks.groupBy("tok").agg(F.count("*").cast("long").alias("cnt"))
+    )
     total = float(vocab.agg(F.sum("cnt")).first()[0])  # bounded scalar
-    rarity = F.round(F.lit(total) / F.col("cnt"), 6).cast("decimal(30,6)")
+    rates = vocab.select(
+        "tok",
+        F.round(F.lit(total) / F.col("cnt"), 6)
+        .cast("decimal(30,6)")
+        .alias("__rar"),
+    )
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(F.broadcast(rates), "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tok"),
-            F.sum(rarity).alias("__rsum"),
+            F.sum("__rar").alias("__rsum"),
         )
         .select(
             "doc_id",

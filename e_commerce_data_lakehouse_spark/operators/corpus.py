@@ -764,12 +764,12 @@ def quality_classifier_votes(
     weak supervision label (e.g. above-average length, a heuristic score
     band, or human labels joined in).
 
-    Plan: one corpus-sized explode feeding (a) a vocab-bounded
-    map-side-combine aggregate that trains the weights and (b) the scoring
-    join back onto the weight table.  The token stream is persisted for
-    its two consumers; the weight table is vocab-sized and broadcasts
-    under AQE at bench scale, degrading to a shuffle join at web-scale
-    vocabularies.  Per-doc output: token count, +/- vote counts, and the
+    Plan: two corpus explode passes — one into the vocab-bounded
+    map-side-combine aggregate that trains the weights, one through the
+    scoring join against the broadcast weight table.  Only the VOCAB-sized
+    stats table is persisted (never the corpus token stream — it dwarfs
+    executor storage at 100 TB, and recomputing the explode is one
+    map-side pass).  Per-doc output: token count, +/- vote counts, and the
     majority-vote prediction.  At 100 TB nothing here is new state: it is
     explode -> hash agg -> equi-join -> hash agg, all skew-free (token
     frequency skew collapses in the map-side partial combine).
@@ -778,20 +778,24 @@ def quality_classifier_votes(
         normalize_text_sql,
     )
 
-    toks = tracked_persist(
-        docs.selectExpr(
-            id_col,
-            f"{label_col} as __pos_lbl",
-            f"explode(split({normalize_text_sql(text_col)}, ' ')) as __tok",
-        )
+    toks = docs.selectExpr(
+        id_col,
+        f"{label_col} as __pos_lbl",
+        f"explode(split({normalize_text_sql(text_col)}, ' ')) as __tok",
     )
-    stats = toks.groupBy("__tok").agg(
-        F.sum(F.when(F.col("__pos_lbl"), 1).otherwise(0))
-        .cast("long")
-        .alias("pos_cnt"),
-        F.sum(F.when(F.col("__pos_lbl"), 0).otherwise(1))
-        .cast("long")
-        .alias("neg_cnt"),
+    # persist the VOCAB-sized stats, not the corpus token stream: the
+    # corpus pays two explode passes (train + score) but nothing
+    # corpus-sized is ever cached — the right trade at 100 TB, where the
+    # token stream dwarfs executor storage and the vocab does not.
+    stats = tracked_persist(
+        toks.groupBy("__tok").agg(
+            F.sum(F.when(F.col("__pos_lbl"), 1).otherwise(0))
+            .cast("long")
+            .alias("pos_cnt"),
+            F.sum(F.when(F.col("__pos_lbl"), 0).otherwise(1))
+            .cast("long")
+            .alias("neg_cnt"),
+        )
     )
     totals = stats.agg(F.sum("pos_cnt"), F.sum("neg_cnt")).first()
     pos_total, neg_total = int(totals[0]), int(totals[1])  # bounded scalars
@@ -811,7 +815,7 @@ def quality_classifier_votes(
         .alias("__vote"),
     )
     return (
-        toks.join(weights, "__tok")
+        toks.join(F.broadcast(weights), "__tok")
         .groupBy(F.col(id_col))
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
