@@ -40,6 +40,24 @@ sys.path.insert(0, ROOT)
 from e_commerce_data_lakehouse_spark import entry_queries as eq  # noqa: E402
 from e_commerce_data_lakehouse_spark.session import get_spark  # noqa: E402
 
+# the relational/window/sessionization core (r4 extension): measured over
+# the generator's TPC-H-ish star + event stream so the non-dedup half of
+# the engine gets the same same-generator-both-ends scaling evidence
+RELATIONAL_TARGETS = [
+    "pricing_summary",
+    "star_revenue_by_region",
+    "user_sessions",
+    "dedup_latest_events",
+    "hourly_device_health",
+    "operational_daily",
+    "asof_purchase_view",
+    "union_activity",
+    "incremental_watermark",
+    "monthly_summary",
+    "scd2_customer_dim",
+    "top_customers",
+]
+
 TARGETS = [
     "near_dup_minhash_lsh",
     "incremental_near_dup",
@@ -150,8 +168,16 @@ def main() -> None:
     ap.add_argument("--gen-root", default=os.path.join(ROOT, ".scaledata"))
     ap.add_argument("--driver-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--no-driver", action="store_true")
-    ap.add_argument("--queries", nargs="+", default=TARGETS)
+    ap.add_argument(
+        "--queries",
+        nargs="+",
+        default=TARGETS,
+        help="query names, or the literal 'relational' for the "
+        "star/window/sessionization target set",
+    )
     args = ap.parse_args()
+    if args.queries == ["relational"]:
+        args.queries = RELATIONAL_TARGETS
 
     spark = get_spark(app_name="bench_scale")
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -215,7 +241,13 @@ def main() -> None:
         json.dump(summary, f, indent=1)
 
     cols = list(points)
-    shown = [q for q in TARGETS if any(q in points[c] for c in cols)]
+    known = TARGETS + RELATIONAL_TARGETS
+    extra = sorted(
+        {q for c in cols for q in points[c]} - set(known)
+    )
+    shown = [
+        q for q in known + extra if any(q in points[c] for c in cols)
+    ]
     print(f"\n{'query':<28}" + "".join(f"{c:>16}" for c in cols))
     for q in shown:
         line = f"{q:<28}"

@@ -2,10 +2,12 @@
 
 `/root/testdata` stops at sf0.1, so every 100 TB design claim was verified
 by plan inspection only (VERDICT r3, "Next round #1").  This script
-generates the two tables the dedup/ANN family reads — ``documents`` and
-``embeddings`` — at arbitrary scale factors with the SAME schemas and the
-same workload-relevant characteristics as the driver testdata (profiled
-from sf0.01/sf0.1):
+generates every table the engine reads — ``documents``/``embeddings``
+for the dedup/ANN family plus the full TPC-H-ish relational set
+(``customer orders lineitem events part supplier nation region``) — at
+arbitrary scale factors with the SAME schemas and the same
+workload-relevant characteristics as the driver testdata (profiled from
+sf0.01/sf0.1):
 
 - documents: random word sequences over a ~30-word vocab, 8-110 words
   (avg ~300 chars), langs weighted en~41% / de,es,fr,zh ~15% each, 20
@@ -22,13 +24,17 @@ scales (e.g. gen-sf0.1 vs gen-sf1), never a driver dir against a
 generated dir — same generator at both points is what makes the ratio an
 honest data-scaling factor.  ``tools/bench_scale.py`` enforces that.
 
-Row counts: documents = 50_000 * sf, embeddings = 20_000 * sf (the
-driver testdata's exact ratios).  Seeded per-sf from seed 42; output is
-bit-stable across runs.
+Row counts: documents = 50_000 * sf, embeddings = 20_000 * sf,
+orders = 1.5M * sf, lineitem ~= 6M * sf, events = 1M * sf,
+customer = 150k * sf (the driver testdata's exact ratios).  Seeded
+per-sf from seed 42; output is bit-stable across runs, and the
+relational seeds are spawned AFTER the doc/vec seeds so pre-existing
+documents/embeddings points stay bit-identical.
 
 Usage: python tools/gen_scale_data.py SF [SF ...] [--out DIR]
-Writes DIR/sf{SF}/{documents,embeddings}.parquet (default
-.scaledata/ at the repo root, gitignored).
+       [--only-missing]
+Writes DIR/sf{SF}/<table>.parquet (default .scaledata/ at the repo
+root, gitignored).
 """
 
 from __future__ import annotations
@@ -117,18 +123,259 @@ def gen_embeddings(sf: float, rng: np.random.Generator) -> pa.Table:
     )
 
 
-def generate(sf: float, out_root: str) -> str:
+# ---------------------------------------------------------------------------
+# Relational tables (r4 extension): the TPC-H-ish star + event stream at
+# arbitrary sf, matching /root/testdata schemas, dtypes, row-count ratios
+# (orders 1.5M/sf, lineitem ~6M/sf, events 1M/sf, customer 150k/sf,
+# part 200k/sf, supplier 10k/sf, users = 15k/sf over a fixed 30-day event
+# window) and value ranges profiled from the driver data — so the
+# relational/window/sessionization queries get the same honest
+# same-generator-both-ends scaling measurement the dedup family has.
+# ---------------------------------------------------------------------------
+CUST_PER_SF = 150_000
+ORDERS_PER_SF = 1_500_000
+EVENTS_PER_SF = 1_000_000
+USERS_PER_SF = 15_000
+PART_PER_SF = 200_000
+SUPP_PER_SF = 10_000
+
+MKTSEGMENTS = np.array(
+    ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+)
+ORDERSTATUS = np.array(["F", "O", "P"])
+PRIORITIES = np.array(
+    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+)
+RF_LS = np.array(["A|F", "N|F", "N|O", "R|F", "R|O"])
+EVENT_TYPES = np.array(["click", "error", "purchase", "signup", "view"])
+PART_ADJ = np.array(
+    "large hot small cold steel brass tin plated polished burnished "
+    "anodized economy standard promo".split()
+)
+PART_NOUN = np.array(
+    "ring bolt screw washer nut gear shaft plate rod tube wire clip".split()
+)
+PART_TYPES = np.array(["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"])
+
+
+def _dict_str(idx: np.ndarray, values: np.ndarray) -> pa.Array:
+    """Vectorized categorical string column (no python-list round trip)."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(idx.astype(np.int32)), pa.array(values.tolist())
+    ).cast(pa.string())
+
+
+def _ts_us(epoch_us: np.ndarray) -> pa.Array:
+    return pa.array(epoch_us.astype("datetime64[us]"))
+
+
+def gen_customer(sf: float, rng: np.random.Generator) -> pa.Table:
+    n = int(round(CUST_PER_SF * sf))
+    return pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n, dtype=np.int64)),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)]),
+            "c_nationkey": pa.array(rng.integers(0, 25, n).astype(np.int32)),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-1000, 10000, n), 2)
+            ),
+            "c_mktsegment": _dict_str(rng.integers(0, 5, n), MKTSEGMENTS),
+        }
+    )
+
+
+def gen_orders(
+    sf: float, rng: np.random.Generator
+) -> tuple[pa.Table, np.ndarray]:
+    n = int(round(ORDERS_PER_SF * sf))
+    n_cust = int(round(CUST_PER_SF * sf))
+    day0 = np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64)
+    dates_us = day0 + rng.integers(0, 2405, n) * 86_400_000_000
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n)),
+            "o_orderstatus": _dict_str(rng.integers(0, 3, n), ORDERSTATUS),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000, 500000, n), 2)
+            ),
+            "o_orderdate": _ts_us(dates_us),
+            "o_orderpriority": _dict_str(rng.integers(0, 5, n), PRIORITIES),
+        }
+    )
+    return tbl, dates_us
+
+
+def gen_lineitem(
+    sf: float, rng: np.random.Generator, order_dates_us: np.ndarray
+) -> pa.Table:
+    n_orders = len(order_dates_us)
+    n_part = int(round(PART_PER_SF * sf))
+    n_supp = int(round(SUPP_PER_SF * sf))
+    # 1-7 lines per order, mean ~4 (driver: 4.07)
+    lines = rng.integers(1, 8, n_orders)
+    okey = np.repeat(np.arange(n_orders, dtype=np.int64), lines)
+    linenum = (
+        np.arange(len(okey), dtype=np.int64)
+        - np.repeat(np.cumsum(lines) - lines, lines)
+        + 1
+    ).astype(np.int32)
+    n = len(okey)
+    qty = rng.integers(1, 51, n).astype(np.float64)
+    pkey = rng.integers(0, n_part, n)
+    unit = 900.0 + (pkey % 1200) + np.round(rng.uniform(0, 1, n), 2)
+    combo = rng.integers(0, 5, n)
+    rf = np.array([c.split("|")[0] for c in RF_LS])
+    ls = np.array([c.split("|")[1] for c in RF_LS])
+    ship_us = (
+        np.repeat(order_dates_us, lines)
+        + rng.integers(1, 96, n) * 86_400_000_000
+    )
+    return pa.table(
+        {
+            "l_orderkey": pa.array(okey),
+            "l_partkey": pa.array(pkey),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n)),
+            "l_linenumber": pa.array(linenum),
+            "l_quantity": pa.array(qty),
+            "l_extendedprice": pa.array(np.round(qty * unit, 2)),
+            "l_discount": pa.array(
+                np.round(rng.integers(0, 11, n) / 100.0, 2)
+            ),
+            "l_tax": pa.array(np.round(rng.integers(0, 9, n) / 100.0, 2)),
+            "l_returnflag": _dict_str(combo, rf),
+            "l_linestatus": _dict_str(combo, ls),
+            "l_shipdate": _ts_us(ship_us),
+        }
+    )
+
+
+def gen_events(sf: float, rng: np.random.Generator) -> pa.Table:
+    n = int(round(EVENTS_PER_SF * sf))
+    n_users = int(round(USERS_PER_SF * sf))
+    t0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    ts_us = np.sort(t0 + rng.integers(0, 30 * 86_400_000_000, n))
+    k = rng.integers(0, 100, n)
+    props = _dict_str(k, np.array([f'{{"k": {i}}}' for i in range(100)]))
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": _ts_us(ts_us),
+            "user_id": pa.array(rng.integers(0, n_users, n)),
+            "event_type": _dict_str(rng.integers(0, 5, n), EVENT_TYPES),
+            "value": pa.array(
+                np.minimum(np.round(rng.exponential(50.0, n), 2), 999.99)
+            ),
+            "props": props,
+        }
+    )
+
+
+def gen_static_dims(sf: float, rng: np.random.Generator) -> dict[str, pa.Table]:
+    n_part = int(round(PART_PER_SF * sf))
+    n_supp = int(round(SUPP_PER_SF * sf))
+    adj = rng.integers(0, len(PART_ADJ), n_part)
+    noun = rng.integers(0, len(PART_NOUN), n_part)
+    names = np.array(
+        [f"{a} {b}" for a in PART_ADJ for b in PART_NOUN]
+    )
+    name_idx = adj * len(PART_NOUN) + noun
+    part = pa.table(
+        {
+            "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+            "p_name": _dict_str(name_idx, names),
+            "p_brand": _dict_str(
+                rng.integers(0, 25, n_part),
+                np.array([f"Brand#{i}" for i in range(25)]),
+            ),
+            "p_type": _dict_str(rng.integers(0, 6, n_part), PART_TYPES),
+            "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32)),
+            "p_retailprice": pa.array(
+                np.round(
+                    900.0
+                    + (np.arange(n_part) % 1200)
+                    + rng.uniform(0, 1, n_part),
+                    2,
+                )
+            ),
+        }
+    )
+    supplier = pa.table(
+        {
+            "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+            "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+            "s_nationkey": pa.array(
+                rng.integers(0, 25, n_supp).astype(np.int32)
+            ),
+            "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_supp), 2)),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array(np.arange(25, dtype=np.int64)),
+            "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+            "n_regionkey": pa.array(
+                (np.arange(25) % 5).astype(np.int64)
+            ),
+        }
+    )
+    region = pa.table(
+        {
+            "r_regionkey": pa.array(np.arange(5, dtype=np.int64)),
+            "r_name": pa.array(
+                ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+            ),
+        }
+    )
+    return {
+        "part": part,
+        "supplier": supplier,
+        "nation": nation,
+        "region": region,
+    }
+
+
+def generate(sf: float, out_root: str, only_missing: bool = False) -> str:
     d = os.path.join(out_root, f"sf{sf:g}")
     os.makedirs(d, exist_ok=True)
     # per-sf child seeds: sf0.1 data is NOT a prefix of sf1 data, matching
-    # how the driver testdata scales (independent draws per sf)
+    # how the driver testdata scales (independent draws per sf).
+    # SeedSequence children depend only on their spawn index, so adding
+    # relational seeds after doc/vec keeps documents/embeddings bit-stable.
     root = np.random.SeedSequence(42)
-    doc_seed, vec_seed = root.spawn(2)
+    doc_seed, vec_seed, cust_seed, ord_seed, ev_seed, dim_seed = root.spawn(6)
     sf_key = int(round(sf * 1000))
-    rng_d = np.random.default_rng([doc_seed.entropy, sf_key])
-    rng_e = np.random.default_rng([vec_seed.entropy, sf_key])
-    pq.write_table(gen_documents(sf, rng_d), os.path.join(d, "documents.parquet"))
-    pq.write_table(gen_embeddings(sf, rng_e), os.path.join(d, "embeddings.parquet"))
+
+    def _rng(seed_seq):
+        return np.random.default_rng([seed_seq.entropy, sf_key])
+
+    def _write(name: str, build):
+        path = os.path.join(d, f"{name}.parquet")
+        if only_missing and os.path.exists(path):
+            return
+        pq.write_table(build(), path)
+
+    _write("documents", lambda: gen_documents(sf, _rng(doc_seed)))
+    _write("embeddings", lambda: gen_embeddings(sf, _rng(vec_seed)))
+    _write("customer", lambda: gen_customer(sf, _rng(cust_seed)))
+    ord_path = os.path.join(d, "orders.parquet")
+    li_path = os.path.join(d, "lineitem.parquet")
+    if not (only_missing and os.path.exists(ord_path) and os.path.exists(li_path)):
+        rng_o = _rng(ord_seed)
+        orders, dates_us = gen_orders(sf, rng_o)
+        pq.write_table(orders, ord_path)
+        del orders
+        pq.write_table(gen_lineitem(sf, rng_o, dates_us), li_path)
+    _write("events", lambda: gen_events(sf, _rng(ev_seed)))
+    dims_missing = [
+        t
+        for t in ("part", "supplier", "nation", "region")
+        if not (only_missing and os.path.exists(os.path.join(d, f"{t}.parquet")))
+    ]
+    if dims_missing:
+        dims = gen_static_dims(sf, _rng(dim_seed))
+        for t in dims_missing:
+            pq.write_table(dims[t], os.path.join(d, f"{t}.parquet"))
     return d
 
 
@@ -142,9 +389,16 @@ def main() -> None:
             ".scaledata",
         ),
     )
+    ap.add_argument(
+        "--only-missing",
+        action="store_true",
+        help="skip tables whose parquet already exists (documents/"
+        "embeddings are bit-stable, so this is safe for extending "
+        "existing points with the relational tables)",
+    )
     args = ap.parse_args()
     for sf in args.sfs:
-        d = generate(sf, args.out)
+        d = generate(sf, args.out, only_missing=args.only_missing)
         sizes = {
             f: round(os.path.getsize(os.path.join(d, f)) / 1e6, 1)
             for f in sorted(os.listdir(d))
