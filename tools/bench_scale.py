@@ -56,6 +56,8 @@ RELATIONAL_TARGETS = [
     "monthly_summary",
     "scd2_customer_dim",
     "top_customers",
+    "streaming_hourly_counts",
+    "global_dw_catalog",
 ]
 
 TARGETS = [
