@@ -223,6 +223,21 @@ def near_dup_pairs(
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the classic index for billion-vector corpora
 # ---------------------------------------------------------------------------
+def _sample_vectors(
+    candidates: DataFrame, vec_col: str, seed: int, sample_size: int
+) -> np.ndarray:
+    """Bounded training sample as a driver ndarray (2 jobs: count +
+    collect).  Callers that train several models from the same sample
+    (IVF-PQ: coarse centroids AND codebooks) should collect once and
+    share — the draw is deterministic in (df, seed, sample_size)."""
+    total = candidates.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    sample = (
+        candidates.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
+    )
+    return np.array([r[0] for r in sample], dtype=np.float64)
+
+
 def _train_centroids(
     candidates: DataFrame,
     vec_col: str,
@@ -230,16 +245,14 @@ def _train_centroids(
     seed: int,
     sample_size: int,
     iters: int = 10,
+    x: np.ndarray | None = None,
 ) -> np.ndarray:
     """k-means centroids from a bounded sample (how real IVF trainers work:
     training data is a sample regardless of corpus size, so driver memory is
-    O(sample), never O(corpus))."""
-    total = candidates.count()
-    frac = min(1.0, sample_size / max(total, 1))
-    sample = (
-        candidates.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
-    )
-    x = np.array([r[0] for r in sample], dtype=np.float64)
+    O(sample), never O(corpus)).  Pass ``x`` to reuse an already-collected
+    sample (skips the count+collect jobs)."""
+    if x is None:
+        x = _sample_vectors(candidates, vec_col, seed, sample_size)
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):  # Lloyd iterations on the sample
@@ -386,16 +399,15 @@ def _train_pq_codebooks(
     seed: int,
     sample_size: int,
     iters: int = 10,
+    x: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace k-means codebooks over *residuals* (vector minus its
     coarse IVF centroid — the classic IVF-PQ encoding).  Training touches a
-    bounded sample only: driver memory is O(sample), never O(corpus)."""
-    total = candidates.count()
-    frac = min(1.0, sample_size / max(total, 1))
-    sample = (
-        candidates.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
-    )
-    x = np.array([r[0] for r in sample], dtype=np.float64)
+    bounded sample only: driver memory is O(sample), never O(corpus).
+    Pass ``x`` to reuse an already-collected sample (identical draw:
+    same df, seed, and fraction as :func:`_sample_vectors`)."""
+    if x is None:
+        x = _sample_vectors(candidates, vec_col, seed, sample_size)
     cell = _nearest_centroid(x, coarse)
     res = x - coarse[cell]
     d = x.shape[1]
@@ -482,9 +494,14 @@ def ivf_pq_topk(
     codes, not vectors.  This is the memory story that makes billion-vector
     ANN feasible: the index fits in a fraction of the raw data size.
     """
-    coarse = _train_centroids(candidates, vec_col, n_centroids, seed, sample_size)
+    # one count+collect feeds BOTH trainers (the two draws were already
+    # identical — same df/seed/fraction — so results are bit-unchanged)
+    x = _sample_vectors(candidates, vec_col, seed, sample_size)
+    coarse = _train_centroids(
+        candidates, vec_col, n_centroids, seed, sample_size, x=x
+    )
     books = _train_pq_codebooks(
-        candidates, vec_col, coarse, m, ks, seed, sample_size
+        candidates, vec_col, coarse, m, ks, seed, sample_size, x=x
     )
 
     enc = _pq_encode_udf(coarse, books)
