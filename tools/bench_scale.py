@@ -138,10 +138,34 @@ def _bloom_fixed_bench(spark, sf_dir: str):
     return cp.bloom_confirmed_contamination(corpus, bench, n=4)
 
 
+def _medallion_e2e(spark, sf_dir: str):
+    """The reference's full production ETL (raw CSV drops → ledger bronze
+    → watermark+dedup+MERGE silver → gold star → rollup → catalog) in a
+    throwaway workdir.  Timing includes the raw-CSV export stage (the
+    series wants a comparable total per point; bench.py separates it)."""
+    import shutil
+    import tempfile
+
+    from e_commerce_data_lakehouse_spark.plans.medallion import (
+        e2e_orders_pipeline,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="medallion_scale_")
+    try:
+        _results, tables = e2e_orders_pipeline(spark, sf_dir, workdir)
+        # the pipeline already materialized everything; hand run_point a
+        # bounded frame that survives workdir cleanup
+        rollup = tables["agg_daily"].read().localCheckpoint()
+        return rollup
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 SYNTHETIC = {
     "cc_over_lsh_pairs": _cc_over_lsh_pairs,
     "fuzzy_decon_fixed_bench": _fuzzy_decon_fixed_bench,
     "bloom_fixed_bench": _bloom_fixed_bench,
+    "medallion_e2e": _medallion_e2e,
 }
 
 
