@@ -98,6 +98,7 @@ HEADLINE = [
     "cross_source_dup_matrix",
     "token_budget_fill",
     "split_leakage_audit",
+    "corpus_version_diff",
 ]
 
 

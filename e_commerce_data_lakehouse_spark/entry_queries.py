@@ -6145,3 +6145,47 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_b").alias("split_b"),
         "n_shared_fingerprints",
     )
+
+
+@register(
+    "corpus_version_diff",
+    f"""
+WITH o AS (
+  SELECT doc_id, md5({NORM_SQL.format(c='text')}) AS fp
+  FROM documents WHERE doc_id % 17 <> 0
+),
+n AS (
+  SELECT doc_id,
+         md5({NORM_SQL.format(
+             c="CASE WHEN doc_id % 23 = 0 THEN text || ' v2' ELSE text END"
+         )}) AS fp
+  FROM documents WHERE doc_id % 19 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp = n.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+""",
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus release diff (new r4): per-document added / removed /
+    changed / unchanged manifest between two snapshots — what an
+    incremental corpus-release pipeline publishes with every version and
+    what "retrain only on what changed" triggers consume.  Snapshots are
+    deterministic carvings of the documents table (old: every id not
+    divisible by 17; new: every id not divisible by 19, with ids
+    divisible by 23 textually revised), so the whole diff — one narrow
+    fingerprint projection per side + ONE id-co-partitioned full-outer
+    join, no text shuffle — is oracle-checked end to end.  See
+    ``operators/corpus.py:snapshot_diff``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    old = docs.filter(F.col("doc_id") % 17 != 0)
+    new = docs.filter(F.col("doc_id") % 19 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 23 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return cp.snapshot_diff(old, new, "doc_id", "text")

@@ -932,3 +932,44 @@ def token_budget_fill(
         "cum_before",
         F.coalesce(F.sum(token_col).over(w_cum), F.lit(0)).cast("long"),
     ).filter(F.col("cum_before") < budget)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus release diff: per document id, whether it was ``added``,
+    ``removed``, ``changed`` (same id, different normalized-content
+    fingerprint) or ``unchanged`` between two corpus snapshots — the
+    manifest an incremental corpus-release pipeline publishes with every
+    version (and the input to "retrain only on what changed" downstream
+    triggers).
+
+    Scale shape: each side collapses to (id, md5 fingerprint) — a narrow
+    map-only projection — then ONE full-outer equi-join co-partitioned on
+    the id decides the status per row.  No text ever shuffles, no window,
+    no skew surface (ids are unique per side).  The md5 fingerprint is
+    engine-portable (same family as :func:`cross_group_dup_matrix`), so
+    the whole diff is oracle-checkable.
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        normalize_text_sql,
+    )
+
+    def fps(df: DataFrame, fp_name: str) -> DataFrame:
+        return df.selectExpr(
+            id_col, f"md5({normalize_text_sql(text_col)}) as {fp_name}"
+        )
+
+    joined = fps(old, "__fp_old").join(
+        fps(new, "__fp_new"), id_col, "full_outer"
+    )
+    status = (
+        F.when(F.col("__fp_old").isNull(), "added")
+        .when(F.col("__fp_new").isNull(), "removed")
+        .when(F.col("__fp_old") == F.col("__fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(F.col(id_col), status.alias("status"))

@@ -718,3 +718,24 @@ def test_token_budget_fill_plan_has_window_group_limit(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_snapshot_diff_statuses(spark):
+    """Known-answer: every status arises, and absent-in-both ids don't
+    appear at all."""
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "will vanish")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same  TEXT"), (2, "has changed"), (4, "brand new")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in cp.snapshot_diff(old, new).collect()
+    }
+    # doc 1: normalization (case/whitespace) makes the fingerprints equal
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
