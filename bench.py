@@ -99,6 +99,7 @@ HEADLINE = [
     "token_budget_fill",
     "split_leakage_audit",
     "corpus_version_diff",
+    "classifier_auc",
 ]
 
 

@@ -6189,3 +6189,92 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return cp.snapshot_diff(old, new, "doc_id", "text")
+
+
+@register(
+    "classifier_auc",
+    f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         string_split({NORM_SQL.format(c='text')}, ' ') AS w
+  FROM documents
+),
+chart AS (SELECT COUNT(*)::BIGINT AS nd, SUM(n_chars)::BIGINT AS sc FROM d),
+toks AS (
+  SELECT doc_id,
+         n_chars * (SELECT nd FROM chart) > (SELECT sc FROM chart) AS pos,
+         unnest(w) AS tok
+  FROM d
+),
+stats AS (
+  SELECT tok,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS pos_cnt,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS neg_cnt
+  FROM toks GROUP BY tok
+),
+tot AS (SELECT SUM(pos_cnt)::BIGINT AS pt, SUM(neg_cnt)::BIGINT AS nt
+        FROM stats),
+votes AS (
+  SELECT t.doc_id,
+         CASE WHEN s.pos_cnt * (SELECT nt FROM tot)
+                   > s.neg_cnt * (SELECT pt FROM tot) THEN 1
+              WHEN s.pos_cnt * (SELECT nt FROM tot)
+                   < s.neg_cnt * (SELECT pt FROM tot) THEN -1
+              ELSE 0 END AS v
+  FROM toks t JOIN stats s USING (tok)
+),
+cls AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT
+           - SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM votes GROUP BY doc_id
+),
+lab AS (
+  SELECT c.s,
+         d2.n_chars * (SELECT nd FROM chart) > (SELECT sc FROM chart) AS pos
+  FROM cls c JOIN documents d2 USING (doc_id)
+),
+hist AS (
+  SELECT s,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS p,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS n
+  FROM lab GROUP BY s
+),
+cum AS (
+  SELECT p, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_below
+  FROM hist
+)
+SELECT CAST(SUM(p * (2 * n_below + n)) AS BIGINT) AS auc_num,
+       CAST(2 * SUM(p) * SUM(n) AS BIGINT) AS auc_den,
+       CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(n) AS BIGINT) AS n_neg,
+       ROUND(CAST(SUM(p * (2 * n_below + n)) AS DOUBLE)
+             / (2 * SUM(p) * SUM(n)), 6) AS auc
+FROM cum
+""",
+)
+def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model evaluation (new r4): exact ROC-AUC of the trained
+    quality classifier against its weak supervision label, computed the
+    way AUC is computed over billions of predictions — ONE
+    map-side-combine score histogram, then the Mann-Whitney statistic
+    over the bounded histogram (the global cumulative window reads
+    distinct score values, never prediction rows; exact integer rational
+    output so engines agree bit-exactly).  Train + score + eval round
+    trip, all oracle-checked.  See ``operators/corpus.py:binary_auc``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    totals = docs.agg(F.count("*"), F.sum("n_chars")).first()
+    n_docs, sum_chars = int(totals[0]), int(totals[1])  # bounded scalars
+    labeled = docs.select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") * F.lit(n_docs) > F.lit(sum_chars)).alias("__pos"),
+    )
+    votes = cp.quality_classifier_votes(labeled, "doc_id", "text", "__pos")
+    scored = votes.join(labeled.select("doc_id", "__pos"), "doc_id").select(
+        (F.col("pos_votes") - F.col("neg_votes")).alias("score"), "__pos"
+    )
+    return cp.binary_auc(scored, "score", "__pos")

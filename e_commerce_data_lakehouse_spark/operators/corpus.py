@@ -973,3 +973,59 @@ def snapshot_diff(
         .otherwise("changed")
     )
     return joined.select(F.col(id_col), status.alias("status"))
+
+
+def binary_auc(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a binary scorer, computed the scale-shaped way:
+    collapse predictions to a per-score histogram first, then evaluate the
+    Mann-Whitney statistic over the (bounded) histogram — never a global
+    rank over the prediction table.  This is how AUC is computed over
+    billions of predictions: the only corpus-sized operation is one
+    map-side-combine ``groupBy(score)``; the cumulative window runs over
+    distinct score values (for an integer vote score, at most
+    O(max document length) rows).
+
+    Ties are handled exactly (each tied pos/neg pair contributes 1/2) and
+    the result is returned as an exact integer rational
+    ``(auc_num, auc_den)`` — ``auc_num / auc_den = AUC`` with
+    ``auc_den = 2 * n_pos * n_neg`` — plus the rounded double, so engines
+    agree bit-exactly.
+    """
+    hist = (
+        scored.groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(F.when(F.col(label_col), 1).otherwise(0))
+            .cast("long")
+            .alias("__p"),
+            F.sum(F.when(F.col(label_col), 0).otherwise(1))
+            .cast("long")
+            .alias("__n"),
+        )
+    )
+    w = (
+        Window.orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = hist.select(
+        "__p",
+        "__n",
+        F.coalesce(F.sum("__n").over(w), F.lit(0)).alias("__n_below"),
+    )
+    return contrib.agg(
+        F.sum(F.col("__p") * (2 * F.col("__n_below") + F.col("__n")))
+        .cast("long")
+        .alias("auc_num"),
+        (2 * F.sum("__p") * F.sum("__n")).cast("long").alias("auc_den"),
+        F.sum("__p").cast("long").alias("n_pos"),
+        F.sum("__n").cast("long").alias("n_neg"),
+    ).select(
+        "auc_num",
+        "auc_den",
+        "n_pos",
+        "n_neg",
+        F.round(F.col("auc_num") / F.col("auc_den"), 6).alias("auc"),
+    )

@@ -739,3 +739,29 @@ def test_snapshot_diff_statuses(spark):
     }
     # doc 1: normalization (case/whitespace) makes the fingerprints equal
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_binary_auc_known_answers(spark):
+    """AUC = 1 for a perfect scorer, 0.5 contribution for ties, and the
+    hand-computed value for a mixed case."""
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    perfect = spark.createDataFrame(
+        [(10, True), (9, True), (2, False), (1, False)], ["s", "y"]
+    )
+    r = cp.binary_auc(perfect, "s", "y").first()
+    assert (r["auc_num"], r["auc_den"], r["auc"]) == (8, 8, 1.0)
+
+    all_tied = spark.createDataFrame(
+        [(5, True), (5, False), (5, True), (5, False)], ["s", "y"]
+    )
+    r = cp.binary_auc(all_tied, "s", "y").first()
+    assert r["auc"] == 0.5
+
+    # scores: pos {3, 1}, neg {2}; pairs: (3>2)=1, (1<2)=0 -> AUC = 1/2
+    mixed = spark.createDataFrame(
+        [(3, True), (1, True), (2, False)], ["s", "y"]
+    )
+    r = cp.binary_auc(mixed, "s", "y").first()
+    assert (r["auc_num"], r["auc_den"], r["auc"]) == (2, 4, 0.5)
+    assert (r["n_pos"], r["n_neg"]) == (2, 1)
