@@ -100,6 +100,7 @@ HEADLINE = [
     "split_leakage_audit",
     "corpus_version_diff",
     "classifier_auc",
+    "html_text_extraction",
 ]
 
 

@@ -6278,3 +6278,70 @@ def classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos_votes") - F.col("neg_votes")).alias("score"), "__pos"
     )
     return cp.binary_auc(scored, "score", "__pos")
+
+
+@register(
+    "html_text_extraction",
+    r"""
+WITH synth AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p { color: #333; }</style></head><body>'
+         || '<script type="text/javascript">var x = 1 &amp;&amp; 2;</script>'
+         || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+         || '</p><nav>home &gt; docs</nav><p>footer &amp; legal</p>'
+         || '</body></html>' AS html
+  FROM documents
+),
+stripped AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(html, '(?s)<script[^>]*>.*?</script>',
+                                  ' ', 'g'),
+                   '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '</(p|div|br|li|h[1-6]|tr)>', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', chr(39)),
+           '\s+', ' ', 'g')) AS extracted
+  FROM synth
+)
+SELECT doc_id, extracted,
+       CAST(length(extracted) AS BIGINT) AS n_extracted_chars
+FROM stripped
+""",
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus main-content extraction (new r4): deterministic HTML
+    pages synthesized around each document (title, heading, style/script
+    blocks, nav/footer boilerplate, entities) are stripped back to text
+    with ``functions/text.py:strip_html`` — the regex-chain core of a
+    trafilatura-style extractor, pure codegen, byte-identical in the SQL
+    oracle (patterns in the Java-regex ∩ RE2 common subset, no
+    backreferences).  The script content, style rules, and every tag are
+    gone; entities decode; whitespace collapses."""
+    from e_commerce_data_lakehouse_spark.functions.text import strip_html
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p { color: #333; }</style></head><body>"),
+        F.lit('<script type="text/javascript">var x = 1 &amp;&amp; 2;'
+              "</script>"),
+        F.lit("<h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><nav>home &gt; docs</nav><p>footer &amp; legal</p>"
+              "</body></html>"),
+    )
+    return docs.select(
+        "doc_id", strip_html(html).alias("extracted")
+    ).withColumn(
+        "n_extracted_chars", F.length("extracted").cast("long")
+    )

@@ -252,3 +252,26 @@ def bm25_lite_score(
         )
         score = score + idf * (tf * F.lit(k1 + 1.0)) / denom
     return F.round(score, 6)
+
+
+def strip_html(col: Column) -> Column:
+    """Main-content extraction from HTML, the regex-chain core of a
+    trafilatura/jusText-style pipeline: drop <script>/<style> blocks with
+    their contents, convert block-level closers to newlines, strip every
+    remaining tag, decode the five standard entities, and collapse
+    whitespace.  Pure regexp_replace chain — codegen, streams through
+    100 TB of crawl HTML; patterns are in the Java-regex ∩ RE2 common
+    subset so a SQL oracle applies the byte-identical transformation.
+    (Real extraction adds DOM heuristics — link density, text/tag ratio —
+    per block; the Spark-side shape is the same map-only projection.)
+    """
+    out = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?s)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"</(p|div|br|li|h[1-6]|tr)>", "\n")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

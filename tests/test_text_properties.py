@@ -190,3 +190,31 @@ def test_map_type_roundtrip(spark, tmp_path):
     back = spark.read.parquet(p).orderBy("id").collect()
     assert back[0]["metadata"] == {"camera": "x100", "w": "640"}
     assert back[1]["metadata"] == {}
+
+
+def test_strip_html_known_answers(spark):
+    """Scripts/styles vanish with their CONTENT, tags strip, entities
+    decode, whitespace collapses."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.functions.text import strip_html
+
+    rows = [
+        (1, "<p>hello <b>world</b></p>"),
+        (2, "<script>var hidden = 'SECRET';</script>visible"),
+        (3, "<style>.x{color:red}</style>a &amp; b &lt;tag&gt;"),
+        (4, "multi\n\n  line   <br>  text"),
+        (5, "<SCRIPT>upper not matched</SCRIPT>case"),  # case-sensitive like RE2 oracle
+    ]
+    df = spark.createDataFrame(rows, ["i", "h"])
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", strip_html(F.col("h")).alias("s")).collect()
+    }
+    assert got[1] == "hello world"
+    assert got[2] == "visible" and "SECRET" not in got[2]
+    assert got[3] == 'a & b <tag>'
+    assert got[4] == "multi line text"
+    # uppercase script tags strip as plain tags (content survives) — the
+    # oracle-portable chain is case-sensitive by design
+    assert got[5] == "upper not matched case"
