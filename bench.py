@@ -101,6 +101,7 @@ HEADLINE = [
     "corpus_version_diff",
     "classifier_auc",
     "html_text_extraction",
+    "url_canonical_hosts",
 ]
 
 

@@ -6345,3 +6345,99 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "n_extracted_chars", F.length("extracted").cast("long")
     )
+
+
+@register(
+    "url_canonical_hosts",
+    r"""
+WITH synth AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example:80/path//to/page' || CAST(doc_id AS VARCHAR)
+                || '/#frag'
+           WHEN 1 THEN 'https://Site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example:443/a/b?q=' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN 'http://Site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.Example/'
+           ELSE 'https://cdn.site' || CAST(doc_id % 7 AS VARCHAR)
+                || '.example/assets///img' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(
+        lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                             '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+        || regexp_replace(regexp_replace(url, '#.*$', ''),
+                          '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''),
+        '^(http://[^/:]+):80(/|$)', '\1\2'),
+      '^(https://[^/:]+):443(/|$)', '\1\2'),
+      '([^:])/{2,}', '\1/', 'g'),
+    '/\?', '?'), '/$', '') AS curl
+  FROM synth
+),
+hosts AS (
+  SELECT doc_id, curl,
+         regexp_extract(curl, '^[a-z][a-z0-9+.-]*://([^/:]+)', 1) AS host
+  FROM canon
+)
+SELECT host,
+       host IN ('www.site0.example', 'cdn.site3.example') AS blocked,
+       COUNT(*)::BIGINT AS n_urls,
+       COUNT(DISTINCT curl)::BIGINT AS n_distinct_urls
+FROM hosts
+GROUP BY 1, 2
+""",
+)
+def url_canonical_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL hygiene (new r4): canonicalize deterministically
+    synthesized messy URLs (mixed-case scheme/authority, fragments,
+    explicit default ports, duplicate slashes, trailing slashes), extract
+    the host, mark blocklisted hosts (the robots/opt-out precedence step
+    of crawl curation — a broadcast IN-list here, a broadcast blocklist
+    join at fleet size), and aggregate per host.  Pure codegen regexp
+    chain (``functions/text.py:canonical_url``), byte-identical in the
+    oracle; URL-level dedup falls out of ``n_distinct_urls``."""
+    from e_commerce_data_lakehouse_spark.functions.text import (
+        canonical_url,
+        url_host,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    sid = (F.col("doc_id") % 7).cast("string")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTP://WWW.Site"), sid,
+                     F.lit(".example:80/path//to/page"), did, F.lit("/#frag")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("https://Site"), sid,
+                     F.lit(".example:443/a/b?q="), did),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("http://Site"), sid, F.lit(".Example/")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://cdn.site"), sid,
+                     F.lit(".example/assets///img"), did),
+        )
+    )
+    canon = docs.select(
+        "doc_id", canonical_url(url).alias("curl")
+    ).withColumn("host", url_host(F.col("curl")))
+    return canon.groupBy(
+        "host",
+        F.col("host")
+        .isin("www.site0.example", "cdn.site3.example")
+        .alias("blocked"),
+    ).agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.count_distinct("curl").cast("long").alias("n_distinct_urls"),
+    )

@@ -275,3 +275,36 @@ def strip_html(col: Column) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def canonical_url(col: Column) -> Column:
+    """URL canonicalization for crawl dedup/blocklisting: lowercase the
+    scheme and authority, drop the fragment, drop explicit default ports
+    (:80 for http, :443 for https), collapse duplicate slashes outside
+    the scheme separator, and strip one trailing slash (a root URL
+    normalizes to the bare authority form).  Pure regexp chain
+    (Java-regex ∩ RE2 common subset — no lookarounds, no backreferences
+    in patterns), map-only: the normalization that runs before URL-level
+    dedup and per-domain aggregation in a web-corpus pipeline.
+    (Query-parameter re-ordering and IDN/percent normalization are
+    deliberately out of scope for the portable core.)
+    """
+    out = F.regexp_replace(col, r"#.*$", "")
+    # case-fold scheme://authority only (path/query stay case-sensitive)
+    head = F.lower(
+        F.regexp_extract(out, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    )
+    tail = F.regexp_replace(out, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
+    out = F.concat(head, tail)
+    out = F.regexp_replace(out, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    out = F.regexp_replace(out, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    # any '//' run not preceded by ':' (protects the scheme separator)
+    out = F.regexp_replace(out, r"([^:])/{2,}", r"$1/")
+    out = F.regexp_replace(out, r"/\?", "?")
+    return F.regexp_replace(out, r"/$", "")
+
+
+def url_host(col: Column) -> Column:
+    """Host component of an (already canonical) URL — the grouping key of
+    per-domain corpus stats and blocklist joins."""
+    return F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://([^/:]+)", 1)

@@ -218,3 +218,37 @@ def test_strip_html_known_answers(spark):
     # uppercase script tags strip as plain tags (content survives) — the
     # oracle-portable chain is case-sensitive by design
     assert got[5] == "upper not matched case"
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule, plus their composition."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.functions.text import (
+        canonical_url,
+        url_host,
+    )
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/A//B///c/#frag"),
+        (2, "https://host.example:443/x/?q=1"),
+        (3, "http://Host.Example/"),
+        (4, "https://h.example:8443/keep:443/port"),
+        (5, "http://h.example/CaseKept/Path"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "u"])
+    got = {
+        r["i"]: (r["c"], r["h"])
+        for r in df.select(
+            "i",
+            canonical_url(F.col("u")).alias("c"),
+            url_host(canonical_url(F.col("u"))).alias("h"),
+        ).collect()
+    }
+    assert got[1] == ("http://www.example.com/A/B/c", "www.example.com")
+    assert got[2] == ("https://host.example/x?q=1", "host.example")
+    assert got[3] == ("http://host.example", "host.example")
+    # non-default port survives; :443 inside the path untouched
+    assert got[4] == ("https://h.example:8443/keep:443/port", "h.example")
+    # path case is preserved (only scheme/authority fold)
+    assert got[5] == ("http://h.example/CaseKept/Path", "h.example")
