@@ -917,7 +917,8 @@ def token_budget_fill(
     ships O(partitions x budget) rows, not its whole group.  Then the
     running sum (one long of state per group) over the bounded set decides
     the cut.  ``order_cols`` must be a total order (include the id) for
-    deterministic, oracle-checkable output.
+    deterministic, oracle-checkable output.  Output adds ``fill_rank``
+    and ``cum_before`` columns (same-named input columns are replaced).
     """
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     ranked = df.withColumn(
@@ -950,9 +951,13 @@ def snapshot_diff(
     Scale shape: each side collapses to (id, md5 fingerprint) — a narrow
     map-only projection — then ONE full-outer equi-join co-partitioned on
     the id decides the status per row.  No text ever shuffles, no window,
-    no skew surface (ids are unique per side).  The md5 fingerprint is
-    engine-portable (same family as :func:`cross_group_dup_matrix`), so
-    the whole diff is oracle-checkable.
+    no skew surface.  The md5 fingerprint is engine-portable (same family
+    as :func:`cross_group_dup_matrix`), so the whole diff is
+    oracle-checkable.
+
+    Contract: ``id_col`` must be unique WITHIN each snapshot (the normal
+    release invariant) — a duplicated id fans the full-outer join out and
+    yields one status row per old x new combination for that id.
     """
     from e_commerce_data_lakehouse_spark.operators.dedup import (
         normalize_text_sql,
@@ -993,7 +998,9 @@ def binary_auc(
     the result is returned as an exact integer rational
     ``(auc_num, auc_den)`` — ``auc_num / auc_den = AUC`` with
     ``auc_den = 2 * n_pos * n_neg`` — plus the rounded double, so engines
-    agree bit-exactly.
+    agree bit-exactly.  Degenerate input (no positives or no negatives)
+    yields ``auc_den = 0`` and a NULL ``auc`` — AUC is undefined there,
+    and both engines agree on the NULL.
     """
     hist = (
         scored.groupBy(F.col(score_col).alias("__s"))
@@ -1027,5 +1034,10 @@ def binary_auc(
         "auc_den",
         "n_pos",
         "n_neg",
-        F.round(F.col("auc_num") / F.col("auc_den"), 6).alias("auc"),
+        # explicit guard: ANSI mode (Spark 4 default) throws on /0, and a
+        # one-class eval set must surface as NULL, not kill the job
+        F.when(
+            F.col("auc_den") > 0,
+            F.round(F.col("auc_num") / F.col("auc_den"), 6),
+        ).alias("auc"),
     )

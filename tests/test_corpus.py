@@ -765,3 +765,13 @@ def test_binary_auc_known_answers(spark):
     r = cp.binary_auc(mixed, "s", "y").first()
     assert (r["auc_num"], r["auc_den"], r["auc"]) == (2, 4, 0.5)
     assert (r["n_pos"], r["n_neg"]) == (2, 1)
+
+
+def test_binary_auc_degenerate_single_class(spark):
+    """One-class input: AUC undefined -> auc_den 0, auc NULL."""
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    only_pos = spark.createDataFrame([(3, True), (1, True)], ["s", "y"])
+    r = cp.binary_auc(only_pos, "s", "y").first()
+    assert r["auc_den"] == 0 and r["auc"] is None
+    assert (r["n_pos"], r["n_neg"]) == (2, 0)
