@@ -102,6 +102,7 @@ HEADLINE = [
     "classifier_auc",
     "html_text_extraction",
     "url_canonical_hosts",
+    "packing_efficiency",
 ]
 
 

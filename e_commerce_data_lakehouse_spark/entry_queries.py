@@ -6441,3 +6441,76 @@ def url_canonical_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_urls"),
         F.count_distinct("curl").cast("long").alias("n_distinct_urls"),
     )
+
+
+@register(
+    "packing_efficiency",
+    f"""
+WITH toks AS (
+  SELECT CAST(len(string_split({NORM_SQL.format(c='text')}, ' ')) AS BIGINT)
+             AS n
+  FROM documents
+),
+sweep AS (
+  SELECT s.seq_len, t.n,
+         LEAST(t.n, s.seq_len) AS kept,
+         GREATEST(t.n - s.seq_len, 0) AS truncated,
+         s.seq_len - LEAST(t.n, s.seq_len) AS padded
+  FROM toks t CROSS JOIN (VALUES (128), (256), (512), (1024)) s(seq_len)
+)
+SELECT CAST(seq_len AS BIGINT) AS seq_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(truncated) AS BIGINT) AS truncated_tokens,
+       CAST(SUM(padded) AS BIGINT) AS padding_tokens,
+       CAST(SUM(CASE WHEN n > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truncated_docs,
+       ROUND(CAST(SUM(kept) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * seq_len), 6) AS token_utilization
+FROM sweep GROUP BY seq_len
+""",
+)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length decision sweep (new r4): for each candidate
+    ``seq_len``, the padding and truncation waste of one-document-per-
+    sequence training (the analytic that picks the context length /
+    decides whether concat-and-chunk packing — ``sequence_packing`` — is
+    worth its attention-boundary cost).  One token-count projection
+    crossed with a 4-row literal frame (explode of a constant array — a
+    bounded fan-out, not a join), then a map-side-combine aggregate per
+    seq_len.  utilization = kept / (docs x seq_len), exact integer sums
+    under a final guarded division."""
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
+    toks = docs.select(
+        F.size(F.split(dd.normalize_text(F.col("text")), " "))
+        .cast("long")
+        .alias("n")
+    )
+    sweep = toks.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(s).cast("long") for s in (128, 256, 512, 1024)])
+        ).alias("seq_len"),
+    )
+    kept = F.least(F.col("n"), F.col("seq_len"))
+    return (
+        sweep.groupBy("seq_len")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.greatest(F.col("n") - F.col("seq_len"), F.lit(0)))
+            .cast("long")
+            .alias("truncated_tokens"),
+            F.sum(F.col("seq_len") - kept).cast("long").alias("padding_tokens"),
+            F.sum((F.col("n") > F.col("seq_len")).cast("long"))
+            .cast("long")
+            .alias("n_truncated_docs"),
+            F.round(
+                F.sum(kept).cast("double")
+                / (F.count("*").cast("double") * F.first("seq_len")),
+                6,
+            ).alias("token_utilization"),
+        )
+    )
