@@ -1203,23 +1203,33 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key — an equi-join, not a cross join).  The unsupervised scale
     path with hyperplane-LSH blocking is ``embedding_near_dup_lsh``."""
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("__va")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("__vb")
-    )
     from e_commerce_data_lakehouse_spark.functions.vectors import (
-        cosine_fixed,
+        cosine_prenormed,
         infer_dim,
+        norm_fixed,
     )
 
+    dim = infer_dim(emb, "embedding")
+    # norms precomputed per ROW (n evaluations, not n² — and the post-join
+    # stage keeps ONE unrolled sum, staying inside Janino's method limit
+    # even after filter pushdown duplicates the cosine expression)
+    base = emb.select(
+        "vec_id", "label", "embedding", norm_fixed("embedding", dim).alias("__n")
+    )
+    a = base.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("embedding").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), "label",
+        F.col("embedding").alias("__vb"), F.col("__n").alias("__nb"),
+    )
     pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select(
             "id_a",
             "id_b",
-            cosine_fixed("__va", "__vb", infer_dim(emb, "embedding")).alias(
+            cosine_prenormed("__va", "__vb", "__na", "__nb", dim).alias(
                 "cosine_sim"
             ),
         )

@@ -64,6 +64,34 @@ def cosine_fixed(
     return F.expr(f"ROUND({d} / (SQRT({na}) * SQRT({nb})), {scale})")
 
 
+def norm_fixed(a_sql: str, dim: int) -> Column:
+    """Unrolled fixed-dimension L2 norm — same association order as the
+    norm inside :func:`cosine_fixed`, for precomputing per-ROW norms
+    before a pair join (norms cost n evaluations instead of n², and the
+    post-join stage shrinks to one unrolled sum — see
+    :func:`cosine_prenormed`)."""
+    return F.expr(f"SQRT({dot_fixed_sql(a_sql, a_sql, dim)})")
+
+
+def cosine_prenormed(
+    a_sql: str, b_sql: str, na_sql: str, nb_sql: str, dim: int,
+    scale: int = 6,
+) -> Column:
+    """:func:`cosine_fixed` with the two norms read from precomputed
+    columns (built with :func:`norm_fixed` BEFORE the pair join).
+    Bit-identical result — ``ROUND(dot / (na * nb), scale)`` with the
+    same float op order — but the post-join expression holds ONE unrolled
+    sum instead of three.  That matters twice at scale: norms are
+    evaluated once per row instead of once per pair, and a predicate on
+    the cosine no longer blows the whole-stage-codegen method over
+    Janino's 64 KB limit when Catalyst duplicates the expression into
+    the pushed-down filter (observed: the label-blocked 64-dim pair
+    stage compiled interpreted before this split).
+    """
+    d = dot_fixed_sql(a_sql, b_sql, dim)
+    return F.expr(f"ROUND({d} / ({na_sql} * {nb_sql}), {scale})")
+
+
 def infer_dim(df, vec_col: str) -> int:
     """Array length of ``vec_col`` from one row (bounded scalar job).
     All vectors in a column share one dimension by contract; a ragged row

@@ -189,11 +189,24 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) via LSH blocking +
     exact verify — the embedding analogue of MinHash fuzzy dedup."""
+    from e_commerce_data_lakehouse_spark.functions.vectors import (
+        cosine_prenormed,
+        norm_fixed,
+    )
+
     bucketer = _bucket_udf(dim, n_planes, n_tables, seed)
-    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        # per-ROW norm: n evaluations instead of n², and the verify stage
+        # keeps one unrolled sum (inside Janino's 64 KB method limit even
+        # after filter pushdown duplicates the cosine expression)
+        norm_fixed(vec_col, dim).alias("__n"),
+    )
     bl = base.select(
         "__id",
         "__v",
+        "__n",
         F.posexplode(bucketer(F.col("__v"))).alias("table_id", "bucket"),
     )
     a, b = bl.alias("a"), bl.alias("b")
@@ -209,12 +222,18 @@ def near_dup_pairs(
             F.col("b.__id").alias("id_b"),
             F.col("a.__v").alias("__va"),
             F.col("b.__v").alias("__vb"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.select(
-            "id_a", "id_b", cosine_fixed("__va", "__vb", dim).alias("cosine_sim")
+            "id_a",
+            "id_b",
+            cosine_prenormed("__va", "__vb", "__na", "__nb", dim).alias(
+                "cosine_sim"
+            ),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
