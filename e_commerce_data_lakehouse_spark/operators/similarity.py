@@ -73,20 +73,32 @@ def brute_force_topk(
     is scanned once with map-side scoring — the right exact-kNN plan shape
     for a huge candidate set.
     """
+    from e_commerce_data_lakehouse_spark.functions.vectors import (
+        cosine_prenormed,
+        norm_fixed,
+    )
+
+    dim = infer_dim(candidates, vec_col)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm_fixed(vec_col, dim).alias("__qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_fixed(vec_col, dim).alias("__cn"),
     )
     pairs = c.join(F.broadcast(q), how="cross")
     if not include_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
-    # unrolled fixed-dim cosine: the scoring loop IS this operator's cost
+    # unrolled fixed-dim cosine: the scoring loop IS this operator's cost.
+    # Norms are precomputed per ROW above (n_q + n_c evaluations, not
+    # n_q x n_c), so the pair stage holds one unrolled sum.
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_fixed("__qv", "__cv", infer_dim(candidates, vec_col)).alias(
+        cosine_prenormed("__qv", "__cv", "__qn", "__cn", dim).alias(
             "cosine_sim"
         ),
     )
@@ -140,13 +152,23 @@ def lsh_topk(
     include_self: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table sign-LSH + exact rerank."""
+    from e_commerce_data_lakehouse_spark.functions.vectors import (
+        cosine_prenormed,
+        norm_fixed,
+    )
+
     bucketer = _bucket_udf(dim, n_planes, n_tables, seed)
 
-    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        out = df.select(F.col(idc), F.col(vc))
+    def with_buckets(df: DataFrame, idc: str, vc: str, nc: str) -> DataFrame:
+        # norm per vector BEFORE the table explode (1 eval per vector,
+        # not per (vector, table) row, and never per pair)
+        out = df.select(
+            F.col(idc), F.col(vc), norm_fixed(vc, dim).alias(nc)
+        )
         return out.select(
             F.col(idc),
             F.col(vc),
+            F.col(nc),
             F.posexplode(bucketer(F.col(vc))).alias("table_id", "bucket"),
         )
 
@@ -154,6 +176,7 @@ def lsh_topk(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")),
         "query_id",
         "__qv",
+        "__qn",
     )
     cb = with_buckets(
         candidates.select(
@@ -161,10 +184,11 @@ def lsh_topk(
         ),
         "neighbor_id",
         "__cv",
+        "__cn",
     )
     cand = (
         cb.join(F.broadcast(qb), ["table_id", "bucket"])
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     if not include_self:
@@ -172,7 +196,9 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine_fixed("__qv", "__cv", dim).alias("cosine_sim"),
+        cosine_prenormed("__qv", "__cv", "__qn", "__cn", dim).alias(
+            "cosine_sim"
+        ),
     )
     return _topk_per_query(scored, k)
 
@@ -355,15 +381,23 @@ def ivf_topk(
 
     # a single-file candidate table scans as 1-2 splits — spread the
     # O(n x k x dim) assignment GEMM across the cluster
+    from e_commerce_data_lakehouse_spark.functions.vectors import (
+        cosine_prenormed,
+        norm_fixed,
+    )
+
     candidates = ensure_parallelism(candidates)
+    # norms per vector BEFORE the probe explode (1 eval per vector)
     cb = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        norm_fixed(vec_col, cents.shape[1]).alias("__cn"),
         F.explode(c_assign(F.col(vec_col))).alias("cell"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm_fixed(vec_col, cents.shape[1]).alias("__qn"),
         F.explode(q_assign(F.col(vec_col))).alias("cell"),
     )
     if max_cell_size is not None:
@@ -388,7 +422,9 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine_fixed("__qv", "__cv", cents.shape[1]).alias("cosine_sim"),
+        cosine_prenormed("__qv", "__cv", "__qn", "__cn", cents.shape[1]).alias(
+            "cosine_sim"
+        ),
     )
     return _topk_per_query(scored, k)
 
@@ -534,10 +570,16 @@ def ivf_pq_topk(
         F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("e")
     ).select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.code").alias("code"))
 
+    from e_commerce_data_lakehouse_spark.functions.vectors import (
+        cosine_prenormed,
+        norm_fixed,
+    )
+
     q_assign = _assign_udf(coarse, n_probe)
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm_fixed(vec_col, coarse.shape[1]).alias("__qn"),
         F.explode(q_assign(F.col(vec_col))).alias("cell"),
     )
 
@@ -549,6 +591,7 @@ def ivf_pq_topk(
         "query_id",
         "neighbor_id",
         "__qv",
+        "__qn",
         approx(F.col("__qv"), F.col("cell"), F.col("code")).alias("approx_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -561,12 +604,16 @@ def ivf_pq_topk(
     )
     # exact rerank: fetch raw vectors for the bounded shortlist only
     raw = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm_fixed(vec_col, coarse.shape[1]).alias("__cn"),
     )
     exact = short.join(raw, "neighbor_id").select(
         "query_id",
         "neighbor_id",
-        cosine_fixed("__qv", "__cv", coarse.shape[1]).alias("cosine_sim"),
+        cosine_prenormed("__qv", "__cv", "__qn", "__cn", coarse.shape[1]).alias(
+            "cosine_sim"
+        ),
     )
     return _topk_per_query(exact, k)
 
@@ -684,21 +731,29 @@ def hard_negative_topk(
     allowlisted BroadcastNestedLoopJoin is correct here because the
     broadcast side is the k queries, never the corpus.
     """
+    from e_commerce_data_lakehouse_spark.functions.vectors import (
+        cosine_prenormed,
+        norm_fixed,
+    )
+
+    dim = infer_dim(candidates, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.col(label_col).alias("__ql"),
+        norm_fixed(vec_col, dim).alias("__qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.col(label_col).alias("__cl"),
+        norm_fixed(vec_col, dim).alias("__cn"),
     )
     pairs = c.join(F.broadcast(q), F.col("__ql") != F.col("__cl"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine_fixed("__qv", "__cv", infer_dim(candidates, vec_col)).alias(
+        cosine_prenormed("__qv", "__cv", "__qn", "__cn", dim).alias(
             "cosine_sim"
         ),
     )
