@@ -1240,11 +1240,25 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_near_dup_lsh", None)  # hyperplane buckets not SQL-reproducible
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsupervised embedding near-dup: hyperplane-LSH bucket blocking +
-    exact cosine verify (no label needed, same equi-join shape)."""
+    exact cosine verify (no label needed, same equi-join shape).
+
+    The plane count GROWS with the corpus — ``2^planes ∝ n`` keeps
+    expected in-bucket pair volume linear in n (a fixed 8-plane bucket
+    width is quadratic: measured at gen-sf10, the 200k-vector self-join
+    spilled >75 GB and died; with scaled planes the same point runs in
+    seconds).  Same control law as ``semantic_dedup``'s centroid count.
+    Tight duplicates (cosine ≥ ~0.98, the near-dup regime) keep >99%
+    per-10-table recall up to 16 planes; the floor of 8 keeps driver-
+    scale (sf0.001) results identical to rounds 1-3."""
+    import math
+
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    n = emb.count()  # bounded scalar
+    n_tables = 10
+    planes = max(8, math.ceil(math.log2(max(2, n * n_tables / 50))))
     return sim.near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.35, n_planes=8, n_tables=10,
-        dim=64,
+        emb, "vec_id", "embedding", threshold=0.35, n_planes=planes,
+        n_tables=n_tables, dim=64,
     )
 
 
