@@ -138,6 +138,48 @@ def _bloom_fixed_bench(spark, sf_dir: str):
     return cp.bloom_confirmed_contamination(corpus, bench, n=4)
 
 
+def _simhash_dedup_groups(spark, sf_dir: str):
+    """The at-scale simhash composition: signature build + identical-
+    simhash grouping (hamming-0 dedup) — one hash aggregate over the
+    signatures, output bounded by document count.  The registry's
+    ``near_dup_simhash`` materializes every hamming<=3 PAIR, which on the
+    synthetic 30-word vocab is output-quadratic (long docs saturate to
+    identical token sets -> one mega-bucket; the true pair count at
+    gen-sf10 is ~10^10 — no engine materializes that).  Same reasoning as
+    ``cc_over_lsh_pairs`` vs ``dup_clusters_cc``."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+
+    docs = eq.load(spark, sf_dir, "documents")["documents"]
+    toks = dd.ensure_parallelism(docs).selectExpr(
+        "doc_id AS __id",
+        "explode(array_distinct(split("
+        + dd.normalize_text_sql("text")
+        + ", ' '))) AS __t",
+    ).selectExpr("__id", "xxhash64(__t) AS __h")
+    votes = toks.groupBy("__id").agg(
+        *[
+            F.expr(
+                f"sum(CASE WHEN (__h & shiftleft(1L, {b})) != 0 "
+                f"THEN 1 ELSE -1 END) AS v{b}"
+            )
+            for b in range(64)
+        ]
+    )
+    sim_sql = "CAST(0 AS BIGINT)"
+    for b in range(64):
+        sim_sql = (
+            f"({sim_sql} | CASE WHEN v{b} > 0 THEN shiftleft(1L, {b}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    sh = votes.selectExpr("__id", f"{sim_sql} AS __sim")
+    return sh.groupBy("__sim").agg(
+        F.min("__id").alias("survivor_id"),
+        F.count("*").cast("long").alias("group_size"),
+    )
+
+
 def _medallion_e2e(spark, sf_dir: str):
     """The reference's full production ETL (raw CSV drops → ledger bronze
     → watermark+dedup+MERGE silver → gold star → rollup → catalog) in a
@@ -166,6 +208,7 @@ SYNTHETIC = {
     "fuzzy_decon_fixed_bench": _fuzzy_decon_fixed_bench,
     "bloom_fixed_bench": _bloom_fixed_bench,
     "medallion_e2e": _medallion_e2e,
+    "simhash_dedup_groups": _simhash_dedup_groups,
 }
 
 
