@@ -180,6 +180,33 @@ def _simhash_dedup_groups(spark, sf_dir: str):
     )
 
 
+def _streaming_stateful_totals(spark, sf_dir: str):
+    """Custom stateful streaming at scale: running per-user totals via
+    Arrow ``applyInPandasWithState`` over the events file stream
+    (AvailableNow drain).  Measures the GroupState path — per-key state
+    sharded by the grouping key, Arrow-batched input — which the batch
+    queries never exercise."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.streaming import stateful as st
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now,
+        stream_events,
+    )
+
+    eq.load(spark, sf_dir)  # session settings (UTC + nanosAsLong)
+    schema = eq._events_stream_schema(spark, sf_dir)
+    stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
+    totals = st.running_totals_per_key(stream, "user_id", "ts")
+    table = f"stateful_scale_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        totals, tempfile.mkdtemp(prefix="ckpt_"), table,
+        output_mode="update",
+    )
+    return spark.table(table)
+
+
 def _medallion_e2e(spark, sf_dir: str):
     """The reference's full production ETL (raw CSV drops → ledger bronze
     → watermark+dedup+MERGE silver → gold star → rollup → catalog) in a
@@ -209,6 +236,7 @@ SYNTHETIC = {
     "bloom_fixed_bench": _bloom_fixed_bench,
     "medallion_e2e": _medallion_e2e,
     "simhash_dedup_groups": _simhash_dedup_groups,
+    "streaming_stateful_totals": _streaming_stateful_totals,
 }
 
 
