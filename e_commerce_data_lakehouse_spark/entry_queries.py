@@ -3474,8 +3474,10 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(30,6)")
         .alias("__rar"),
     )
+    # no broadcast HINT (AQE broadcasts the vocab-sized side at bench
+    # scale; a web-scale vocabulary must be able to fall back to shuffle)
     return (
-        toks.join(F.broadcast(rates), "tok")
+        toks.join(rates, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tok"),
@@ -6329,8 +6331,8 @@ stripped AS (
                    '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
                  '</(p|div|br|li|h[1-6]|tr)>', ' ', 'g'),
                '<[^>]+>', ' ', 'g'),
-             '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-             '&quot;', '"'), '&#39;', chr(39)),
+             '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
            '\s+', ' ', 'g')) AS extracted
   FROM synth
 )
@@ -6400,7 +6402,7 @@ canon AS (
         '^(http://[^/:]+):80(/|$)', '\1\2'),
       '^(https://[^/:]+):443(/|$)', '\1\2'),
       '([^:])/{2,}', '\1/', 'g'),
-    '/\?', '?'), '/$', '') AS curl
+    '/\?', '?', 'g'), '/$', '') AS curl
   FROM synth
 ),
 hosts AS (

@@ -269,9 +269,12 @@ def strip_html(col: Column) -> Column:
     out = F.regexp_replace(out, r"(?s)<style[^>]*>.*?</style>", " ")
     out = F.regexp_replace(out, r"</(p|div|br|li|h[1-6]|tr)>", "\n")
     out = F.regexp_replace(out, r"<[^>]+>", " ")
+    # &amp; decodes LAST (standard entity-decode order): decoding it
+    # first double-decodes nested escapes ('&amp;lt;' must yield '&lt;',
+    # not '<')
     for ent, ch in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", "\""), ("&#39;", "'"),
+        ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ):
         out = F.replace(out, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -814,8 +814,12 @@ def quality_classifier_votes(
         .otherwise(F.lit(0))
         .alias("__vote"),
     )
+    # no broadcast HINT: at bench scale AQE broadcasts the vocab-sized
+    # weight table on its own; at a web-scale vocabulary the join must be
+    # allowed to degrade to a shuffle join instead of dying on a forced
+    # broadcast build
     return (
-        toks.join(F.broadcast(weights), "__tok")
+        toks.join(weights, "__tok")
         .groupBy(F.col(id_col))
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -919,6 +923,13 @@ def token_budget_fill(
     the cut.  ``order_cols`` must be a total order (include the id) for
     deterministic, oracle-checkable output.  Output adds ``fill_rank``
     and ``cum_before`` columns (same-named input columns are replaced).
+
+    Contract: every row must carry ``token_col >= 1`` — the rank
+    pre-filter's bound (no greedy fill admits more than ``budget``
+    unit-positive rows) depends on it.  Zero-token rows consume no
+    budget and are position-ambiguous under greedy fill; callers must
+    drop them first (a whitespace split always yields >= 1 token, so
+    the registered query satisfies this by construction).
     """
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     ranked = df.withColumn(

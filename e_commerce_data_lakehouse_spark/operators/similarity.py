@@ -28,9 +28,10 @@ from e_commerce_data_lakehouse_spark.caching import tracked_persist
 
 from e_commerce_data_lakehouse_spark.functions.vectors import (
     cosine,
-    cosine_fixed,
+    cosine_prenormed,
     dot,
     infer_dim,
+    norm_fixed,
 )
 
 
@@ -73,11 +74,6 @@ def brute_force_topk(
     is scanned once with map-side scoring — the right exact-kNN plan shape
     for a huge candidate set.
     """
-    from e_commerce_data_lakehouse_spark.functions.vectors import (
-        cosine_prenormed,
-        norm_fixed,
-    )
-
     dim = infer_dim(candidates, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -152,11 +148,6 @@ def lsh_topk(
     include_self: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table sign-LSH + exact rerank."""
-    from e_commerce_data_lakehouse_spark.functions.vectors import (
-        cosine_prenormed,
-        norm_fixed,
-    )
-
     bucketer = _bucket_udf(dim, n_planes, n_tables, seed)
 
     def with_buckets(df: DataFrame, idc: str, vc: str, nc: str) -> DataFrame:
@@ -215,11 +206,6 @@ def near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) via LSH blocking +
     exact verify — the embedding analogue of MinHash fuzzy dedup."""
-    from e_commerce_data_lakehouse_spark.functions.vectors import (
-        cosine_prenormed,
-        norm_fixed,
-    )
-
     bucketer = _bucket_udf(dim, n_planes, n_tables, seed)
     base = df.select(
         F.col(id_col).alias("__id"),
@@ -381,11 +367,6 @@ def ivf_topk(
 
     # a single-file candidate table scans as 1-2 splits — spread the
     # O(n x k x dim) assignment GEMM across the cluster
-    from e_commerce_data_lakehouse_spark.functions.vectors import (
-        cosine_prenormed,
-        norm_fixed,
-    )
-
     candidates = ensure_parallelism(candidates)
     # norms per vector BEFORE the probe explode (1 eval per vector)
     cb = candidates.select(
@@ -570,11 +551,6 @@ def ivf_pq_topk(
         F.col(id_col).alias("neighbor_id"), enc(F.col(vec_col)).alias("e")
     ).select("neighbor_id", F.col("e.cell").alias("cell"), F.col("e.code").alias("code"))
 
-    from e_commerce_data_lakehouse_spark.functions.vectors import (
-        cosine_prenormed,
-        norm_fixed,
-    )
-
     q_assign = _assign_udf(coarse, n_probe)
     qb = queries.select(
         F.col(id_col).alias("query_id"),
@@ -731,11 +707,6 @@ def hard_negative_topk(
     allowlisted BroadcastNestedLoopJoin is correct here because the
     broadcast side is the k queries, never the corpus.
     """
-    from e_commerce_data_lakehouse_spark.functions.vectors import (
-        cosine_prenormed,
-        norm_fixed,
-    )
-
     dim = infer_dim(candidates, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),

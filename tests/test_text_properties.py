@@ -205,6 +205,7 @@ def test_strip_html_known_answers(spark):
         (3, "<style>.x{color:red}</style>a &amp; b &lt;tag&gt;"),
         (4, "multi\n\n  line   <br>  text"),
         (5, "<SCRIPT>upper not matched</SCRIPT>case"),  # case-sensitive like RE2 oracle
+        (6, "nested: &amp;lt; stays escaped"),
     ]
     df = spark.createDataFrame(rows, ["i", "h"])
     got = {
@@ -218,6 +219,8 @@ def test_strip_html_known_answers(spark):
     # uppercase script tags strip as plain tags (content survives) — the
     # oracle-portable chain is case-sensitive by design
     assert got[5] == "upper not matched case"
+    # &amp; decodes LAST: '&amp;lt;' is the ESCAPED text '&lt;', not '<'
+    assert got[6] == "nested: &lt; stays escaped"
 
 
 def test_canonical_url_rules(spark):
