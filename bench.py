@@ -103,6 +103,7 @@ HEADLINE = [
     "html_text_extraction",
     "url_canonical_hosts",
     "packing_efficiency",
+    "snapshot_drift_histogram",
 ]
 
 

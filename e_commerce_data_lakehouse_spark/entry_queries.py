@@ -6540,3 +6540,72 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_utilization"),
         )
     )
+
+
+@register(
+    "snapshot_drift_histogram",
+    """
+WITH o AS (
+  SELECT LEAST(CAST(n_chars // 100 AS BIGINT), 9) AS bucket
+  FROM documents WHERE doc_id % 17 <> 0
+),
+n AS (
+  SELECT LEAST(CAST(n_chars // 100 AS BIGINT), 9) AS bucket
+  FROM documents WHERE doc_id % 19 <> 0
+),
+oh AS (SELECT bucket, COUNT(*)::BIGINT AS old_cnt FROM o GROUP BY bucket),
+nh AS (SELECT bucket, COUNT(*)::BIGINT AS new_cnt FROM n GROUP BY bucket),
+ot AS (SELECT SUM(old_cnt)::BIGINT AS t FROM oh),
+nt AS (SELECT SUM(new_cnt)::BIGINT AS t FROM nh)
+SELECT COALESCE(oh.bucket, nh.bucket) AS bucket,
+       COALESCE(old_cnt, 0) AS old_cnt,
+       COALESCE(new_cnt, 0) AS new_cnt,
+       CAST(COALESCE(old_cnt, 0) * 1000000 // (SELECT t FROM ot) AS BIGINT)
+           AS old_ppm,
+       CAST(COALESCE(new_cnt, 0) * 1000000 // (SELECT t FROM nt) AS BIGINT)
+           AS new_ppm,
+       CAST(COALESCE(new_cnt, 0) * 1000000 // (SELECT t FROM nt) AS BIGINT)
+         - CAST(COALESCE(old_cnt, 0) * 1000000 // (SELECT t FROM ot) AS BIGINT)
+           AS delta_ppm
+FROM oh FULL OUTER JOIN nh ON oh.bucket = nh.bucket
+""",
+)
+def snapshot_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release drift monitor (new r4): per length-bucket share comparison
+    between two corpus snapshots — the population-stability input a
+    curation pipeline alarms on before shipping a new corpus version
+    (the PSI's log-ratio itself is a consumer-side scalar over these
+    shares; the distributed histogram work below is exact integer ppm, so
+    the whole monitor is oracle-checkable with no transcendental float
+    divergence).  Same deterministic snapshot carvings as
+    ``corpus_version_diff``.  Two map-side-combine histograms (bounded:
+    10 buckets), two scalar totals, one tiny full-outer join."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bucket = F.least(
+        F.expr("n_chars div 100"), F.lit(9).cast("long")
+    ).alias("bucket")
+
+    def hist(df, cnt_name):
+        return df.select(bucket).groupBy("bucket").agg(
+            F.count("*").cast("long").alias(cnt_name)
+        )
+
+    oh = hist(docs.filter(F.col("doc_id") % 17 != 0), "old_cnt")
+    nh = hist(docs.filter(F.col("doc_id") % 19 != 0), "new_cnt")
+    ot = int(oh.agg(F.sum("old_cnt")).first()[0])  # bounded scalar
+    nt = int(nh.agg(F.sum("new_cnt")).first()[0])
+    joined = oh.join(nh, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("old_cnt", F.lit(0)).alias("old_cnt"),
+        F.coalesce("new_cnt", F.lit(0)).alias("new_cnt"),
+    )
+    old_ppm = F.expr(f"old_cnt * 1000000L div {ot}")
+    new_ppm = F.expr(f"new_cnt * 1000000L div {nt}")
+    return joined.select(
+        "bucket",
+        "old_cnt",
+        "new_cnt",
+        old_ppm.alias("old_ppm"),
+        new_ppm.alias("new_ppm"),
+        (new_ppm - old_ppm).alias("delta_ppm"),
+    )
