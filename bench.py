@@ -104,6 +104,8 @@ HEADLINE = [
     "url_canonical_hosts",
     "packing_efficiency",
     "snapshot_drift_histogram",
+    "bin_packing_nextfit",
+    "part_pagerank",
 ]
 
 

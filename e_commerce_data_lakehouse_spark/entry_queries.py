@@ -6314,6 +6314,8 @@ WITH synth AS (
          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
          || '</title><style>p { color: #333; }</style></head><body>'
          || '<script type="text/javascript">var x = 1 &amp;&amp; 2;</script>'
+         || '<SCRIPT>var UP = "also hidden";</SCRIPT>'
+         || '<STYLE>.up { color: red; }</STYLE>'
          || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
          || '</p><nav>home &gt; docs</nav><p>footer &amp; legal</p>'
          || '</body></html>' AS html
@@ -6326,10 +6328,10 @@ stripped AS (
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   regexp_replace(html, '(?s)<script[^>]*>.*?</script>',
+                   regexp_replace(html, '(?is)<script[^>]*>.*?</script>',
                                   ' ', 'g'),
-                   '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
-                 '</(p|div|br|li|h[1-6]|tr)>', ' ', 'g'),
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                 '(?i)</(p|div|br|li|h[1-6]|tr)>', ' ', 'g'),
                '<[^>]+>', ' ', 'g'),
              '&lt;', '<'), '&gt;', '>'),
              '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
@@ -6344,12 +6346,14 @@ FROM stripped
 def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus main-content extraction (new r4): deterministic HTML
     pages synthesized around each document (title, heading, style/script
-    blocks, nav/footer boilerplate, entities) are stripped back to text
-    with ``functions/text.py:strip_html`` — the regex-chain core of a
-    trafilatura-style extractor, pure codegen, byte-identical in the SQL
-    oracle (patterns in the Java-regex ∩ RE2 common subset, no
-    backreferences).  The script content, style rules, and every tag are
-    gone; entities decode; whitespace collapses."""
+    blocks — lower AND upper case, since HTML tag names are
+    case-insensitive — nav/footer boilerplate, entities) are stripped
+    back to text with ``functions/text.py:strip_html`` — the regex-chain
+    core of a trafilatura-style extractor, pure codegen, byte-identical
+    in the SQL oracle (patterns in the Java-regex ∩ RE2 common subset,
+    incl. inline (?is) flags; no backreferences).  The script content,
+    style rules, and every tag are gone; entities decode; whitespace
+    collapses."""
     from e_commerce_data_lakehouse_spark.functions.text import strip_html
 
     docs = load(spark, sf_dir, "documents")["documents"]
@@ -6359,6 +6363,8 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</title><style>p { color: #333; }</style></head><body>"),
         F.lit('<script type="text/javascript">var x = 1 &amp;&amp; 2;'
               "</script>"),
+        F.lit('<SCRIPT>var UP = "also hidden";</SCRIPT>'
+              "<STYLE>.up { color: red; }</STYLE>"),
         F.lit("<h1>Doc "),
         F.col("doc_id").cast("string"),
         F.lit("</h1><p>"),
@@ -6383,7 +6389,8 @@ WITH synth AS (
                 || '.example:80/path//to/page' || CAST(doc_id AS VARCHAR)
                 || '/#frag'
            WHEN 1 THEN 'https://Site' || CAST(doc_id % 7 AS VARCHAR)
-                || '.example:443/a/b?q=' || CAST(doc_id AS VARCHAR)
+                || '.example:443/a/b/?q=' || CAST(doc_id AS VARCHAR)
+                || '&next=/a//b/'
            WHEN 2 THEN 'http://Site' || CAST(doc_id % 7 AS VARCHAR)
                 || '.Example/'
            ELSE 'https://cdn.site' || CAST(doc_id % 7 AS VARCHAR)
@@ -6391,23 +6398,29 @@ WITH synth AS (
          END AS url
   FROM documents
 ),
-canon AS (
+folded AS (
   SELECT doc_id,
-    regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(
-        lower(regexp_extract(regexp_replace(url, '#.*$', ''),
-                             '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
-        || regexp_replace(regexp_replace(url, '#.*$', ''),
-                          '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''),
-        '^(http://[^/:]+):80(/|$)', '\1\2'),
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                         '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+    || regexp_replace(regexp_replace(url, '#.*$', ''),
+                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '') AS f
+  FROM synth
+),
+canon AS (
+  -- path-shape rules apply BEFORE the first '?'; query re-appended as-is
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(f, '\?.*$', ''),
+      '^(http://[^/:]+):80(/|$)', '\1\2'),
       '^(https://[^/:]+):443(/|$)', '\1\2'),
       '([^:])/{2,}', '\1/', 'g'),
-    '/\?', '?', 'g'), '/$', '') AS curl
-  FROM synth
+      '/$', '')
+    || regexp_extract(f, '(\?.*)$', 1) AS curl
+  FROM folded
 ),
 hosts AS (
   SELECT doc_id, curl,
-         regexp_extract(curl, '^[a-z][a-z0-9+.-]*://([^/:]+)', 1) AS host
+         regexp_extract(curl, '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host
   FROM canon
 )
 SELECT host,
@@ -6421,12 +6434,14 @@ GROUP BY 1, 2
 def url_canonical_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl URL hygiene (new r4): canonicalize deterministically
     synthesized messy URLs (mixed-case scheme/authority, fragments,
-    explicit default ports, duplicate slashes, trailing slashes), extract
-    the host, mark blocklisted hosts (the robots/opt-out precedence step
-    of crawl curation — a broadcast IN-list here, a broadcast blocklist
-    join at fleet size), and aggregate per host.  Pure codegen regexp
-    chain (``functions/text.py:canonical_url``), byte-identical in the
-    oracle; URL-level dedup falls out of ``n_distinct_urls``."""
+    explicit default ports, duplicate slashes, trailing slashes, query
+    strings containing slashes — which path rules must NOT rewrite),
+    extract the host, mark blocklisted hosts (the robots/opt-out
+    precedence step of crawl curation — a broadcast IN-list here, a
+    broadcast blocklist join at fleet size), and aggregate per host.
+    Pure codegen regexp chain (``functions/text.py:canonical_url``:
+    path-shape rules apply before the first '?' only), byte-identical in
+    the oracle; URL-level dedup falls out of ``n_distinct_urls``."""
     from e_commerce_data_lakehouse_spark.functions.text import (
         canonical_url,
         url_host,
@@ -6444,7 +6459,8 @@ def url_canonical_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             F.col("doc_id") % 4 == 1,
             F.concat(F.lit("https://Site"), sid,
-                     F.lit(".example:443/a/b?q="), did),
+                     F.lit(".example:443/a/b/?q="), did,
+                     F.lit("&next=/a//b/")),
         )
         .when(
             F.col("doc_id") % 4 == 2,
@@ -6608,4 +6624,180 @@ def snapshot_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         old_ppm.alias("old_ppm"),
         new_ppm.alias("new_ppm"),
         (new_ppm - old_ppm).alias("delta_ppm"),
+    )
+
+
+@register(
+    "bin_packing_nextfit",
+    f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         {_BUCKET32_SQL.format(c='doc_id')} AS bucket,
+         CAST(len(string_split({NORM_SQL.format(c='text')}, ' ')) AS BIGINT)
+             AS n_tokens
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, bucket, n_tokens,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM toks
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.bucket, o.n_tokens, o.rn,
+         CASE WHEN p.fill + o.n_tokens <= 512
+              THEN p.bin_id ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= 512
+              THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket, n_tokens, bin_id
+FROM packed
+""",
+)
+def bin_packing_nextfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document bin packing, next-fit (new r5): every document is
+    assigned to a fixed-capacity (512-token) training sequence WITHOUT
+    splitting — the SFT packing discipline, vs ``sequence_packing``'s
+    pretraining concat-and-chunk.  Per-hash-bucket sequential scan in one
+    Arrow ``applyInPandas`` pass (the shard a 1000-executor packing
+    writer owns); only ``(id, bucket, n_tokens)`` ever shuffles.  The
+    scan is a deterministic recurrence, so the oracle replays it exactly
+    with a recursive CTE — full per-document hash-match, no rows-only
+    escape hatch.  See ``operators/corpus.py:bin_pack_docs``."""
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return cp.bin_pack_docs(
+        docs, "doc_id", "text", seq_len=512, n_buckets=32,
+        strategy="nextfit",
+    )
+
+
+@register("bin_packing_ffd_stats", None)  # first-fit probe -> no SQL oracle
+def bin_packing_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing vs next-fit, per bucket (new r5): the
+    bin-count and utilization win of the classic 11/9*OPT+1 heuristic over
+    the oracle-checked next-fit baseline.  The first-fit placement probe
+    is inherently iterative (no SQL form), so this query is declared
+    rows-only; its guarantees are pinned by ``tests/test_corpus.py``
+    (validity, bins_ffd <= bins_nextfit, >= ceil(total/seq_len) lower
+    bound, determinism)."""
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+
+    def bins(strategy: str, name: str):
+        return (
+            cp.bin_pack_docs(
+                docs, "doc_id", "text", seq_len=512, n_buckets=32,
+                strategy=strategy,
+            )
+            .groupBy("bucket")
+            .agg(
+                (F.max("bin_id") + 1).alias(name),
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+            )
+        )
+
+    nf = bins("nextfit", "bins_nextfit")
+    fd = bins("ffd", "bins_ffd").select("bucket", "bins_ffd")
+    return (
+        nf.join(fd, "bucket")
+        .select(
+            "bucket",
+            "n_docs",
+            "total_tokens",
+            "bins_nextfit",
+            "bins_ffd",
+            # exact lower bound a perfect packer cannot beat
+            F.expr("(total_tokens + 511) div 512").alias("bins_lower_bound"),
+        )
+    )
+
+
+def _pagerank_oracle(iterations: int = 5, damping: int = 85) -> str:
+    """Unrolled fixed-point PageRank oracle: SQL can't loop (recursive CTEs
+    forbid aggregation in the recursive term), so the fixed iteration count
+    is unrolled — one CTE per round, each replaying the engine's exact
+    integer recurrence."""
+    its = []
+    prev = "it0"
+    for k in range(1, iterations + 1):
+        its.append(f"""
+it{k} AS (
+  SELECT n.node, n.deg,
+         ({100 - damping} * (SELECT r0 FROM params)) // 100
+         + ({damping} * COALESCE(s.inflow, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(q.r // q.deg) AS BIGINT) AS inflow
+    FROM {prev} q JOIN edges e ON e.src = q.node GROUP BY e.dst
+  ) s ON s.node = n.node
+)""")
+        prev = f"it{k}"
+    return (
+        """
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+deg AS (SELECT src AS node, COUNT(*)::BIGINT AS deg FROM edges GROUP BY 1),
+nodes AS (SELECT node, deg FROM deg),
+params AS (SELECT (1000000000000 // COUNT(*)) AS r0 FROM nodes),
+it0 AS (SELECT node, deg, (SELECT r0 FROM params) AS r FROM nodes),"""
+        + ",".join(its)
+        + f"""
+SELECT node AS part_id, deg, r AS rank_fp FROM it{iterations}
+"""
+    )
+
+
+@register("part_pagerank", _pagerank_oracle())
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality by exact integer PageRank (new r5): rank parts by
+    their position in the co-purchase graph (the same edge semantics as
+    ``copurchase_part_pairs``, without the min-support cut, symmetrized)
+    — the link-graph scoring primitive crawl pipelines run over the host
+    graph for crawl prioritization / corpus quality weighting.  Five
+    fixed iterations of the integer fixed-point recurrence in
+    ``operators/graph.py:pagerank_fixed``; because every step is BIGINT
+    arithmetic with integral division, the unrolled-CTE oracle matches
+    bit-for-bit — an ORACLE-CHECKED iterative graph algorithm (the CC
+    dedup path's oracle is a recursive CTE; this one exercises the
+    fixed-iteration numeric family)."""
+    from e_commerce_data_lakehouse_spark.operators import graph as gr
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("pb"), F.col("pa")))
+    return gr.pagerank_fixed(edges, "pa", "pb").select(
+        F.col("id").alias("part_id"), "deg", "rank_fp"
     )

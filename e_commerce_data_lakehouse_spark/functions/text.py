@@ -261,13 +261,16 @@ def strip_html(col: Column) -> Column:
     remaining tag, decode the five standard entities, and collapse
     whitespace.  Pure regexp_replace chain — codegen, streams through
     100 TB of crawl HTML; patterns are in the Java-regex ∩ RE2 common
-    subset so a SQL oracle applies the byte-identical transformation.
+    subset so a SQL oracle applies the byte-identical transformation
+    (inline ``(?i)``/``(?s)`` flags are in that common subset — HTML tag
+    names are case-insensitive, so ``<SCRIPT>`` blocks must drop their
+    content exactly like ``<script>``).
     (Real extraction adds DOM heuristics — link density, text/tag ratio —
     per block; the Spark-side shape is the same map-only projection.)
     """
-    out = F.regexp_replace(col, r"(?s)<script[^>]*>.*?</script>", " ")
-    out = F.regexp_replace(out, r"(?s)<style[^>]*>.*?</style>", " ")
-    out = F.regexp_replace(out, r"</(p|div|br|li|h[1-6]|tr)>", "\n")
+    out = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?i)</(p|div|br|li|h[1-6]|tr)>", "\n")
     out = F.regexp_replace(out, r"<[^>]+>", " ")
     # &amp; decodes LAST (standard entity-decode order): decoding it
     # first double-decodes nested escapes ('&amp;lt;' must yield '&lt;',
@@ -291,6 +294,12 @@ def canonical_url(col: Column) -> Column:
     dedup and per-domain aggregation in a web-corpus pipeline.
     (Query-parameter re-ordering and IDN/percent normalization are
     deliberately out of scope for the portable core.)
+
+    The path-shape rules (slash collapse, trailing-slash strip, default
+    ports) apply to the part BEFORE the first ``?`` only; the query
+    string is split off first and re-appended unchanged, so query values
+    like ``?next=/a//b/`` survive byte-identically and distinct URLs
+    never merge.
     """
     out = F.regexp_replace(col, r"#.*$", "")
     # case-fold scheme://authority only (path/query stay case-sensitive)
@@ -299,15 +308,22 @@ def canonical_url(col: Column) -> Column:
     )
     tail = F.regexp_replace(out, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", "")
     out = F.concat(head, tail)
-    out = F.regexp_replace(out, r"^(http://[^/:]+):80(/|$)", r"$1$2")
-    out = F.regexp_replace(out, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    # split at the first '?': path rules must never rewrite the query
+    path = F.regexp_replace(out, r"\?.*$", "")
+    query = F.regexp_extract(out, r"(\?.*)$", 1)  # '' when no query
+    # default ports: '?' is gone from `path`, so (/|$) covers every form,
+    # including authority-only URLs whose query starts right after :80
+    path = F.regexp_replace(path, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    path = F.regexp_replace(path, r"^(https://[^/:]+):443(/|$)", r"$1$2")
     # any '//' run not preceded by ':' (protects the scheme separator)
-    out = F.regexp_replace(out, r"([^:])/{2,}", r"$1/")
-    out = F.regexp_replace(out, r"/\?", "?")
-    return F.regexp_replace(out, r"/$", "")
+    path = F.regexp_replace(path, r"([^:])/{2,}", r"$1/")
+    path = F.regexp_replace(path, r"/$", "")
+    return F.concat(path, query)
 
 
 def url_host(col: Column) -> Column:
     """Host component of an (already canonical) URL — the grouping key of
-    per-domain corpus stats and blocklist joins."""
-    return F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://([^/:]+)", 1)
+    per-domain corpus stats and blocklist joins.  The host stops at the
+    first of path / port / query (a canonical root URL with a query has
+    no '/' before its '?')."""
+    return F.regexp_extract(col, r"^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)

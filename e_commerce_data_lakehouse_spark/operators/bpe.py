@@ -33,6 +33,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# End-of-word marker.  A single char OUTSIDE latin-1 (the byte alphabet is
+# latin-1-decoded UTF-8 bytes, all < U+0100), so no input text — including
+# text that literally contains "</w>" — can encode to a symbol sequence
+# that collides with the marker.  GPT-2's public tokenizer makes the same
+# move: its byte alphabet is remapped into printable unicode so control
+# symbols stay outside the data alphabet.
+EOW = "Ā"
+
 
 def _word_counts_sample(
     df: DataFrame, text_col: str, sample_size: int, seed: int
@@ -74,7 +82,7 @@ def bpe_train(
     words = _word_counts_sample(df, text_col, sample_size, seed)
     # symbol sequences per distinct word (byte-level + end-of-word mark)
     seqs: dict[str, list[str]] = {
-        w: [*(c for c in w.encode("utf-8").decode("latin-1")), "</w>"]
+        w: [*(c for c in w.encode("utf-8").decode("latin-1")), EOW]
         for w in words
     }
     merges: list[tuple[str, str]] = []
@@ -108,7 +116,7 @@ def bpe_train(
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
-    seq = [*(c for c in word.encode("utf-8").decode("latin-1")), "</w>"]
+    seq = [*(c for c in word.encode("utf-8").decode("latin-1")), EOW]
     while len(seq) > 1:
         best_rank, best_i = None, -1
         for i in range(len(seq) - 1):
@@ -174,10 +182,14 @@ def bpe_apply(
 
 
 def detokenize(tokens: list[str]) -> str:
-    """Inverse of the byte-level encoding (for the losslessness tests)."""
+    """Inverse of the byte-level encoding (for the losslessness tests).
+
+    Lossless for ANY input, including text containing the literal string
+    "</w>": the marker :data:`EOW` is outside the latin-1 byte alphabet,
+    so the substring replace can only ever hit real word boundaries."""
     return (
         "".join(tokens)
-        .replace("</w>", " ")
+        .replace(EOW, " ")
         .strip(" ")
         .encode("latin-1")
         .decode("utf-8")

@@ -436,6 +436,99 @@ def sequence_packing(
     )
 
 
+def bin_pack_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 2048,
+    n_buckets: int = 32,
+    strategy: str = "nextfit",
+) -> DataFrame:
+    """Whole-document bin packing: assign each document to a fixed-capacity
+    training sequence WITHOUT splitting it — the SFT/instruction-tuning
+    packing discipline, where an example must never straddle a sequence
+    boundary (vs :func:`sequence_packing`, the pretraining concat-and-chunk
+    form that cuts mid-document).
+
+    Two strategies, both deterministic:
+
+    - ``nextfit``: docs in (bucket, id) order; a doc that does not fit the
+      current bin opens a new one.  A sequential scan, so the per-bucket
+      replay is SQL-expressible (recursive CTE) and the assignment is
+      fully oracle-checkable.
+    - ``ffd`` (first-fit decreasing): docs by (tokens DESC, id); each doc
+      goes into the lowest-numbered bin with room, else a new bin.  The
+      classic 11/9·OPT+1 heuristic — fewer bins, higher utilization — but
+      the first-fit probe is inherently iterative, so queries over it are
+      declared rows-only and its guarantees are pytest-pinned instead
+      (validity: no bin over ``seq_len`` unless a single doc alone exceeds
+      it; never more bins than next-fit; never fewer than the
+      ``ceil(total/seq_len)`` lower bound).
+
+    A doc longer than ``seq_len`` gets a bin of its own (training-side
+    truncation policy is out of scope here; the assignment stays total so
+    downstream accounting — ``packing_efficiency`` — sees every token).
+
+    Scale shape: identical sharding story to :func:`sequence_packing` —
+    a GLOBAL packing order would serialize the corpus, so packing is
+    per-hash-bucket (deterministic md5 bucket = the shard a 1000-executor
+    packing writer owns).  One shuffle on ``bucket``; the per-bucket scan
+    is one Arrow ``applyInPandas`` pass with O(open bins) state (next-fit:
+    one integer; FFD: the fill table).  Token counting is map-side before
+    the shuffle, and only ``(id, bucket, n_tokens)`` shuffles — never text.
+    """
+    from e_commerce_data_lakehouse_spark.operators.dedup import (
+        ensure_parallelism,
+        normalize_text,
+    )
+
+    if strategy not in ("nextfit", "ffd"):
+        raise ValueError(f"unknown bin-packing strategy: {strategy!r}")
+    n_tokens = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        hash_bucket(F.col(id_col), n_buckets).alias("bucket"),
+        n_tokens.cast("long").alias("n_tokens"),
+    )
+    id_type = base.schema["__id"].dataType.simpleString()
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if strategy == "nextfit":
+            pdf = pdf.sort_values("__id", kind="stable")
+            bins, cur, fill = [], 0, 0
+            for i, n in enumerate(pdf["n_tokens"]):
+                if i == 0 or fill + n <= seq_len:
+                    fill += n
+                else:
+                    cur, fill = cur + 1, n
+                bins.append(cur)
+        else:  # ffd
+            pdf = pdf.sort_values(
+                ["n_tokens", "__id"], ascending=[False, True], kind="stable"
+            )
+            fills: list[int] = []
+            bins = []
+            for n in pdf["n_tokens"]:
+                for b, f_ in enumerate(fills):
+                    if f_ + n <= seq_len:
+                        fills[b] += n
+                        bins.append(b)
+                        break
+                else:
+                    fills.append(n)
+                    bins.append(len(fills) - 1)
+        out = pdf[["__id", "bucket", "n_tokens"]].copy()
+        out["bin_id"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        return out
+
+    return base.groupBy("bucket").applyInPandas(
+        pack,
+        f"__id {id_type}, bucket int, n_tokens long, bin_id long",
+    ).select(
+        F.col("__id").alias(id_col), "bucket", "n_tokens", "bin_id"
+    )
+
+
 def span_dedup(
     df: DataFrame,
     id_col: str,

@@ -132,10 +132,13 @@ def token_jaccard_pairs(
     prefilter before touching the token arrays: ``J(A,B) <= min/max`` of
     the distinct-token counts, so ``J >= t`` forces the two counts within
     a factor of ``t`` — two integer compares that skip the O(|A|+|B|)
-    intersect/union for every size-incompatible pair.  Results are
-    provably identical; only the per-pair cost changes (measured 8x on
-    the gen-sf1 block profile, where blocks hold ~300 docs and most pair
-    candidates differ >10% in token count).
+    intersect/union for every size-incompatible pair.  The window is
+    derived from ``t - 5e-7`` so it is lossless w.r.t. the FINAL filter
+    ``ROUND(J, 6) >= t`` (a raw score just under ``t`` can round up to
+    it; the exact-``t`` window would prune such a pair while the
+    window-free SQL oracle keeps it).  Only the per-pair cost changes
+    (measured 8x on the gen-sf1 block profile, where blocks hold ~300
+    docs and most pair candidates differ >10% in token count).
     """
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
     base = ensure_parallelism(df).select(
@@ -149,9 +152,12 @@ def token_jaccard_pairs(
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     # lossless size window first — cheap conjuncts short-circuit the
-    # expensive intersect residual that Catalyst pushes in after them
-    cond.append(F.col("a.__nt") >= threshold * F.col("b.__nt"))
-    cond.append(F.col("b.__nt") >= threshold * F.col("a.__nt"))
+    # expensive intersect residual that Catalyst pushes in after them.
+    # t - 5e-7: the final filter compares ROUND(J, 6) >= t, so the window
+    # must admit raw scores that round UP to t.
+    win = threshold - 5e-7
+    cond.append(F.col("a.__nt") >= win * F.col("b.__nt"))
+    cond.append(F.col("b.__nt") >= win * F.col("a.__nt"))
     inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
     union = F.size(F.array_union("a.toks", "b.toks")).cast("double")
     jac = F.round(inter / union, 6)
@@ -200,8 +206,10 @@ def token_jaccard_pairs_between(
     a = ensure_parallelism(prep(a_df)).alias("a")
     b = prep(b_df).alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    cond.append(F.col("a.__nt") >= threshold * F.col("b.__nt"))
-    cond.append(F.col("b.__nt") >= threshold * F.col("a.__nt"))
+    # t - 5e-7: lossless w.r.t. the ROUND(J, 6) >= t final filter
+    win = threshold - 5e-7
+    cond.append(F.col("a.__nt") >= win * F.col("b.__nt"))
+    cond.append(F.col("b.__nt") >= win * F.col("a.__nt"))
     inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
     union = F.size(F.array_union("a.toks", "b.toks")).cast("double")
     jac = F.round(inter / union, 6)
@@ -247,7 +255,8 @@ def token_containment_pairs(
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond.append(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
     # lossless: |A∩B| <= |B|, so containment >= t forces t*|A| <= |B|
-    cond.append(threshold * F.col("a.__nt") <= F.col("b.__nt"))
+    # (t - 5e-7: the final filter compares ROUND(c, 6) >= t)
+    cond.append((threshold - 5e-7) * F.col("a.__nt") <= F.col("b.__nt"))
     inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
     containment = F.round(inter / F.col("a.__nt"), 6)
     return (
@@ -607,11 +616,14 @@ def minhash_lsh_parts(
     # matching-minhash fraction — and drop pairs estimated far below the
     # verify threshold before the exact check.  The margin (0.2 ≈ 2.3σ at
     # num_hashes=32) keeps the false-negative risk negligible.  Measured cut
-    # on the sf0.1 documents table: ~1.37× (151,602 → 110,643 candidates) —
-    # modest there because that corpus is near-dup-light, so most collisions
-    # are already borderline; the funnel's value grows with the near-dup
-    # density of the data (its cost is JVM-side integer compares on columns
-    # already materialized for banding, so it is never a net loss).
+    # on the sf0.1 documents table: 1.37× under the old 5-char shingles
+    # (151,602 → 110,643 candidates); after the r4 shingle fix (5→12 chars)
+    # banding itself became ~600× more selective there (256 candidates, all
+    # true near-dups), so the funnel now cuts 1.0× on that corpus — its
+    # value is insurance against near-dup-DENSE data, where any single-band
+    # collision cluster re-inflates candidates (its cost is JVM-side integer
+    # compares on columns already materialized for banding, so it is never
+    # a net loss).
     # ``bench.py`` records the achieved ratio in its JSON output (key
     # ``funnel``) by counting the ``band_candidates``/``funneled`` stages.
     est_threshold = max(0.0, verify_threshold - 0.2)

@@ -672,7 +672,11 @@ def semantic_dedup(
         for s in range(0, len(ids), blk):
             e = min(s + blk, len(ids))
             sim_rows = xn[s:e] @ xn.T  # rows i in [s,e) vs all j
-            hit = sim_rows >= threshold
+            # round to 6 decimals before thresholding: every other cosine
+            # path (cosine_prenormed, the pair-join form this GEMM
+            # replaced) compares ROUND(cos, 6), so a raw float within
+            # ~5e-7 of the threshold must not flip the drop decision
+            hit = np.round(sim_rows, 6) >= threshold
             # restrict to i < j (strict upper triangle of the full matrix)
             cols = np.arange(len(ids))[None, :]
             rows = np.arange(s, e)[:, None]

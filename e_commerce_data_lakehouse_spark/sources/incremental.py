@@ -40,9 +40,20 @@ class FileLedger:
         self.path = path
 
     def processed(self) -> DataFrame:
+        # Probe existence BEFORE handing the path to the reader: a missing
+        # first-run ledger otherwise makes the JVM analyzer log a full
+        # FileNotFoundException stack at WARN (FileStreamSink metadata
+        # probe) even though the Python except handles it — noise that
+        # pollutes captured driver output.  Local-path check here; on a
+        # real cluster the ledger lives in a catalog/Delta table whose
+        # existence is a catalog lookup, not a filesystem stat.
+        import os
+
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], LEDGER_SCHEMA)
         try:
             return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
-        except Exception:  # first run: ledger doesn't exist yet
+        except Exception:  # raced/corrupt ledger: treat as first run
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
 
     def new_files(self, discovered: list[str] | DataFrame) -> list[str]:

@@ -49,7 +49,20 @@ def test_bpe_vocab_growth_bounded_and_merges_compress(spark):
     toks = set()
     for w in ["aa", "ab", "ba", "bb"]:
         toks.update(bp._encode_word(w, ranks_all))
-    assert len(toks) <= 2 + 1 + len(merges)  # bytes {a,b} + </w> + merges
+    assert len(toks) <= 2 + 1 + len(merges)  # bytes {a,b} + EOW + merges
+
+
+def test_bpe_roundtrip_lossless_with_literal_marker_text(spark):
+    """Input that literally contains '</w>' (or any marker-ish substring)
+    must round-trip: the end-of-word marker lives outside the latin-1
+    byte alphabet, so encoded input bytes can never collide with it."""
+    words = ["</w>", "a</w>b", "<w>", "</w></w>", bp.EOW + "x"]
+    texts = [" ".join(words)] * 4
+    df, merges = _train_on(spark, texts)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        toks = bp._encode_word(w, ranks)
+        assert bp.detokenize(toks) == w, w
 
 
 def test_bpe_apply_matches_driver_encoding(spark):

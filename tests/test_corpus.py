@@ -775,3 +775,74 @@ def test_binary_auc_degenerate_single_class(spark):
     r = cp.binary_auc(only_pos, "s", "y").first()
     assert r["auc_den"] == 0 and r["auc"] is None
     assert (r["n_pos"], r["n_neg"]) == (2, 0)
+
+
+def test_bin_packing_validity_and_ffd_dominance(spark):
+    """Bin-packing invariants on real documents: assignments are total and
+    valid; FFD never uses more bins than next-fit and never beats the
+    ceil(total/cap) lower bound; both strategies are deterministic."""
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    docs = eq.load(spark, SF, "documents")["documents"]
+    cap = 512
+
+    def collect(strategy):
+        return (
+            cp.bin_pack_docs(
+                docs, "doc_id", "text", seq_len=cap, n_buckets=8,
+                strategy=strategy,
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+
+    for strategy in ("nextfit", "ffd"):
+        rows = collect(strategy)
+        assert len(rows) == docs.count()  # total: every doc assigned
+        fills: dict[tuple, int] = {}
+        singles: dict[tuple, int] = {}
+        for r in rows:
+            key = (r["bucket"], r["bin_id"])
+            fills[key] = fills.get(key, 0) + r["n_tokens"]
+            singles[key] = max(singles.get(key, 0), r["n_tokens"])
+        for key, fill in fills.items():
+            # a bin may exceed cap only when a single oversized doc owns it
+            assert fill <= cap or singles[key] > cap, (strategy, key, fill)
+        # determinism: a second run produces the identical assignment
+        assert rows == collect(strategy)
+
+    by_bucket_nf: dict[int, int] = {}
+    by_bucket_ffd: dict[int, int] = {}
+    small_tokens: dict[int, int] = {}  # tokens of docs that fit a bin
+    n_oversized: dict[int, int] = {}
+    for r in collect("nextfit"):
+        b = r["bucket"]
+        by_bucket_nf[b] = max(by_bucket_nf.get(b, 0), r["bin_id"] + 1)
+        if r["n_tokens"] > cap:
+            n_oversized[b] = n_oversized.get(b, 0) + 1
+        else:
+            small_tokens[b] = small_tokens.get(b, 0) + r["n_tokens"]
+    for r in collect("ffd"):
+        by_bucket_ffd[r["bucket"]] = max(
+            by_bucket_ffd.get(r["bucket"], 0), r["bin_id"] + 1
+        )
+    for b in by_bucket_nf:
+        # FFD never uses more bins than next-fit
+        assert by_bucket_ffd[b] <= by_bucket_nf[b]
+        # exact lower bound: an oversized doc can never share its bin
+        # (fill > cap admits no further doc), so a perfect packer needs
+        # one bin per oversized doc plus ceil(rest / cap)
+        lower = n_oversized.get(b, 0) + -(-small_tokens.get(b, 0) // cap)
+        assert by_bucket_ffd[b] >= max(lower, 1)
+
+
+def test_bin_packing_rejects_unknown_strategy(spark):
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    import pytest
+
+    docs = eq.load(spark, SF, "documents")["documents"]
+    with pytest.raises(ValueError):
+        cp.bin_pack_docs(docs, "doc_id", "text", strategy="bestfit")

@@ -121,3 +121,43 @@ def test_dedup_by_components_policy_min_id_equiv(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_pagerank_fixed_known_graph(spark):
+    """Exact integer PageRank on a hand-checkable graph: a 3-cycle plus a
+    pendant vertex.  Invariants: determinism (bit-equal reruns), symmetry
+    (the two cycle nodes not attached to the pendant tie exactly), and the
+    attachment node outranks them."""
+    from e_commerce_data_lakehouse_spark.operators.graph import pagerank_fixed
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]  # triangle 1-2-3, pendant 4
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    got = {
+        r["id"]: r for r in pagerank_fixed(edges, "src", "dst").collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["deg"] == 2 and got[3]["deg"] == 3 and got[4]["deg"] == 1
+    # 1 and 2 are structurally identical -> identical fixed-point ranks
+    assert got[1]["rank_fp"] == got[2]["rank_fp"]
+    # the hub (3) collects the pendant's mass and outranks the others
+    assert got[3]["rank_fp"] > got[1]["rank_fp"] > 0
+    assert got[3]["rank_fp"] > got[4]["rank_fp"]
+    # total mass stays within the flooring-loss bound of the unit scale
+    total = sum(r["rank_fp"] for r in got.values())
+    assert total <= 10**12
+    assert total >= 10**12 - (len(got) + 2 * len(edges.collect())) * 6
+    # bit-equal on rerun
+    again = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_fixed(edges, "src", "dst").collect()
+    }
+    assert again == {k: v["rank_fp"] for k, v in got.items()}
+
+
+def test_pagerank_fixed_empty_graph(spark):
+    from e_commerce_data_lakehouse_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank_fixed(edges, "src", "dst").count() == 0

@@ -204,8 +204,9 @@ def test_strip_html_known_answers(spark):
         (2, "<script>var hidden = 'SECRET';</script>visible"),
         (3, "<style>.x{color:red}</style>a &amp; b &lt;tag&gt;"),
         (4, "multi\n\n  line   <br>  text"),
-        (5, "<SCRIPT>upper not matched</SCRIPT>case"),  # case-sensitive like RE2 oracle
+        (5, "<SCRIPT>var UP = 'HIDDEN';</SCRIPT>case"),
         (6, "nested: &amp;lt; stays escaped"),
+        (7, "<Style>.mixed{}</Style>x<P>para</P><DIV>d</DIV>"),
     ]
     df = spark.createDataFrame(rows, ["i", "h"])
     got = {
@@ -216,9 +217,10 @@ def test_strip_html_known_answers(spark):
     assert got[2] == "visible" and "SECRET" not in got[2]
     assert got[3] == 'a & b <tag>'
     assert got[4] == "multi line text"
-    # uppercase script tags strip as plain tags (content survives) — the
-    # oracle-portable chain is case-sensitive by design
-    assert got[5] == "upper not matched case"
+    # HTML tag names are case-insensitive: <SCRIPT>/<Style> blocks drop
+    # their CONTENT exactly like lowercase ((?i) is in the Java∩RE2 subset)
+    assert got[5] == "case" and "HIDDEN" not in got[5]
+    assert got[7] == "x para d"
     # &amp; decodes LAST: '&amp;lt;' is the ESCAPED text '&lt;', not '<'
     assert got[6] == "nested: &lt; stays escaped"
 
@@ -238,6 +240,11 @@ def test_canonical_url_rules(spark):
         (3, "http://Host.Example/"),
         (4, "https://h.example:8443/keep:443/port"),
         (5, "http://h.example/CaseKept/Path"),
+        # query strings are NOT paths: slashes inside query values must
+        # survive byte-identically (no collapse, no trailing-slash strip)
+        (6, "http://h.example/a//b/?next=/x//y/"),
+        (7, "https://h.example:443?q=1"),
+        (8, "http://h.example/p?a=1/"),
     ]
     df = spark.createDataFrame(rows, ["i", "u"])
     got = {
@@ -255,3 +262,9 @@ def test_canonical_url_rules(spark):
     assert got[4] == ("https://h.example:8443/keep:443/port", "h.example")
     # path case is preserved (only scheme/authority fold)
     assert got[5] == ("http://h.example/CaseKept/Path", "h.example")
+    # path rules stop at the first '?': query content is untouched
+    assert got[6] == ("http://h.example/a/b?next=/x//y/", "h.example")
+    # default port drops even when the query starts right after it
+    assert got[7] == ("https://h.example?q=1", "h.example")
+    # a query value ending in '/' keeps it (no trailing-slash strip)
+    assert got[8] == ("http://h.example/p?a=1/", "h.example")
