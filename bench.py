@@ -106,6 +106,7 @@ HEADLINE = [
     "snapshot_drift_histogram",
     "bin_packing_nextfit",
     "part_pagerank",
+    "incremental_dup_clusters",
 ]
 
 

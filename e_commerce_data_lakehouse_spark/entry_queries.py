@@ -6801,3 +6801,61 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank_fixed(edges, "pa", "pb").select(
         F.col("id").alias("part_id"), "deg", "rank_fp"
     )
+
+
+@register(
+    "incremental_dup_clusters",
+    f"""
+WITH RECURSIVE {_CC_PAIRS_SQL},
+sizes AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+SELECT c.id AS doc_id, c.comp AS cluster_id, s.cluster_size
+FROM comp c JOIN sizes s USING (comp)
+""",
+)
+def incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate clustering (new r5): fold a new batch's
+    near-dup pairs into the EXISTING corpus's component labels without
+    re-walking the old pair set
+    (``operators/graph.py:connected_components_incremental`` — old
+    components enter only as their stored min-id labels, so the merge
+    solves components over an O(batch)-edge contraction graph and
+    relabels via one broadcast join).  Same deterministic ~10% hash-bucket
+    batch split as ``incremental_near_dup``; pair source is the
+    oracle-checkable blocked token-Jaccard of ``dup_clusters_cc``.  The
+    oracle recomputes the FULL fixpoint over all pairs — hash-match IS
+    the incremental-equals-full proof, driver-checked (the in-query
+    rebuild of the stored labels is self-containment scaffolding; a
+    deployment reads them from the cluster store, paying only the
+    contraction + relabel)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    toks = F.split(dd.normalize_text(F.col("text")), " ")
+    base = docs.select(
+        "doc_id", "lang", toks.getItem(0).alias("tok1"), F.col("text")
+    )
+    is_batch = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) == 0
+    # persist the token-prepped split once: the corpus side feeds BOTH its
+    # self-pair job and the cross join, the batch side both pair jobs
+    corpus_b = tracked_persist(base.filter(~is_batch))
+    batch_b = tracked_persist(base.filter(is_batch))
+    corpus_pairs = dd.token_jaccard_pairs(
+        corpus_b, "doc_id", "text", ["lang", "tok1"], threshold=0.9
+    )
+    stored = gr.connected_components(corpus_pairs, "id_a", "id_b")
+    batch_pairs = dd.token_jaccard_pairs(
+        batch_b, "doc_id", "text", ["lang", "tok1"], threshold=0.9
+    )
+    cross_pairs = dd.token_jaccard_pairs_between(
+        corpus_b, batch_b, "doc_id", "text", ["lang", "tok1"], threshold=0.9
+    )
+    merged = gr.connected_components_incremental(
+        stored,
+        batch_pairs.union(cross_pairs),
+        src="id_a",
+        dst="id_b",
+    )
+    sizes = merged.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return merged.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -47,15 +47,25 @@ def _word_counts_sample(
 ) -> Counter:
     """Seeded bounded sample -> whitespace-word frequency table (BPE trains
     on word frequencies, not raw text: cost per merge is O(distinct words),
-    not O(corpus))."""
+    not O(corpus)).
+
+    The sample is the ``sample_size`` docs smallest by seeded content
+    hash — deterministic in (data, seed, sample_size) regardless of
+    partitioning.  (``sample().limit()`` raced on which partitions fill
+    the limit, so the learned merges varied run to run on
+    multi-partition input — same defect class as the k-means trainer in
+    ``similarity._sample_vectors``.)"""
     from e_commerce_data_lakehouse_spark.operators.dedup import normalize_text
 
-    total = df.count()
-    frac = min(1.0, sample_size / max(total, 1))
+    # hash the RAW text for the order key — the per-partition TakeOrdered
+    # heap then never pays the normalization regex (measured 2x on the
+    # whole train step at gen-sf10); only the sample_size winners are
+    # normalized.  Equal raw texts tie on the key and are interchangeable.
     rows = (
-        df.select(normalize_text(F.col(text_col)).alias("__t"))
-        .sample(frac, seed=seed)
+        df.select(F.col(text_col))
+        .orderBy(F.xxhash64(F.lit(seed), F.col(text_col)))
         .limit(sample_size)
+        .select(normalize_text(F.col(text_col)).alias("__t"))
         .collect()
     )
     words: Counter = Counter()

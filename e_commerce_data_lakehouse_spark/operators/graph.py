@@ -326,6 +326,73 @@ def cluster_members(
     return comp.join(w_sizes, "comp").select("id", "comp", "cluster_size")
 
 
+def connected_components_incremental(
+    stored: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "comp",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Merge a batch of NEW edges into stored component labels without
+    re-walking the old edge set — the graph-side completion of the
+    incremental dedup story (``minhash_lsh_pairs_incremental`` produces
+    batch-touching pairs; this op folds them into yesterday's clusters).
+
+    ``stored`` is ``(id, comp)`` from a previous :func:`connected_components`
+    run (labels = component-min ids).  Returns the labels of the merged
+    graph for every stored vertex plus every new-edge endpoint —
+    PROVABLY equal to a full recompute over (old ∪ new) edges: stored
+    labels are component minima, so contracting each old component to its
+    label and solving components over {labeled new edges} yields each
+    merged component's global min, which the final relabel join applies.
+
+    Scale shape: the contraction graph has O(|batch edges|) edges
+    regardless of corpus size (corpus-side structure enters only through
+    the already-stored labels), so the inner CC solve hits the
+    driver/union-find fast path for any realistic daily batch; the
+    relabel is one broadcast-able left join on ``comp`` against the
+    stored table (only merged components change labels), and the old
+    edge multiset — the expensive LSH/verify product — is never touched.
+    """
+    s = stored.select(F.col(id_col).alias("id"), F.col(comp_col).alias("comp"))
+    e = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # label each endpoint with its stored component (unseen vertex -> own id)
+    sa = s.select(F.col("id").alias("src"), F.col("comp").alias("__ca"))
+    sb = s.select(F.col("id").alias("dst"), F.col("comp").alias("__cb"))
+    contracted = (
+        e.join(sa, "src", "left")
+        .join(sb, "dst", "left")
+        .select(
+            F.coalesce("__ca", "src").alias("ca"),
+            F.coalesce("__cb", "dst").alias("cb"),
+        )
+        .filter(F.col("ca") != F.col("cb"))
+    )
+    # components over the contraction: (old label -> merged root).  Keep
+    # only labels that actually change — the broadcast side of the relabel.
+    remap = (
+        connected_components(contracted, "ca", "cb")
+        .filter(F.col("comp") != F.col("id"))
+        .select(F.col("id").alias("__old"), F.col("comp").alias("__new"))
+    )
+    ends = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    newv = ends.join(s, "id", "left_anti").select(
+        "id", F.col("id").alias("comp")
+    )
+    init = s.union(newv)
+    return init.join(
+        remap, init["comp"] == remap["__old"], "left"
+    ).select(
+        F.col("id").alias(id_col),
+        F.coalesce("__new", "comp").alias(comp_col),
+    )
+
+
 def dedup_by_components(
     df: DataFrame, id_col: str, pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:

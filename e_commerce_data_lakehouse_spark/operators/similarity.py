@@ -257,14 +257,26 @@ def near_dup_pairs(
 def _sample_vectors(
     candidates: DataFrame, vec_col: str, seed: int, sample_size: int
 ) -> np.ndarray:
-    """Bounded training sample as a driver ndarray (2 jobs: count +
-    collect).  Callers that train several models from the same sample
-    (IVF-PQ: coarse centroids AND codebooks) should collect once and
-    share — the draw is deterministic in (df, seed, sample_size)."""
-    total = candidates.count()
-    frac = min(1.0, sample_size / max(total, 1))
+    """Bounded training sample as a driver ndarray (ONE job).  Callers
+    that train several models from the same sample (IVF-PQ: coarse
+    centroids AND codebooks) should collect once and share.
+
+    The draw is the ``sample_size`` rows smallest by seeded content hash
+    — a uniform pseudo-random subset that is deterministic in
+    (data, seed, sample_size) ALONE.  The previous
+    ``sample(frac, seed).limit(n)`` draw was NOT: ``limit`` keeps
+    whichever partitions answer first, so on multi-partition input the
+    training set — and every centroid, cluster, and prune decision
+    downstream — varied run to run (caught at gen-sf1: three
+    ``semantic_dedup`` runs returned 5748/5731/5762 survivors).
+    Hash-order top-K compiles to a per-partition heap (TakeOrdered):
+    map-side O(sample_size) state, no shuffle, no count job — the same
+    pass a billion-vector trainer runs."""
     sample = (
-        candidates.select(vec_col).sample(frac, seed=seed).limit(sample_size).collect()
+        candidates.select(vec_col)
+        .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col)))
+        .limit(sample_size)
+        .collect()
     )
     return np.array([r[0] for r in sample], dtype=np.float64)
 
@@ -441,7 +453,7 @@ def _train_pq_codebooks(
     coarse IVF centroid — the classic IVF-PQ encoding).  Training touches a
     bounded sample only: driver memory is O(sample), never O(corpus).
     Pass ``x`` to reuse an already-collected sample (identical draw:
-    same df, seed, and fraction as :func:`_sample_vectors`)."""
+    same data, seed, and size as :func:`_sample_vectors`)."""
     if x is None:
         x = _sample_vectors(candidates, vec_col, seed, sample_size)
     cell = _nearest_centroid(x, coarse)
@@ -672,11 +684,14 @@ def semantic_dedup(
         for s in range(0, len(ids), blk):
             e = min(s + blk, len(ids))
             sim_rows = xn[s:e] @ xn.T  # rows i in [s,e) vs all j
-            # round to 6 decimals before thresholding: every other cosine
-            # path (cosine_prenormed, the pair-join form this GEMM
-            # replaced) compares ROUND(cos, 6), so a raw float within
-            # ~5e-7 of the threshold must not flip the drop decision
-            hit = np.round(sim_rows, 6) >= threshold
+            # quantized threshold: every other cosine path
+            # (cosine_prenormed, the pair-join form this GEMM replaced)
+            # compares ROUND(cos, 6) >= t (HALF_UP), which is exactly
+            # cos >= t - 5e-7 — comparing against the shifted threshold
+            # preserves those semantics without materializing a rounded
+            # copy of the (block x members) matrix (np.round doubled the
+            # GEMM stage's memory traffic: +76% at gen-sf10)
+            hit = sim_rows >= threshold - 5e-7
             # restrict to i < j (strict upper triangle of the full matrix)
             cols = np.arange(len(ids))[None, :]
             rows = np.arange(s, e)[:, None]

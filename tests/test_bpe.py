@@ -95,3 +95,15 @@ def test_bpe_token_stats_query_shape(spark):
     for r in rows[:20]:
         assert r["n_tokens"] >= 1
         assert 1 <= r["n_distinct_tokens"] <= r["n_tokens"]
+
+
+def test_bpe_training_sample_partitioning_independent(spark):
+    """Learned merges must not depend on physical partitioning (the old
+    sample().limit() draw raced on partition arrival order)."""
+    texts = [f"doc {i} common words repeat {i % 7}" for i in range(200)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    m1 = bp.bpe_train(df.repartition(1), "text", n_merges=30, sample_size=50)
+    m2 = bp.bpe_train(df.repartition(11), "text", n_merges=30, sample_size=50)
+    assert m1 == m2 and len(m1) > 0

@@ -161,3 +161,68 @@ def test_pagerank_fixed_empty_graph(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank_fixed(edges, "src", "dst").count() == 0
+
+
+def test_incremental_cc_equals_full_recompute(spark):
+    """Incremental merge over stored labels == full recompute over the
+    union edge set, across the interesting cases: bridge between two old
+    components, new-vertex chain, edge inside an old component, and a
+    fully-new isolated pair."""
+    from e_commerce_data_lakehouse_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    new = [
+        (3, 10),    # bridge: {1,2,3} merges with {10,11}
+        (21, 20),   # inside an old component: no-op
+        (11, 50),   # new vertex attaches to a merged component
+        (50, 51),   # new-vertex chain continues
+        (70, 71),   # fully-new isolated pair
+    ]
+    old_df = spark.createDataFrame(old, ["src", "dst"])
+    new_df = spark.createDataFrame(new, ["src", "dst"])
+    stored = connected_components(old_df, "src", "dst")
+    inc = {
+        r["id"]: r["comp"]
+        for r in connected_components_incremental(
+            stored, new_df, src="src", dst="dst"
+        ).collect()
+    }
+    full = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            old_df.union(new_df), "src", "dst"
+        ).collect()
+    }
+    assert inc == full
+    assert inc[50] == 1 and inc[11] == 1 and inc[71] == 70 and inc[20] == 20
+
+
+def test_incremental_cc_empty_batch_and_empty_store(spark):
+    from e_commerce_data_lakehouse_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_df = spark.createDataFrame([(1, 2), (5, 6)], ["src", "dst"])
+    stored = connected_components(old_df, "src", "dst")
+    empty = spark.createDataFrame([], "src long, dst long")
+    # empty batch: stored labels come back unchanged
+    inc = {
+        r["id"]: r["comp"]
+        for r in connected_components_incremental(
+            stored, empty, src="src", dst="dst"
+        ).collect()
+    }
+    assert inc == {1: 1, 2: 1, 5: 5, 6: 5}
+    # empty store: behaves like a from-scratch run on the batch
+    empty_store = spark.createDataFrame([], "id long, comp long")
+    inc2 = {
+        r["id"]: r["comp"]
+        for r in connected_components_incremental(
+            empty_store, old_df, src="src", dst="dst"
+        ).collect()
+    }
+    assert inc2 == {1: 1, 2: 1, 5: 5, 6: 5}

@@ -142,3 +142,26 @@ def test_semantic_dedup_survivor_invariants(spark):
         emb, "vec_id", "embedding", threshold=0.35, n_centroids=8
     ).collect()
     assert {r["vec_id"] for r in rows2} == set(survivors)
+
+
+def test_training_sample_partitioning_independent(spark):
+    """The k-means training draw must depend only on (data, seed, size) —
+    NOT on physical partitioning.  The old sample().limit() draw kept
+    whichever partitions answered first, making semantic_dedup survivors
+    vary run-to-run on multi-partition input (caught at gen-sf1:
+    5748/5731/5762 rows across three runs)."""
+    import numpy as np
+
+    from e_commerce_data_lakehouse_spark.operators import similarity as sim
+
+    emb = eq.load(spark, SF, "embeddings")["embeddings"]
+    draws = [
+        sim._sample_vectors(emb.repartition(p), "embedding", 42, 60)
+        for p in (1, 3, 13)
+    ]
+    assert np.array_equal(draws[0], draws[1])
+    assert np.array_equal(draws[0], draws[2])
+    assert len(draws[0]) == 60
+    # a different seed draws a different sample
+    other = sim._sample_vectors(emb.repartition(3), "embedding", 7, 60)
+    assert not np.array_equal(draws[0], other)

@@ -230,8 +230,48 @@ def _medallion_e2e(spark, sf_dir: str):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+_INC_CC_STATE: dict = {}
+
+
+def _incremental_cc_merge(spark, sf_dir: str):
+    """The incremental-CC value proposition, isolated: given STORED corpus
+    component labels and a new batch's LSH pairs (both eagerly
+    checkpointed on first call — the state a daily build reads from its
+    cluster store), time ONLY ``connected_components_incremental``'s
+    contraction + relabel.  The warm number answers "what does folding a
+    ~10% batch into yesterday's clusters cost vs re-walking the graph?"
+    — compare against ``cc_over_lsh_pairs`` (the full recompute) at the
+    same sf."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+    from e_commerce_data_lakehouse_spark.operators import graph as gr
+
+    state = _INC_CC_STATE.get(sf_dir)
+    if state is None:
+        docs = eq.load(spark, sf_dir, "documents")["documents"]
+        is_batch = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10)) == 0
+        corpus = docs.filter(~is_batch)
+        batch = docs.filter(is_batch)
+        corpus_pairs = dd.minhash_lsh_pairs(
+            corpus, "doc_id", "text", num_hashes=32, bands=8,
+            shingle_n=12, verify_threshold=0.5,
+        ).selectExpr("id_a", "id_b")
+        stored = gr.connected_components(
+            corpus_pairs, "id_a", "id_b"
+        ).localCheckpoint()
+        new_edges = dd.minhash_lsh_pairs_incremental(
+            batch, corpus, "doc_id", "text", num_hashes=32, bands=8,
+            shingle_n=12, verify_threshold=0.5, assume_disjoint_ids=True,
+        ).selectExpr("id_a AS src", "id_b AS dst").localCheckpoint()
+        state = _INC_CC_STATE[sf_dir] = (stored, new_edges)
+    stored, new_edges = state
+    return gr.connected_components_incremental(stored, new_edges)
+
+
 SYNTHETIC = {
     "cc_over_lsh_pairs": _cc_over_lsh_pairs,
+    "incremental_cc_merge": _incremental_cc_merge,
     "fuzzy_decon_fixed_bench": _fuzzy_decon_fixed_bench,
     "bloom_fixed_bench": _bloom_fixed_bench,
     "medallion_e2e": _medallion_e2e,
