@@ -107,6 +107,7 @@ HEADLINE = [
     "bin_packing_nextfit",
     "part_pagerank",
     "incremental_dup_clusters",
+    "streaming_sketch_distinct",
 ]
 
 

@@ -6859,3 +6859,69 @@ def incremental_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@register(
+    "streaming_sketch_distinct",
+    """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       TRUE AS approx_ok
+FROM events GROUP BY 1, 2
+""",
+)
+def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable-sketch maintenance (new r5): hourly distinct
+    users per event type kept as HLL sketches INSIDE a watermarked
+    Structured Streaming aggregation (``hll_sketch_agg`` is a mergeable
+    typed aggregate, so late/out-of-order arrivals fold into per-window
+    state exactly like counts do) — the streaming form of
+    ``sketch_monthly_distinct_users``'s stored-sketch rollup, and what a
+    100 TB gold layer runs so distinct-count dashboards never re-scan
+    events.  Same bound-based oracle: the drained estimates must land
+    within ±5% (~3σ at lg_k=12) of the exact batch COUNT(DISTINCT); the
+    pinned boolean plus the exact counts are what DuckDB reproduces."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now,
+        stream_events,
+    )
+
+    load(spark, sf_dir)  # session settings (UTC + nanosAsLong)
+    schema = _events_stream_schema(spark, sf_dir)
+    stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
+    est = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            F.hll_sketch_estimate("sketch").alias("approx_distinct"),
+        )
+    )
+    table = f"sketch_distinct_{uuid.uuid4().hex[:8]}"
+    run_available_now(est, tempfile.mkdtemp(prefix="ckpt_"), table)
+    ev = load(spark, sf_dir, "events")["events"]
+    # cast to ntz BEFORE the join/output: an LTZ hour would re-render in
+    # the driver's host timezone at collect time (the TZ probe catches it)
+    exact = ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+    ).agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
+    drained = spark.table(table).withColumn(
+        "hour_start", F.col("hour_start").cast("timestamp_ntz")
+    )
+    return exact.join(
+        F.broadcast(drained), ["hour_start", "event_type"]
+    ).select(
+        "hour_start",
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("approx_ok"),
+    )
