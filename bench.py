@@ -108,6 +108,7 @@ HEADLINE = [
     "part_pagerank",
     "incremental_dup_clusters",
     "streaming_sketch_distinct",
+    "ngram_lm_scores",
 ]
 
 

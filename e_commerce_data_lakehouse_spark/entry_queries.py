@@ -6925,3 +6925,100 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("approx_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM quality scoring (Stupid Backoff in quantized-integer log2 —
+# the CCNet/KenLM perplexity filter, bit-exact across engines)
+# ---------------------------------------------------------------------------
+
+from e_commerce_data_lakehouse_spark.operators import lm as lmod  # noqa: E402
+
+
+def _qlog_duck(c: str) -> str:
+    """DuckDB twin of operators.lm.qlog2_sql (integer quantized log2)."""
+    k = f"CAST(floor(log2({c})) AS BIGINT)"
+    return (
+        f"(({k}) * 1024"
+        f" + (({c}) * 1024) // (CAST(1 AS BIGINT) << CAST({k} AS INT))"
+        f" - 1024)"
+    )
+
+
+_LM_M = (
+    "(1 + CASE WHEN s.t1 IS NOT NULL THEN 1 ELSE 0 END"
+    " + CASE WHEN s.t2 IS NOT NULL THEN 1 ELSE 0 END)"
+)
+
+
+@register(
+    "ngram_lm_scores",
+    f"""
+WITH words AS (
+  SELECT doc_id, string_split({NORM_SQL.format(c='text')}, ' ') AS w
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM words
+),
+stream AS (
+  SELECT doc_id, i, w[i] AS t,
+         CASE WHEN i >= 2 THEN w[i - 1] END AS t1,
+         CASE WHEN i >= 3 THEN w[i - 2] END AS t2
+  FROM pos
+),
+train AS (
+  SELECT * FROM stream WHERE {_BUCKET_SQL.format(c='doc_id')} < 80
+),
+tri AS (SELECT t2, t1, t, COUNT(*)::BIGINT AS c3 FROM train
+        WHERE t2 IS NOT NULL GROUP BY 1, 2, 3),
+bi  AS (SELECT t1, t, COUNT(*)::BIGINT AS c2 FROM train
+        WHERE t1 IS NOT NULL GROUP BY 1, 2),
+uni AS (SELECT t, COUNT(*)::BIGINT AS c1 FROM train GROUP BY 1),
+tot AS (SELECT SUM(c1)::BIGINT AS n FROM uni),
+scored AS (
+  SELECT s.doc_id,
+         CASE
+           WHEN tri.c3 IS NOT NULL
+             THEN {_qlog_duck('tri.c3')} - {_qlog_duck('bctx.c2')}
+           WHEN bcur.c2 IS NOT NULL
+             THEN -1024 * ({_LM_M} - 2)
+                  + {_qlog_duck('bcur.c2')} - {_qlog_duck('uctx.c1')}
+           WHEN ucur.c1 IS NOT NULL
+             THEN -1024 * ({_LM_M} - 1)
+                  + {_qlog_duck('ucur.c1')} - {_qlog_duck('(SELECT n FROM tot)')}
+           ELSE -1024 * ({_LM_M} - 1) - {_qlog_duck('(SELECT n FROM tot)')}
+         END AS q,
+         ucur.c1 IS NULL AS is_oov
+  FROM stream s
+  LEFT JOIN tri  ON tri.t2 = s.t2 AND tri.t1 = s.t1 AND tri.t = s.t
+  LEFT JOIN bi bcur ON bcur.t1 = s.t1 AND bcur.t = s.t
+  LEFT JOIN bi bctx ON bctx.t1 = s.t2 AND bctx.t = s.t1
+  LEFT JOIN uni ucur ON ucur.t = s.t
+  LEFT JOIN uni uctx ON uctx.t = s.t1
+),
+doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, SUM(q)::BIGINT AS qlp_total,
+         SUM(CASE WHEN is_oov THEN 1 ELSE 0 END)::BIGINT AS n_oov
+  FROM scored GROUP BY doc_id
+),
+totals AS (SELECT SUM(n_tokens)::BIGINT AS tt, SUM(qlp_total)::BIGINT AS tq
+           FROM doc)
+SELECT doc_id, n_tokens, qlp_total, n_oov,
+       CAST(qlp_total AS HUGEINT) * (SELECT tt FROM totals)
+         >= CAST((SELECT tq FROM totals) AS HUGEINT) * n_tokens AS above_avg
+FROM doc
+""",
+)
+def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Stupid-Backoff LM quality scores (new r5): train on the
+    80% hash-bucket slice, score every document's total quantized-log2
+    probability plus OOV count and an above/below-corpus-average filter
+    flag — the CCNet/KenLM perplexity-filter recipe with every log in an
+    exact integer domain, so the full train+score pipeline hash-matches
+    DuckDB bit-for-bit.  Counts are vocab-sized map-side-combined
+    aggregates (persisted — they are the trained model); scoring is five
+    vocab-sized left joins that AQE broadcasts at bench scale and shards
+    by gram key at web scale.  See ``operators/lm.py``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return lmod.lm_doc_scores(docs, "doc_id", "text", train_buckets=80)
