@@ -7022,3 +7022,85 @@ def ngram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     by gram key at web scale.  See ``operators/lm.py``."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return lmod.lm_doc_scores(docs, "doc_id", "text", train_buckets=80)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (mergeable frequency grid, fully oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_CMS_BUCKET_DUCK = (
+    "(('0x' || substr(md5(j::VARCHAR || ':' || {t}), 1, 7))::BIGINT % 1024)"
+)
+
+
+@register(
+    "cms_trigram_frequencies",
+    f"""
+WITH words AS (
+  SELECT string_split({NORM_SQL.format(c='text')}, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(range(len(w) - 2),
+                               i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]))
+         AS gram
+  FROM words WHERE len(w) >= 3
+),
+cnt AS (SELECT gram, COUNT(*)::BIGINT AS n FROM grams GROUP BY gram),
+top AS (SELECT gram, n FROM cnt ORDER BY n DESC, gram LIMIT 100),
+js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+cells AS (
+  SELECT j, {_CMS_BUCKET_DUCK.format(t='gram')} AS bucket, SUM(n)::BIGINT AS c
+  FROM cnt CROSS JOIN js GROUP BY 1, 2
+),
+probe AS (
+  SELECT gram, j, {_CMS_BUCKET_DUCK.format(t='gram')} AS bucket
+  FROM top CROSS JOIN js
+),
+est AS (
+  SELECT p.gram, MIN(COALESCE(cells.c, 0))::BIGINT AS cms_count
+  FROM probe p LEFT JOIN cells USING (j, bucket) GROUP BY p.gram
+)
+SELECT t.gram, t.n AS n_occurrences, e.cms_count,
+       e.cms_count - t.n AS overcount
+FROM top t JOIN est e USING (gram)
+""",
+)
+def cms_trigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over word-trigram frequencies (new r5): fold the
+    corpus into a fixed 4x1024 integer grid, then answer point-frequency
+    probes for the exact top-100 trigrams with the min-over-rows estimate
+    and its measured overcount.  The grid is MERGEABLE (cell-wise add
+    across shards/partitions) and its md5 hash family is engine-portable,
+    so the whole sketch — not just an error bound — hash-matches DuckDB.
+    Sketch build explodes off the VOCAB-sized count table, never the
+    corpus token stream; the probe join broadcasts the fixed grid.  See
+    ``operators/aggregates.py:cms_cells``."""
+    from e_commerce_data_lakehouse_spark.operators import aggregates as ag
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    grams = (
+        docs.select(
+            F.split(dd.normalize_text(F.col("text")), " ").alias("__w")
+        )
+        .filter(F.expr("size(__w) >= 3"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__w, 1, size(__w) - 2), (x, i) ->"
+                    " concat(x, ' ', __w[i + 1], ' ', __w[i + 2]))"
+                )
+            ).alias("gram")
+        )
+    )
+    cnt = tracked_persist(
+        grams.groupBy("gram").agg(F.count("*").cast("long").alias("n"))
+    )
+    top = cnt.orderBy(F.col("n").desc(), "gram").limit(100)
+    cells = ag.cms_cells(cnt, token_col="gram", count_col="n")
+    est = ag.cms_estimates(cells, top, token_col="gram")
+    return top.join(est, "gram").select(
+        "gram",
+        F.col("n").alias("n_occurrences"),
+        "cms_count",
+        (F.col("cms_count") - F.col("n")).alias("overcount"),
+    )

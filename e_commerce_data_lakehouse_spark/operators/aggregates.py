@@ -254,3 +254,84 @@ def sketch_union_estimate(
     return df.groupBy(*group_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(out_col)
     )
+
+
+def cms_cells(
+    token_counts: DataFrame,
+    token_col: str = "token",
+    count_col: str = "n",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch cells (Cormode & Muthukrishnan 2005) from a
+    pre-aggregated token-count table: (j, bucket, c) with
+    ``bucket = md5-hash_j(token) % width`` for each of ``depth``
+    independent hash rows.
+
+    CMS updates are additive, so folding pre-aggregated counts is
+    identical to per-occurrence updates — and cells MERGE across corpus
+    shards / time partitions by plain cell-wise addition, which is the
+    whole point at 100 TB: a gold layer stores one depth x width integer
+    grid per partition (~32 KB here) and answers frequency queries over
+    any partition range by summing grids, never re-reading tokens.
+
+    The hash family is the first 7 hex digits of ``md5(j || ':' || token)``
+    — bit-identical in Spark and DuckDB (same engine-portability argument
+    as ``corpus.hash_bucket``), so unlike the HLL family the *entire*
+    sketch, not just an error bound, is oracle-checkable.  Rows explode
+    ``depth`` ways off the vocab-sized count table (never off the corpus
+    stream), then one hash aggregate collapses to the fixed grid.
+    """
+    rows = token_counts.select(
+        F.col(token_col).alias("__t"),
+        F.col(count_col).alias("__c"),
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j"), F.col("__t"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width
+    )
+    return rows.groupBy("j", bucket.alias("bucket")).agg(
+        F.sum("__c").cast("long").alias("c")
+    )
+
+
+def cms_estimates(
+    cells: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[token_col]`` from CMS cells:
+    min over the ``depth`` rows of the probed cell (0 when the cell was
+    never touched).  Guarantees estimate >= true count (no false
+    negatives); overestimate is bounded by collisions.  The cells side is
+    a fixed ``depth*width`` grid — always a broadcast build."""
+    p = probes.select(F.col(token_col).alias("__t")).distinct()
+    fanned = p.select(
+        "__t",
+        F.explode(F.array(*[F.lit(j) for j in range(depth)])).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j"), F.col("__t"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % width,
+    )
+    return (
+        fanned.join(F.broadcast(cells), ["j", "bucket"], "left")
+        .groupBy("__t")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
+        .select(F.col("__t").alias(token_col), "cms_count")
+    )

@@ -63,6 +63,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from e_commerce_data_lakehouse_spark.caching import tracked_persist
 from e_commerce_data_lakehouse_spark.operators.corpus import hash_bucket
 from e_commerce_data_lakehouse_spark.operators.dedup import normalize_text
 
@@ -136,7 +137,7 @@ def ngram_counts(
     """
     counts = stream.groupBy("t2", "t1", "t").agg(F.count("*").alias("c"))
     if persist:
-        counts = counts.persist()
+        counts = tracked_persist(counts)
     tri = counts.filter(F.col("t2").isNotNull()).select(
         "t2", "t1", "t", F.col("c").alias("c3")
     )
@@ -230,10 +231,10 @@ def lm_doc_scores(
             F.sum("q").cast("long").alias("qlp_total"),
             F.sum(F.col("is_oov").cast("long")).cast("long").alias("n_oov"),
         )
-        # doc-count rows (tiny); two consumers — the corpus-totals scalar
-        # and the output join — must not re-run the scoring pipeline each
-        .persist()
     )
+    # doc-count rows (tiny); two consumers — the corpus-totals scalar and
+    # the returned frame — must not re-run the scoring pipeline each
+    per_doc = tracked_persist(per_doc)
     # corpus totals: bounded scalars off the persisted per-doc frame
     tt, tq = per_doc.agg(
         F.sum("n_tokens").cast("long"), F.sum("qlp_total").cast("long")

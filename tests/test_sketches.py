@@ -81,3 +81,45 @@ def test_percentile_approx_error_bound(spark):
     )
     for r in approx.collect():
         assert r["p25_ok"] and r["p50_ok"] and r["p75_ok"] and r["p99_ok"]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (aggregates.cms_cells / cms_estimates)
+# ---------------------------------------------------------------------------
+def test_cms_merge_equals_direct_and_overestimates(spark):
+    """Cell-wise addition of two shard sketches == sketch of the union
+    (the mergeable contract), and every estimate >= the true count."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as ag
+
+    rows = [(f"tok{i % 37}", 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "token string, n long")
+    half_a = spark.createDataFrame(rows[:1000], "token string, n long")
+    half_b = spark.createDataFrame(rows[1000:], "token string, n long")
+
+    def counts(d):
+        return d.groupBy("token").agg(F.sum("n").cast("long").alias("n"))
+
+    direct = {
+        (r.j, r.bucket): r.c for r in ag.cms_cells(counts(df)).collect()
+    }
+    merged: dict = {}
+    for part in (half_a, half_b):
+        for r in ag.cms_cells(counts(part)).collect():
+            merged[(r.j, r.bucket)] = merged.get((r.j, r.bucket), 0) + r.c
+    assert merged == direct
+
+    cells = ag.cms_cells(counts(df))
+    true = {r.token: r.n for r in counts(df).collect()}
+    probes = spark.createDataFrame(
+        [(t,) for t in true] + [("never-seen",)], "token string"
+    )
+    est = {
+        r.token: r.cms_count
+        for r in ag.cms_estimates(cells, probes).collect()
+    }
+    for t, n in true.items():
+        assert est[t] >= n
+    # an absent token can only be overestimated, never negative
+    assert est["never-seen"] >= 0
