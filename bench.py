@@ -109,6 +109,8 @@ HEADLINE = [
     "incremental_dup_clusters",
     "streaming_sketch_distinct",
     "ngram_lm_scores",
+    "cms_trigram_frequencies",
+    "copurchase_triangles",
 ]
 
 

@@ -7104,3 +7104,58 @@ def cms_trigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_count",
         (F.col("cms_count") - F.col("n")).alias("overcount"),
     )
+
+
+@register(
+    "copurchase_triangles",
+    """
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e AS (
+    SELECT a.l_partkey AS x, b.l_partkey AS y
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+tri AS (
+    SELECT e1.x AS a, e1.y AS b, e2.y AS c
+    FROM e e1
+    JOIN e e2 ON e2.x = e1.y
+    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+),
+verts AS (SELECT unnest([a, b, c]) AS part_id FROM tri)
+SELECT part_id, COUNT(*)::BIGINT AS n_triangles
+FROM verts GROUP BY part_id
+""",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (new r5): parts bought
+    together in >= 2 orders form the edges; a part's triangle count is the
+    classic local-clustering / community-density signal (and the dedup
+    analog: triangle-dense near-dup clusters are the transitive-closure
+    hairballs worth auditing).  Engine side uses degree-ordered
+    orientation — wedge blowup bounded O(m^1.5) however skewed the
+    degrees — while the oracle brute-forces the x<y<z 3-way join; both
+    count each triangle exactly once per corner.  See
+    ``operators/graph.py:triangle_counts``."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return gr.triangle_counts(edges).select(
+        F.col("vertex").alias("part_id"), "n_triangles"
+    )

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
 
 def connected_components(
     edges: DataFrame,
@@ -448,3 +450,65 @@ def dedup_by_components_policy(
         .select(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts via degree-ordered edge orientation
+    (Schank & Wagner 2005; the shape of every MapReduce/Spark triangle
+    counter since "Graph Twiddling in a MapReduce World").
+
+    Orient every undirected edge from its lower-(degree, id) endpoint to
+    the higher one, enumerate directed wedges (two out-edges of one
+    vertex), and close each wedge with an equi-join back to the oriented
+    edge set.  The orientation is the entire scale story: out-degree is
+    bounded by O(sqrt(m)) regardless of how skewed the raw degree
+    distribution is, so the wedge intermediate is O(m^1.5) worst-case
+    instead of sum-of-squared-degrees — the difference between a
+    web-graph-sized job finishing and its hub vertex generating 10^12
+    wedges on one partition.  Every step is an equi-join or hash
+    aggregate; no cross product anywhere.
+
+    ``edges`` are undirected, one row per edge, any orientation, self
+    loops and duplicates tolerated (dropped / collapsed).  Returns
+    (vertex, n_triangles) for vertices in >= 1 triangle; each triangle
+    contributes once to each of its three corners.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .selectExpr("least(u, v) AS u", "greatest(u, v) AS v")
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    oriented = tracked_persist(
+        e.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        .selectExpr(
+            "IF(du < dv OR (du = dv AND u < v), u, v) AS s",
+            "IF(du < dv OR (du = dv AND u < v), v, u) AS t",
+            "IF(du < dv OR (du = dv AND u < v), dv, du) AS dt",
+        )
+    )
+    w1 = oriented.selectExpr("s", "t AS t1", "dt AS dt1")
+    w2 = oriented.selectExpr("s", "t AS t2", "dt AS dt2")
+    wedges = w1.join(w2, "s").filter(
+        (F.col("dt1") < F.col("dt2"))
+        | ((F.col("dt1") == F.col("dt2")) & (F.col("t1") < F.col("t2")))
+    )
+    closed = wedges.join(
+        oriented.selectExpr("s AS t1", "t AS t2"), ["t1", "t2"]
+    )
+    corners = closed.select(
+        F.explode(F.array("s", "t1", "t2")).alias("vertex")
+    )
+    return corners.groupBy("vertex").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )

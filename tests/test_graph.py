@@ -226,3 +226,41 @@ def test_incremental_cc_empty_batch_and_empty_store(spark):
         ).collect()
     }
     assert inc2 == {1: 1, 2: 1, 5: 5, 6: 5}
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (graph.triangle_counts)
+# ---------------------------------------------------------------------------
+def _tri(spark, edges):
+    from e_commerce_data_lakehouse_spark.operators import graph as gr
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.vertex: r.n_triangles for r in gr.triangle_counts(df).collect()
+    }
+
+
+def test_triangle_single(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (1, 3)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_square_no_diagonal(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == {}
+
+
+def test_triangle_k4(spark):
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    # K4 has 4 triangles; each vertex sits in C(3,2) = 3 of them
+    assert _tri(spark, edges) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_dedup_selfloop_and_reversed_edges(spark):
+    # duplicates, reversed duplicates, and self-loops must not change counts
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    assert _tri(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_skewed_hub(spark):
+    # star + one closing rim edge: hub has huge degree but only 1 triangle
+    edges = [(0, i) for i in range(1, 30)] + [(1, 2)]
+    assert _tri(spark, edges) == {0: 1, 1: 1, 2: 1}
