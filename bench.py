@@ -111,6 +111,7 @@ HEADLINE = [
     "ngram_lm_scores",
     "cms_trigram_frequencies",
     "copurchase_triangles",
+    "weighted_doc_sample",
 ]
 
 

@@ -7159,3 +7159,41 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.triangle_counts(edges).select(
         F.col("vertex").alias("part_id"), "n_triangles"
     )
+
+
+_WS_PRI_DUCK = (
+    "CAST((28672 - ((CAST(floor(log2(h)) AS BIGINT)) * 1024"
+    " + (h * 1024) // (CAST(1 AS BIGINT) << CAST(floor(log2(h)) AS INT))"
+    " - 1024)) AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), 1.0)"
+)
+
+
+@register(
+    "weighted_doc_sample",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, lang, source, n_chars,
+         ('0x' || substr(md5('ws1:' || doc_id::VARCHAR), 1, 7))::BIGINT + 1
+             AS h
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM keyed
+ORDER BY {_WS_PRI_DUCK}, doc_id
+LIMIT 200
+""",
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (new r5):
+    draw 200 documents with probability proportional to length (A-ES
+    exponential-keys, weight = n_chars) — the mixture-draw primitive a
+    token-budgeted pretraining composer uses when longer documents should
+    be proportionally likelier.  The priority key is content-hash-derived
+    and exact-integer up to one final IEEE division, so the drawn set is
+    bit-stable across engines, re-runs, and repartitioning; top-n
+    compiles to per-partition heaps (TakeOrderedAndProject), no global
+    sort.  See ``operators/corpus.py:weighted_sample``."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return cp.weighted_sample(docs, "doc_id", "n_chars", 200).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

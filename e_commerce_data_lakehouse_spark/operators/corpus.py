@@ -1145,3 +1145,55 @@ def binary_auc(
             F.round(F.col("auc_num") / F.col("auc_den"), 6),
         ).alias("auc"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    algorithm A-ES), fully deterministic and engine-portable.
+
+    A-ES draws u ~ Uniform(0,1] per row and keeps the top-n by
+    ``u^(1/w)`` — equivalently the n smallest ``-log2(u) / w``.  Here
+    ``u`` comes from the md5 content hash (``h`` = first 7 hex digits + 1,
+    uniform on 1..2^28) and ``-log2(u) = 28 - log2(h)`` is evaluated in
+    the exact quantized-log domain of ``operators/lm.qlog2_sql``; the
+    final division by the weight is a single IEEE double op, correctly
+    rounded and therefore bit-identical in any engine (probed Spark vs
+    DuckDB).  Unlike rand()-based sampling the draw is stable under
+    re-runs, partitioning, and insertions — a document keeps its priority
+    forever, so incremental corpus rebuilds reproduce the same sample.
+
+    Scale: the priority is a stateless per-row projection and top-n
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort) — the same shape as ``top_customers`` at any data size.
+    """
+    pri = (
+        f"CAST((28672 - ((CAST(floor(log2(__h)) AS BIGINT)) * 1024"
+        f" + (__h * 1024) div shiftleft(CAST(1 AS BIGINT),"
+        f" CAST(floor(log2(__h)) AS INT)) - 1024)) AS DOUBLE)"
+        f" / greatest(CAST({weight_col} AS DOUBLE), 1.0)"
+    )
+    return (
+        df.withColumn(
+            "__h",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col))),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 1,
+        )
+        .selectExpr("*", f"{pri} AS __pri")
+        .orderBy("__pri", id_col)
+        .limit(n)
+        .drop("__h", "__pri")
+    )

@@ -846,3 +846,44 @@ def test_bin_packing_rejects_unknown_strategy(spark):
     docs = eq.load(spark, SF, "documents")["documents"]
     with pytest.raises(ValueError):
         cp.bin_pack_docs(docs, "doc_id", "text", strategy="bestfit")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (corpus.weighted_sample)
+# ---------------------------------------------------------------------------
+def test_weighted_sample_deterministic_and_partition_independent(spark):
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    rows = [(i, 1 + (i % 50) * 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    s1 = {r.id for r in cp.weighted_sample(df, "id", "w", 100).collect()}
+    s2 = {
+        r.id
+        for r in cp.weighted_sample(df.repartition(13), "id", "w", 100).collect()
+    }
+    s3 = {r.id for r in cp.weighted_sample(df, "id", "w", 100).collect()}
+    assert s1 == s2 == s3 and len(s1) == 100
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    # half the rows have 100x the weight: they should dominate the sample
+    rows = [(i, 10000 if i % 2 == 0 else 100) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    picked = [r.id for r in cp.weighted_sample(df, "id", "w", 200).collect()]
+    heavy = sum(1 for i in picked if i % 2 == 0)
+    assert heavy > 150  # E[heavy] ~ 198; far above the unweighted 100
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    df = spark.range(1000).selectExpr("id", "1 + id % 7 AS w")
+    plan = (
+        cp.weighted_sample(df, "id", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
