@@ -7197,3 +7197,66 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cp.weighted_sample(docs, "doc_id", "n_chars", 200).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def _fk_audit_duck(child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+SELECT '{child}.{ckey}->{parent}.{pkey}' AS relationship,
+       COUNT(*)::BIGINT AS n_child_rows,
+       SUM(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+       SUM(CASE WHEN p.__pk IS NULL THEN 1 ELSE 0 END) = 0 AS ref_ok
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pkey} AS __pk FROM {parent}) p
+  ON c.{ckey} = p.__pk"""
+
+
+_FK_RELS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "fk_integrity_audit",
+    "\nUNION ALL\n".join(_fk_audit_duck(*rel) for rel in _FK_RELS),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema (new r5):
+    orphan counts for every FK edge — the quality gate a silver->gold
+    promotion runs before publishing (the reference validates row shapes
+    per job but never cross-table integrity).  Each edge is one pass over
+    its child table with a broadcast-or-shuffle join against the distinct
+    parent keys; the seven 1-row results union into the audit report.
+    See ``quality/checks.py:fk_orphan_stats``."""
+    from e_commerce_data_lakehouse_spark.quality import checks as qc
+
+    tables = load(
+        spark,
+        sf_dir,
+        "lineitem",
+        "orders",
+        "part",
+        "supplier",
+        "customer",
+        "nation",
+        "region",
+    )
+    parts = [
+        qc.fk_orphan_stats(
+            tables[child],
+            ckey,
+            tables[parent],
+            pkey,
+            f"{child}.{ckey}->{parent}.{pkey}",
+        )
+        for child, ckey, parent, pkey in _FK_RELS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -137,3 +137,39 @@ def sentinel_share(
 def run_all(*results: CheckResult) -> list[CheckResult]:
     """Evaluate a batch of checks, raising on the first failure."""
     return [r.expect() for r in results]
+
+
+def fk_orphan_stats(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    relationship: str,
+) -> DataFrame:
+    """One-row referential-integrity audit for a child->parent FK:
+    (relationship, n_child_rows, n_orphans, ref_ok).
+
+    Shape: ONE pass over the child with a left join against the DISTINCT
+    parent-key set and a conditional count — never a separate count job
+    plus an anti-join job (two child scans), and never a 1-row cross join
+    to glue counts together (that plants a BroadcastNestedLoopJoin).  The
+    distinct parent-key side broadcasts for dimension-sized parents and
+    degrades to a shuffle join for fact-sized ones; NULL child keys count
+    as orphans in both engines (a NULL FK matches nothing).
+    """
+    pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    return (
+        child.join(pk, F.col(child_key) == F.col("__pk"), "left")
+        .agg(
+            F.count("*").cast("long").alias("n_child_rows"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(
+            F.lit(relationship).alias("relationship"),
+            "n_child_rows",
+            "n_orphans",
+            (F.col("n_orphans") == 0).alias("ref_ok"),
+        )
+    )

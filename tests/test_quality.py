@@ -71,3 +71,17 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
     ).collect()[0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_fk_orphan_stats_counts_orphans_and_nulls(spark):
+    from e_commerce_data_lakehouse_spark.quality import checks as qc
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (9,), (None,)], "fk int"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk int")
+    row = qc.fk_orphan_stats(child, "fk", parent, "pk", "c.fk->p.pk").first()
+    assert row.relationship == "c.fk->p.pk"
+    assert row.n_child_rows == 4
+    assert row.n_orphans == 2  # the 9 and the NULL
+    assert row.ref_ok is False
