@@ -112,6 +112,7 @@ HEADLINE = [
     "cms_trigram_frequencies",
     "copurchase_triangles",
     "weighted_doc_sample",
+    "basket_association_rules",
 ]
 
 

@@ -7260,3 +7260,26 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (new r5)
+# ---------------------------------------------------------------------------
+from e_commerce_data_lakehouse_spark.operators import basket as bk  # noqa: E402
+
+
+@register(
+    "basket_association_rules",
+    bk.association_rules_oracle("lineitem", "l_orderkey", "l_partkey", 2),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional "frequently bought together" rules (new r5): a-priori
+    2-itemset mining over order baskets with support, confidence, and
+    lift — the recommendation/affinity signal the reference's gold layer
+    stops short of (it builds the order->part fact, never the rules).
+    Confidence and lift are exact integer parts-per-million (no float
+    division), so the full rule table is driver-hash-checkable.  Scale
+    shape: frequent-item prune before the basket self-equi-join, counts
+    re-attached by broadcast — ``operators/basket.py``."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return bk.association_rules(li, "l_orderkey", "l_partkey", min_support=2)
