@@ -113,6 +113,7 @@ HEADLINE = [
     "copurchase_triangles",
     "weighted_doc_sample",
     "basket_association_rules",
+    "robust_price_outliers",
 ]
 
 

@@ -7283,3 +7283,57 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-attached by broadcast — ``operators/basket.py``."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     return bk.association_rules(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@register(
+    "robust_price_outliers",
+    """
+WITH vals AS (
+  SELECT o_orderpriority AS g,
+         CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT) AS v
+  FROM orders
+),
+med AS (
+  SELECT g, CAST(2 * quantile_cont(v, 0.5) AS BIGINT) AS med2
+  FROM vals GROUP BY g
+),
+dev AS (
+  SELECT vals.g, med2, abs(2 * v - med2) AS d
+  FROM vals JOIN med USING (g)
+),
+mad AS (
+  SELECT g, med2, CAST(2 * quantile_cont(d, 0.5) AS BIGINT) AS mad4
+  FROM dev GROUP BY g, med2
+)
+SELECT dev.g AS o_orderpriority,
+       dev.med2 AS med2_cents,
+       mad.mad4 AS mad4_cents,
+       COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN 2 * 10000 * dev.d > 44478 * mad.mad4
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       CAST((SUM(CASE WHEN 2 * 10000 * dev.d > 44478 * mad.mad4
+                 THEN 1 ELSE 0 END) * 1000000)
+           // COUNT(*) AS BIGINT) AS outlier_share_ppm
+FROM dev JOIN mad ON dev.g = mad.g
+GROUP BY 1, 2, 3
+""",
+)
+def robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) order-value anomaly audit per priority class
+    (new r5): the heavy-tail-safe counterpart of the mean/stddev z-score
+    in ``event_value_outliers`` — one mega-order moves a stddev boundary
+    but barely moves the median/MAD one.  Every statistic is exact
+    integer (2x-median and 4x-MAD of cents; the 3-sigma-equivalent flag
+    ``|x-med| > 4.4478*MAD`` compares multiplied-through BIGINTs), so the
+    full audit is driver-hash-checkable.  See
+    ``quality/checks.py:robust_outlier_stats``."""
+    from e_commerce_data_lakehouse_spark.quality import checks as qc
+
+    orders = load(spark, sf_dir, "orders")["orders"]
+    cents = orders.select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(30,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return qc.robust_outlier_stats(cents, "o_orderpriority", "cents")

@@ -20,6 +20,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
 
 @dataclass(frozen=True)
 class CheckResult:
@@ -171,5 +173,78 @@ def fk_orphan_stats(
             "n_child_rows",
             "n_orphans",
             (F.col("n_orphans") == 0).alias("ref_ok"),
+        )
+    )
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_x10000: int = 44478,
+) -> DataFrame:
+    """Per-group robust (median/MAD) outlier audit in EXACT integer
+    arithmetic — the anomaly gate that survives the heavy tails a
+    mean/stddev z-score is wrecked by (one mega-order inflates sigma and
+    hides every other outlier; the median and MAD barely move).
+
+    ``value_col`` must be integral (e.g. money in cents).  All statistics
+    live in doubled/quadrupled units so they stay integers: ``med2`` is
+    2x the group median (the interpolated median of ints is a half-int,
+    so 2x it — the sum of the two central order statistics — is exact),
+    ``mad4`` is 4x the MAD (2x the median of the 2x-unit absolute
+    deviations ``d = |2*value - med2|``).  The flag |x - med| > K * MAD
+    with K = ``k_x10000 / 10000`` (default 4.4478 = 3 x 1.4826, the
+    normal-consistent 3-sigma-equivalent) is evaluated multiplied
+    through: ``2 * 10000 * d > k_x10000 * mad4`` — pure BIGINT compares,
+    bit-identical in Spark and DuckDB.
+
+    Scale shape: two grouped EXACT percentile aggregates (each buffers
+    one group's values on its reducer — right for audit-sized groups and
+    for the driver oracle; swap ``percentile`` for ``approx_percentile``
+    at web scale, same plan otherwise) with the 5-row stats table
+    broadcast back between passes, then one conditional-count aggregate.
+    """
+    g = F.col("__g")
+    vals = df.select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
+    )
+    med = vals.groupBy("__g").agg(
+        F.expr("CAST(2 * percentile(__v, 0.5D) AS BIGINT)").alias("med2")
+    )
+    # persisted: consumed by the MAD aggregate AND the flag count — without
+    # it the median percentile pass replays per consumer
+    dev = tracked_persist(
+        vals.join(F.broadcast(med), "__g").select(
+            g,
+            "med2",
+            F.abs(2 * F.col("__v") - F.col("med2")).alias("__d"),
+        )
+    )
+    mad = dev.groupBy("__g", "med2").agg(
+        F.expr("CAST(2 * percentile(__d, 0.5D) AS BIGINT)").alias("mad4")
+    )
+    flagged = dev.drop("med2").join(F.broadcast(mad), "__g")
+    return (
+        flagged.groupBy("__g", "med2", "mad4")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(
+                    2 * 10000 * F.col("__d") > k_x10000 * F.col("mad4"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            g.alias(group_col),
+            F.col("med2").alias("med2_" + value_col),
+            F.col("mad4").alias("mad4_" + value_col),
+            "n_rows",
+            "n_outliers",
+            F.expr("(n_outliers * 1000000L) div n_rows").alias(
+                "outlier_share_ppm"
+            ),
         )
     )

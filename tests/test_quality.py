@@ -85,3 +85,50 @@ def test_fk_orphan_stats_counts_orphans_and_nulls(spark):
     assert row.n_child_rows == 4
     assert row.n_orphans == 2  # the 9 and the NULL
     assert row.ref_ok is False
+
+
+# ---------------------------------------------------------------------------
+# robust_outlier_stats (median/MAD)
+# ---------------------------------------------------------------------------
+def test_robust_outliers_flags_far_point(spark):
+    from e_commerce_data_lakehouse_spark.quality import checks as qc
+
+    # group 'a': 9 values near 100 plus one at 100000 — median/MAD barely
+    # move, the far point must flag
+    rows = [("a", v) for v in [98, 99, 99, 100, 100, 100, 101, 101, 102]]
+    rows.append(("a", 100000))
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = qc.robust_outlier_stats(df, "g", "v").collect()[0]
+    assert out["n_rows"] == 10
+    assert out["n_outliers"] == 1
+    # med2 = 2*median(98..102 plus outlier) = 100+100 = 200
+    assert out["med2_v"] == 200
+    assert out["outlier_share_ppm"] == 100000
+
+
+def test_robust_outliers_vs_zscore_masking(spark):
+    from e_commerce_data_lakehouse_spark.quality import checks as qc
+
+    # the classic masking case: the huge point inflates stddev so much a
+    # merely-large point hides from 3-sigma, but MAD still catches both
+    import statistics
+
+    vals = [100] * 20 + [500, 1000000]
+    mean = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    assert abs(500 - mean) < 3 * sd  # z-score misses 500
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
+    out = qc.robust_outlier_stats(df, "g", "v").collect()[0]
+    assert out["n_outliers"] == 2  # MAD flags both 500 and 1000000
+
+
+def test_robust_outliers_zero_mad_group(spark):
+    from e_commerce_data_lakehouse_spark.quality import checks as qc
+
+    # constant group: MAD = 0, any deviation flags, equal values don't
+    df = spark.createDataFrame(
+        [("c", 5), ("c", 5), ("c", 5), ("c", 6)], "g string, v long"
+    )
+    out = qc.robust_outlier_stats(df, "g", "v").collect()[0]
+    assert out["mad4_v"] == 0
+    assert out["n_outliers"] == 1
