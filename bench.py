@@ -114,6 +114,7 @@ HEADLINE = [
     "weighted_doc_sample",
     "basket_association_rules",
     "robust_price_outliers",
+    "hybrid_search_rrf",
 ]
 
 

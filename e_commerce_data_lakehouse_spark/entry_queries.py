@@ -4566,6 +4566,15 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded driver scalar row; scoring is a pure-Catalyst map stage over
     the corpus and top-k is a TakeOrdered heap — at 100 TB this is a scan +
     tiny driver state, no shuffle except the final k rows."""
+    return _bm25_scored(spark, sf_dir).orderBy(
+        F.col("bm25_score").desc(), F.col("doc_id").asc()
+    ).limit(20)
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_score) for the fixed term set — corpus stats from one
+    bounded aggregate, scoring a pure-Catalyst map stage (shared by
+    ``bm25_search_topk`` and the RRF hybrid fusion)."""
     docs = load(spark, sf_dir, "documents")["documents"]
     toks = F.split(dd.normalize_text(F.col("text")), " ")
     base = docs.select(
@@ -4586,15 +4595,12 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_stats = [
         (t, stat_row[f"df_{i}"]) for i, t in enumerate(_BM25_TERMS)
     ]
-    scored = base.select(
+    return base.select(
         "doc_id",
         tx.bm25_lite_score(
             F.col("toks"), F.col("dl"), avgdl, term_stats, n_docs
         ).alias("bm25_score"),
     )
-    return scored.orderBy(
-        F.col("bm25_score").desc(), F.col("doc_id").asc()
-    ).limit(20)
 
 
 # ---------------------------------------------------------------------------
@@ -7337,3 +7343,126 @@ def robust_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     return qc.robust_outlier_stats(cents, "o_orderpriority", "cents")
+
+
+_RRF_K = 60
+_RRF_BM25_CTES = f"""
+base AS (
+  SELECT doc_id,
+         string_split({NORM_SQL.format(c='text')}, ' ') AS toks,
+         CAST(len(string_split({NORM_SQL.format(c='text')}, ' ')) AS DOUBLE)
+             AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl,
+         {', '.join(
+             f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+             for i, t in enumerate(_BM25_TERMS)
+         )}
+  FROM base
+),
+scored AS (
+  SELECT b.doc_id,
+         ROUND(0.0 + {' + '.join(
+             f"((s.n_docs - s.df_{i} + 0.5) / (s.df_{i} + 0.5)) * "
+             f"(CAST(len(list_filter(b.toks, t -> t = '{t}')) AS DOUBLE) * 2.2) / "
+             f"(CAST(len(list_filter(b.toks, t -> t = '{t}')) AS DOUBLE)"
+             f" + 1.2 * (0.25 + (0.75 * b.dl) / s.avgdl))"
+             for i, t in enumerate(_BM25_TERMS)
+         )}, 6) AS bm25_score
+  FROM base b, stats s
+)"""
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+WITH {_RRF_BM25_CTES},
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25_score DESC, doc_id ASC)
+              AS INT) AS lex_rank
+  FROM scored
+  QUALIFY lex_rank <= 100
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sem AS (
+  SELECT c.vec_id AS doc_id,
+         CAST(row_number() OVER (
+              ORDER BY ROUND(list_dot_product(q.v, c.v) /
+                   (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                   c.vec_id ASC) AS INT) AS sem_rank
+  FROM e q JOIN e c ON q.vec_id = 0 AND c.vec_id != 0
+  QUALIFY sem_rank <= 100
+)
+SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+       lex.lex_rank, sem.sem_rank,
+       CAST(COALESCE(1000000000 // (60 + lex.lex_rank), 0)
+            + COALESCE(1000000000 // (60 + sem.sem_rank), 0)
+            AS BIGINT) AS rrf_score
+FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (new r5): the RAG-stack
+    staple that merges a lexical (BM25) ranking and a semantic
+    (embedding-cosine) ranking without score calibration — RRF only
+    consumes RANKS, so the incompatible score scales never meet.  Fusion
+    scores are exact integers (``1e9 div (60 + rank)``), making the fused
+    list driver-hash-checkable.  Scale shape: each arm is the existing
+    scan-plus-TakeOrdered top-k plan; the lexical arm's rank assignment
+    is a bounded collect_list/posexplode over its top-100 (no global
+    window over an unaggregated source — the plan-sweep invariant); the
+    fusion itself is a full outer equi-join of two 100-row frames."""
+    lex_top = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25_score").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+    lex = (
+        lex_top.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("bm25_score")).alias("s"),
+                        F.col("doc_id").alias("d"),
+                    )
+                )
+            ).alias("arr")
+        )
+        .select(F.posexplode("arr").alias("pos", "row"))
+        .select(
+            F.col("row.d").alias("doc_id"),
+            (F.col("pos") + 1).cast("int").alias("lex_rank"),
+        )
+    )
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    sem = sim.brute_force_topk(
+        emb.filter(F.col("vec_id") == 0), emb, "vec_id", "embedding", k=100
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000000L div (60 + CAST(lex_rank AS BIGINT))"),
+                F.lit(0).cast("long"),
+            )
+            + F.coalesce(
+                F.expr(f"1000000000L div (60 + CAST(sem_rank AS BIGINT))"),
+                F.lit(0).cast("long"),
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
+        20
+    )

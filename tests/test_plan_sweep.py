@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "multimodal_features",
     "multimodal_embed_topk",
     "hard_negative_topk",  # same bounded-broadcast-queries exact-kNN shape
+    "hybrid_search_rrf",  # semantic arm = the ann_cosine_topk shape
 }
 
 
