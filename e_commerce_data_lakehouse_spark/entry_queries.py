@@ -7167,6 +7167,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# A-ES priority replay.  greatest(w, 1.0) mirrors the engine's weight
+# clamp (weights are integer counts >= 1 here; sub-unit weights would be
+# treated as 1 — documented in corpus.weighted_sample); the engine also
+# filters w <= 0, which n_chars >= 1 makes a no-op on this table.
 _WS_PRI_DUCK = (
     "CAST((28672 - ((CAST(floor(log2(h)) AS BIGINT)) * 1024"
     " + (h * 1024) // (CAST(1 AS BIGINT) << CAST(floor(log2(h)) AS INT))"

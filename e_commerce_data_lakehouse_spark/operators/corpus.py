@@ -458,12 +458,15 @@ def bin_pack_docs(
       fully oracle-checkable.
     - ``ffd`` (first-fit decreasing): docs by (tokens DESC, id); each doc
       goes into the lowest-numbered bin with room, else a new bin.  The
-      classic 11/9·OPT+1 heuristic — fewer bins, higher utilization — but
-      the first-fit probe is inherently iterative, so queries over it are
-      declared rows-only and its guarantees are pytest-pinned instead
-      (validity: no bin over ``seq_len`` unless a single doc alone exceeds
-      it; never more bins than next-fit; never fewer than the
-      ``ceil(total/seq_len)`` lower bound).
+      classic 11/9·OPT+1 heuristic — typically fewer bins, higher
+      utilization — but the first-fit probe is inherently iterative, so
+      queries over it are declared rows-only and its guarantees are
+      pytest-pinned instead (validity: no bin over ``seq_len`` unless a
+      single doc alone exceeds it; never fewer bins than the
+      ``ceil(total/seq_len)`` lower bound).  Note FFD ≤ next-fit is NOT a
+      theorem (cap 10, id-order weights [4,3,3,5,5,4,3,3]: next-fit packs
+      3 bins, FFD 4) — it merely holds empirically on this corpus, and the
+      regression test pins it as data-specific, not as an invariant.
 
     A doc longer than ``seq_len`` gets a bin of its own (training-side
     truncation policy is out of scope here; the assignment stays total so
@@ -1171,6 +1174,14 @@ def weighted_sample(
     Scale: the priority is a stateless per-row projection and top-n
     compiles to TakeOrderedAndProject (per-partition heaps, no global
     sort) — the same shape as ``top_customers`` at any data size.
+
+    Weight contract: weights are integer-like counts ≥ 1 (``n_chars``
+    here).  Rows with non-positive weight are FILTERED OUT (they have no
+    defined A-ES inclusion probability), and weights in (0, 1) are
+    CLAMPED to 1 by the ``greatest(w, 1.0)`` guard — the clamp keeps the
+    divisor ≥ 1 so the priority stays in the exact cross-engine range,
+    at the cost of treating sub-unit weights as weight 1.  Callers with
+    genuine fractional weights should pre-scale them to integers.
     """
     pri = (
         f"CAST((28672 - ((CAST(floor(log2(__h)) AS BIGINT)) * 1024"
@@ -1179,7 +1190,8 @@ def weighted_sample(
         f" / greatest(CAST({weight_col} AS DOUBLE), 1.0)"
     )
     return (
-        df.withColumn(
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn(
             "__h",
             F.conv(
                 F.substring(

@@ -98,13 +98,22 @@ def _components_impl(
     # ONE action materializes the checkpoint, sizes the graph AND fetches
     # the small-path edge list: a bounded limit-collect replaces the old
     # count-then-collect pair (two driver round trips over the same
-    # checkpoint — pure job latency at small scale; the limit caps the
-    # fetch at the broadcast-size ceiling, so an over-ceiling graph ships
-    # at most ceiling+1 rows before the distributed rounds take over).
+    # checkpoint — pure job latency at small scale).  Two-stage probe: the
+    # first fetch is capped at a SMALL prefix (64 Ki edges), so an
+    # over-ceiling graph ships ~1 MB to the driver instead of the full
+    # ceiling+1 rows (~4 M Row objects, hundreds of MB of wasted transfer
+    # before the distributed rounds take over).  Only a mid-size graph —
+    # bigger than the prefix but under the ceiling — pays a second collect,
+    # and that one runs over the already-materialized checkpoint.
     ceiling = 4 * broadcast_threshold
-    probe = sym.limit(ceiling + 1).collect()
-    if len(probe) <= ceiling:
+    prefix = min(ceiling, 65_536)
+    probe = sym.limit(prefix + 1).collect()
+    if len(probe) <= prefix:
         return None, _driver_union_find(probe)
+    if prefix < ceiling:
+        probe = sym.limit(ceiling + 1).collect()
+        if len(probe) <= ceiling:
+            return None, _driver_union_find(probe)
 
     # Seed with round 1's neighbour step fused into the init: comp[v] =
     # min(v, min over neighbours u) — one shuffle that replaces both the

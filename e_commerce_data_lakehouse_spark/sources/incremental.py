@@ -44,12 +44,20 @@ class FileLedger:
         # first-run ledger otherwise makes the JVM analyzer log a full
         # FileNotFoundException stack at WARN (FileStreamSink metadata
         # probe) even though the Python except handles it — noise that
-        # pollutes captured driver output.  Local-path check here; on a
-        # real cluster the ledger lives in a catalog/Delta table whose
-        # existence is a catalog lookup, not a filesystem stat.
+        # pollutes captured driver output.  The stat only applies to local
+        # paths: an os.path.exists on a URI-style path (s3a://, hdfs://,
+        # file:/) is always False, and short-circuiting there would treat
+        # an EXISTING remote ledger as first-run — silent duplicate
+        # ingestion.  Scheme'd paths fall through to the reader, whose
+        # except still covers a genuinely missing ledger.
         import os
+        from urllib.parse import urlparse
 
-        if not os.path.exists(self.path):
+        scheme = urlparse(self.path).scheme
+        local_path = self.path
+        if scheme == "file":
+            local_path = urlparse(self.path).path
+        if scheme in ("", "file") and not os.path.exists(local_path):
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
         try:
             return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)

@@ -111,6 +111,19 @@ def test_file_ledger_incremental(spark, tmp_path):
     assert ledger.new_files(files) == []
 
 
+def test_file_ledger_uri_path_reads_existing(spark, tmp_path):
+    """A scheme'd (file:/) path must NOT short-circuit on os.path.exists —
+    an existing remote-style ledger read as first-run would silently
+    reprocess (duplicate-ingest) every file.  ADVICE r5 regression."""
+    plain = str(tmp_path / "ledger")
+    src.FileLedger(spark, plain).mark_processed(["/data/a.csv"])
+    uri = src.FileLedger(spark, "file://" + plain)
+    assert uri.new_files(["/data/a.csv", "/data/b.csv"]) == ["/data/b.csv"]
+    # and a missing scheme'd ledger still degrades to first-run quietly
+    missing = src.FileLedger(spark, "file://" + str(tmp_path / "nope"))
+    assert missing.new_files(["/data/a.csv"]) == ["/data/a.csv"]
+
+
 def test_ingest_new_files_loop(spark, tmp_path):
     ledger = src.FileLedger(spark, str(tmp_path / "ledger"))
     data = tmp_path / "in"
