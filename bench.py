@@ -115,6 +115,11 @@ HEADLINE = [
     "basket_association_rules",
     "robust_price_outliers",
     "hybrid_search_rrf",
+    "gopher_quality_flags",
+    "temperature_lang_mixture",
+    "mmr_diversified_topk",
+    "kcore_copurchase",
+    "streaming_dedup_keys",
 ]
 
 

@@ -7471,3 +7471,283 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
         20
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: Gopher rule gate, temperature mixture, MMR rerank, k-core,
+# streaming key dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gopher_quality_flags",
+    """
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(nonspace AS BIGINT) AS nonspace,
+         CAST(n_hash + n_ell AS BIGINT) AS n_symbols,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_distinct(list_filter(toks,
+              t -> t IN ('the','a','and','of','to','in','is','it'))))
+              AS BIGINT) AS n_stop
+  FROM t
+)
+SELECT doc_id, n_words,
+       n_words >= 50 AND n_words <= 100000 AS flag_word_count,
+       3 * n_words <= nonspace AND nonspace <= 10 * n_words
+           AS flag_mean_word_len,
+       10 * n_symbols <= n_words AS flag_symbol_ratio,
+       5 * n_alpha >= 4 * n_words AS flag_alpha_words,
+       n_stop >= 2 AS flag_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+       AND (3 * n_words <= nonspace AND nonspace <= 10 * n_words)
+       AND (10 * n_symbols <= n_words)
+       AND (5 * n_alpha >= 4 * n_words)
+       AND (n_stop >= 2) AS gopher_pass
+FROM m
+""",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (Rae et al. 2021 table A1): word-count
+    bounds, mean-word-length band, symbol-to-word ratio, alphabetic-word
+    ratio, minimum distinct stopwords — every ratio multiplied through to
+    an exact integer comparison, so the whole gate is float-free and the
+    oracle replay is bit-identical.  One map-side projection pass, pure
+    codegen (split/filter/length arithmetic), no shuffle, no UDF."""
+    docs = dd.ensure_parallelism(load(spark, sf_dir, "documents")["documents"])
+    return cp.gopher_quality_flags(docs)
+
+
+@register(
+    "temperature_lang_mixture",
+    """
+WITH q AS (
+  SELECT lang, COUNT(*) AS cnt,
+         CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+  FROM documents GROUP BY lang
+), qq AS (
+  SELECT lang, cnt, w,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(100 AS BIGINT) * w // (SELECT SUM(w) FROM q)) AS quota
+  FROM q
+), ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0,
+                      doc_id) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.lang, r.n_chars
+FROM ranked r JOIN qq ON r.lang = qq.lang
+WHERE r.rk <= qq.quota
+""",
+)
+def temperature_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (α=0.5, the mBERT/XLM-R
+    multilingual upsampling scheme): per-language quotas proportional to
+    ``sqrt(count)``, filled in deterministic content-hash order.  The only
+    irrational step (sqrt) is quantized to a BIGINT weight before any
+    quota arithmetic, so the draw is exact cross-engine.  The quota table
+    is a one-row-per-language broadcast; rank-per-group compiles to
+    WindowGroupLimit (skew guard)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return cp.temperature_mixture_sample(
+        docs.select("doc_id", "lang", "n_chars"), "lang", "doc_id", 100
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _mmr_oracle(n_queries: int, pool_k: int, k: int) -> str:
+    """Unrolled-CTE DuckDB replay of the integer-exact MMR greedy recursion
+    (one CTE pair per rank step) — same shape as the pagerank_fixed
+    unrolled oracle.  Cosines quantized to BIGINT micro-units; λ=7/10 as
+    integer multipliers; ties to the smallest candidate id."""
+    cos = (
+        "ROUND(list_dot_product({a}.v, {b}.v) / "
+        "(sqrt(list_dot_product({a}.v, {a}.v)) * "
+        "sqrt(list_dot_product({b}.v, {b}.v))), 6)"
+    )
+    head = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pool AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         CAST(ROUND({cos.format(a='q', b='c')} * 1000000) AS BIGINT) AS rel6
+  FROM e q JOIN e c ON q.vec_id < {n_queries} AND c.vec_id != q.vec_id
+  QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY {cos.format(a='q', b='c')} DESC, c.vec_id ASC) <= {pool_k}
+),
+pairs AS (
+  SELECT p1.qid, p1.cid AS a, p2.cid AS b,
+         CAST(ROUND({cos.format(a='va', b='vb')} * 1000000) AS BIGINT) AS sim6
+  FROM pool p1
+  JOIN pool p2 ON p1.qid = p2.qid AND p1.cid <> p2.cid
+  JOIN e va ON va.vec_id = p1.cid
+  JOIN e vb ON vb.vec_id = p2.cid
+),
+sel1 AS (
+  SELECT qid, cid, 1 AS rank, 7 * rel6 AS mmr
+  FROM pool
+  QUALIFY row_number() OVER (PARTITION BY qid
+                             ORDER BY rel6 DESC, cid ASC) = 1
+),
+selu1 AS (SELECT qid, cid FROM sel1)"""
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f""",
+cand{t} AS (
+  SELECT pr.qid, pr.a AS cid, MAX(pr.sim6) AS div6
+  FROM pairs pr JOIN selu{t - 1} s ON s.qid = pr.qid AND s.cid = pr.b
+  WHERE pr.a NOT IN (SELECT cid FROM selu{t - 1} s2 WHERE s2.qid = pr.qid)
+  GROUP BY pr.qid, pr.a
+),
+sel{t} AS (
+  SELECT c.qid, c.cid, {t} AS rank, 7 * p.rel6 - 3 * c.div6 AS mmr
+  FROM cand{t} c JOIN pool p ON p.qid = c.qid AND p.cid = c.cid
+  QUALIFY row_number() OVER (PARTITION BY c.qid
+      ORDER BY 7 * p.rel6 - 3 * c.div6 DESC, c.cid ASC) = 1
+),
+selu{t} AS (SELECT qid, cid FROM selu{t - 1}
+            UNION ALL SELECT qid, cid FROM sel{t})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT qid AS query_id, cid AS neighbor_id, rank, mmr AS mmr_score"
+        f" FROM sel{t}"
+        for t in range(1, k + 1)
+    )
+    return head + "".join(steps) + "\n" + union
+
+
+@register("mmr_diversified_topk", _mmr_oracle(5, 20, 5))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified reranking (Carbonell & Goldstein 1998): per query,
+    greedy top-5 from the 20 most-relevant candidates maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected (λ=0.7) — the
+    RAG de-redundancy pass.  Fully integer-exact (cosines quantized to
+    micro-units, λ applied as 7/-3 integer multipliers), so the greedy
+    recursion hash-matches an unrolled-CTE DuckDB replay step for step.
+    See ``operators/similarity.py:mmr_rerank`` for the scale shape."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.mmr_rerank(
+        queries, emb, "vec_id", "embedding", pool_k=20, k=5
+    )
+
+
+def _kcore_oracle(k: int, depth: int) -> str:
+    """Unrolled-CTE DuckDB replay of the k-core peel: each step recomputes
+    degrees over the surviving edge set and drops edges incident to a
+    vertex of degree < k.  The fixpoint is unique and order-independent,
+    so any unroll depth >= the engine's actual round count reproduces it
+    exactly (sf0.01 needs 10 rounds; depth has headroom)."""
+    head = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+base AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+e0 AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b, a FROM base)"""
+    steps = []
+    for t in range(1, depth + 1):
+        steps.append(f""",
+d{t} AS (SELECT a AS v, COUNT(*) AS c FROM e{t - 1} GROUP BY a),
+bad{t} AS MATERIALIZED (SELECT v FROM d{t} WHERE c < {k}),
+e{t} AS MATERIALIZED (
+  SELECT a, b FROM e{t - 1}
+  WHERE a NOT IN (SELECT v FROM bad{t})
+    AND b NOT IN (SELECT v FROM bad{t})
+)""")
+    tail = f"""
+SELECT a AS part_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM e{depth}
+GROUP BY a
+"""
+    return head + "".join(steps) + tail
+
+
+@register("kcore_copurchase", _kcore_oracle(3, 14))
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the min-support-2 co-purchase graph: parts whose robust
+    co-purchase neighborhood survives iterative peeling (degree >= 3 after
+    all weaker vertices are removed) — the graph-shaped density filter a
+    recommender or curation pipeline uses to separate structurally
+    recurring products from incidental pairs.  Distributed peel:
+    per-round degree agg + two anti-joins, edge list localCheckpoint-ed,
+    convergence by the same scalar count that sizes the broadcast hint
+    (``operators/graph.py:kcore``).  Oracle: unrolled 14-step CTE peel —
+    the fixpoint is unique, so depth just needs to cover the real round
+    count (10 at sf0.01)."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return gr.kcore(edges, k=3).select(
+        F.col("vertex").alias("part_id"), "core_degree"
+    )
+
+
+@register(
+    "streaming_dedup_keys",
+    """
+SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS day FROM events
+""",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming dedup with bounded state
+    (``dropDuplicatesWithinWatermark`` — ``streaming/stateful.py``): the
+    streaming form of exact dedup, where a key re-arriving within the
+    watermark horizon is dropped and state expires afterwards (vs the
+    reference's full-history recompute each incremental run).  The key is
+    (user, event type, day) — ~20% of event rows are same-day repeats —
+    and the output projects ONLY the dedup keys, so the surviving set is
+    deterministic (no first-arrival-wins non-key columns) and equals batch
+    ``SELECT DISTINCT`` — which is exactly what the oracle checks.
+    Watermark set past the table's full time span so no duplicate pair
+    straddles a state expiry in this bounded replay."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now,
+        stream_events,
+    )
+    from e_commerce_data_lakehouse_spark.streaming.stateful import (
+        streaming_dedup,
+    )
+
+    load(spark, sf_dir)  # session settings (UTC + nanosAsLong)
+    schema = _events_stream_schema(spark, sf_dir)
+    stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
+    keyed = stream.withColumn("day", F.to_date("ts"))
+    deduped = streaming_dedup(
+        keyed, ["user_id", "event_type", "day"], "ts", watermark="24 hours"
+    ).select("user_id", "event_type", "day")
+    table = f"dedup_keys_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        deduped, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="append"
+    )
+    return spark.table(table)

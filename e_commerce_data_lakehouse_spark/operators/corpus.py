@@ -1209,3 +1209,152 @@ def weighted_sample(
         .limit(n)
         .drop("__h", "__pri")
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", table A1) — the published heuristic gate most
+    large-scale text pipelines run before any model-based scoring.
+
+    Implemented rules, each an EXACT integer comparison (the ratio bounds
+    are multiplied through, so there is no float in the pipeline and the
+    oracle replay is bit-identical by construction):
+
+    - ``flag_word_count``    : ``min_words <= n_words <= max_words``
+    - ``flag_mean_word_len`` : mean word length in [3, 10] chars —
+      ``3*n_words <= nonspace_chars <= 10*n_words``
+    - ``flag_symbol_ratio``  : '#'/'...'-symbol to word ratio <= 0.1 —
+      ``10*n_symbols <= n_words``
+    - ``flag_alpha_words``   : >= 80% of words contain an alphabetic char —
+      ``5*n_alpha_words >= 4*n_words``
+    - ``flag_stopwords``     : >= 2 DISTINCT stopwords present (shared
+      engine/oracle stopword list, ``functions/text.STOPWORDS`` — the
+      Gopher rule uses its own 8-word English list; same cardinality)
+    - ``gopher_pass``        : AND of all five
+
+    The paper's line-shape rules (bullet-start / ellipsis-end line ratios)
+    need line structure this single-line synthetic corpus does not have;
+    they are intentionally omitted rather than trivially true.
+
+    Scale: one projection pass, all codegen expressions (split + filter +
+    length arithmetic), no shuffle, no UDF — runs map-side at any corpus
+    size and the filter can be pushed into the scan's row group pruning
+    when materialized as a column.
+
+    Reference parity: the reference has no text-quality operator (its
+    cleaning is field normalization, ``Pyspark Jobs/csv_bronze_to_silver.py``);
+    this is part of the LLM-training-data extension surface.
+    """
+    from e_commerce_data_lakehouse_spark.functions.text import STOPWORDS
+
+    text = F.col(text_col)
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n_words = F.size(toks).cast("long")
+    nonspace = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop_distinct = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ).cast("long")
+    n_hash = (F.length(text) - F.length(F.replace(text, F.lit("#")))).cast(
+        "long"
+    )
+    n_ellipsis = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+    ).cast("long")
+    n_symbols = n_hash + n_ellipsis
+    flags = {
+        "flag_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "flag_mean_word_len": (3 * n_words <= nonspace)
+        & (nonspace <= 10 * n_words),
+        "flag_symbol_ratio": 10 * n_symbols <= n_words,
+        "flag_alpha_words": 5 * n_alpha >= 4 * n_words,
+        "flag_stopwords": n_stop_distinct >= 2,
+    }
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+    )
+    return out.withColumn(
+        "gopher_pass",
+        F.col("flag_word_count")
+        & F.col("flag_mean_word_len")
+        & F.col("flag_symbol_ratio")
+        & F.col("flag_alpha_words")
+        & F.col("flag_stopwords"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    n_target: int,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+) -> DataFrame:
+    """Temperature-scaled mixture sampling across groups (languages /
+    sources): draw a total of ~``n_target`` rows with per-group quotas
+    proportional to ``count_g ** (alpha_num/alpha_den)`` — the multilingual
+    upsampling scheme of mBERT / XLM-R (Conneau et al. 2020, α=0.5 via the
+    default 1/2), which boosts low-resource groups relative to raw
+    proportional sampling without flattening to uniform.
+
+    Exactness contract: the only irrational step, ``count**α``, is computed
+    as ``ROUND(sqrt-chain(count) * 1e6)`` and immediately quantized to a
+    BIGINT weight, so quota arithmetic (``n_target * w_g // W_total``) is
+    pure integer math and bit-identical in any engine.  IEEE sqrt is
+    correctly rounded, so the double entering the quantization is the same
+    bit pattern everywhere.  α must be a dyadic rational a/2^k expressed by
+    repeated sqrt (alpha_den a power of two; alpha_num 1 for the standard
+    0.5); each group gets at least 1 row.  Within a group, the quota is
+    filled in deterministic content-hash order (:func:`uniform01`) — the
+    unbiased within-group draw, stable under re-runs and partitioning.
+
+    Scale: the quota table is a tiny aggregate (one row per group) computed
+    with map-side partial counts, broadcast back onto the ranked corpus;
+    the rank-per-group compiles to WindowGroupLimit, so a dominant group
+    ships O(partitions x quota) rows, not its whole mass.
+    """
+    if alpha_den not in (2, 4) or alpha_num != 1:
+        raise ValueError("alpha must be 1/2 or 1/4 (repeated-sqrt exact)")
+    root = "sqrt(sqrt(CAST(cnt AS DOUBLE)))" if alpha_den == 4 else (
+        "sqrt(CAST(cnt AS DOUBLE))"
+    )
+    quotas = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("cnt"))
+        .selectExpr(
+            group_col,
+            "cnt",
+            f"CAST(ROUND({root} * 1000000) AS BIGINT) AS w",
+        )
+    )
+    # global window over the one-row-per-group AGGREGATE output (bounded
+    # input — the plan-sweep-blessed shape), not a 1-row cross join
+    quotas = quotas.withColumn(
+        "tw", F.sum("w").over(Window.partitionBy())
+    ).selectExpr(
+        group_col,
+        "cnt",
+        "w",
+        f"GREATEST(CAST(1 AS BIGINT), CAST({n_target} AS BIGINT) * w DIV tw)"
+        " AS quota",
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        uniform01(F.col(id_col)), F.col(id_col)
+    )
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas.select(group_col, "quota")), group_col)
+        .filter(F.col("__rk") <= F.col("quota"))
+        .drop("__rk", "quota")
+    )

@@ -534,3 +534,62 @@ def triangle_counts(
     return corners.groupBy("vertex").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete every
+    vertex of degree < ``k`` until none remains; return the surviving
+    vertices with their within-core degree.  The classic density filter for
+    graph-shaped curation (e.g. keep only products with robustly recurring
+    co-purchase neighborhoods, drop the long tail of incidental pairs).
+
+    The fixpoint is order-independent (the k-core is the unique maximal
+    subgraph of min degree ≥ k), so the result is deterministic however the
+    rounds are scheduled — which also makes it replayable by an unrolled
+    SQL CTE peel (the driver oracle) as long as the unroll depth covers the
+    actual round count.
+
+    Scale shape: each round is one degree aggregation (groupBy-count with
+    map-side combine) plus two anti-joins removing edges incident to peeled
+    vertices.  The edge list is ``localCheckpoint``-ed per round so lineage
+    stays O(1); the peeled-vertex set is materialized by the SAME count
+    action that drives convergence, and gets a broadcast hint only when
+    that count says it fits (checkpointed frames carry no stats, so AQE
+    could not make that call itself — see the connected-components note).
+    Rounds are bounded by the degeneracy ordering depth — O(log n) on
+    power-law graphs in practice, ``max_iter`` as the hard stop.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        deg = (
+            sym.select(F.col("src").alias("v"))
+            .groupBy("v")
+            .agg(F.count("*").alias("c"))
+        )
+        bad = deg.filter(F.col("c") < k).select("v").localCheckpoint(eager=False)
+        n_bad = bad.count()
+        if n_bad == 0:
+            break
+        hint = F.broadcast if n_bad <= 1_000_000 else (lambda df: df)
+        sym = (
+            sym.join(
+                hint(bad.select(F.col("v").alias("src"))), "src", "left_anti"
+            )
+            .join(hint(bad.select(F.col("v").alias("dst"))), "dst", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        sym.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )

@@ -30,6 +30,7 @@ from e_commerce_data_lakehouse_spark.functions.vectors import (
     cosine,
     cosine_prenormed,
     dot,
+    dot_fixed_sql,
     infer_dim,
     norm_fixed,
 )
@@ -748,3 +749,131 @@ def hard_negative_topk(
         ),
     )
     return _topk_per_query(scored, k)
+
+
+def mmr_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    pool_k: int = 20,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified reranking (Carbonell &
+    Goldstein 1998): per query, greedily select ``k`` of the ``pool_k``
+    most-relevant candidates, each step maximizing
+
+        ``λ·rel(q, d)  −  (1−λ)·max_{s ∈ selected} sim(d, s)``
+
+    — the standard RAG/search de-redundancy pass (don't return five copies
+    of the same near-duplicate page).
+
+    Exactness contract: cosines are rounded to 1e-6 and quantized to BIGINT
+    micro-units (``rel6``/``sim6``), and λ = ``lam_num/lam_den`` is applied
+    as integer multipliers (default 7/10 → score ``7·rel6 − 3·div6``), so
+    the greedy recursion is pure integer arithmetic — bit-identical in any
+    engine, and replayable by an unrolled SQL CTE (one step per rank).
+    Rank 1 has no diversity term (empty selected set → ``div6 = 0``).
+    Ties break to the smallest candidate id at every step.
+
+    Scale shape: the expensive parts are relational — the relevance pool is
+    :func:`brute_force_topk`'s broadcast-queries map-side scan, and the
+    within-pool pairwise similarities are a self-equi-join on the query id
+    producing ``pool_k·(pool_k−1)`` rows PER QUERY (pool_k is small by
+    construction; the corpus never pairs with itself).  Only the greedy
+    argmax loop — O(k·pool_k) integer ops over ≤ pool_k² rows per query —
+    runs in an Arrow ``applyInPandas`` kernel, grouped and sharded by
+    query id, state bounded by the pool.
+
+    Reference parity: no counterpart (the reference has no vector ops);
+    LLM-pipeline extension surface.
+    """
+    dim = infer_dim(candidates, vec_col)
+    pool = brute_force_topk(queries, candidates, id_col, vec_col, k=pool_k)
+    rel = pool.select(
+        "query_id",
+        "neighbor_id",
+        F.expr("CAST(ROUND(cosine_sim * 1000000) AS BIGINT)").alias("rel6"),
+    )
+    vecs = candidates.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        norm_fixed(vec_col, dim).alias("__n"),
+    )
+    pooled = rel.join(
+        vecs, rel["neighbor_id"] == vecs["__vid"]
+    ).select("query_id", "neighbor_id", "rel6", "__v", "__n")
+    a = pooled.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("rel6").alias("a_rel6"),
+        F.col("__v").alias("av"),
+        F.col("__n").alias("an"),
+    )
+    b = pooled.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("__v").alias("bv"),
+        F.col("__n").alias("bn"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "a_rel6",
+            "b_id",
+            F.expr(
+                f"CAST(ROUND(ROUND({dot_fixed_sql('av', 'bv', dim)}"
+                f" / (an * bn), 6) * 1000000) AS BIGINT)"
+            ).alias("sim6"),
+        )
+    )
+
+    lam_rest = lam_den - lam_num
+    out_schema = (
+        "query_id long, neighbor_id long, rank int, mmr_score long"
+    )
+
+    def select_mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rel_map = dict(
+            pdf.drop_duplicates("a_id")[["a_id", "a_rel6"]].itertuples(
+                index=False, name=None
+            )
+        )
+        sim_map: dict[tuple[int, int], int] = {
+            (r[0], r[1]): r[2]
+            for r in pdf[["a_id", "b_id", "sim6"]].itertuples(
+                index=False, name=None
+            )
+        }
+        selected: list[int] = []
+        rows = []
+        remaining = set(rel_map)
+        for rank in range(1, k + 1):
+            if not remaining:
+                break
+            best_id, best_score = None, None
+            for cand in remaining:
+                div6 = max(
+                    (sim_map[(cand, s)] for s in selected), default=0
+                )
+                score = lam_num * rel_map[cand] - lam_rest * div6
+                if (
+                    best_score is None
+                    or score > best_score
+                    or (score == best_score and cand < best_id)
+                ):
+                    best_id, best_score = cand, score
+            selected.append(best_id)
+            remaining.discard(best_id)
+            rows.append((qid, best_id, rank, best_score))
+        return pd.DataFrame(
+            rows, columns=["query_id", "neighbor_id", "rank", "mmr_score"]
+        )
+
+    return pairs.groupBy("query_id").applyInPandas(select_mmr, out_schema)

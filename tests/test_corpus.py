@@ -904,3 +904,94 @@ def test_weighted_sample_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality flags (corpus.gopher_quality_flags)
+# ---------------------------------------------------------------------------
+def test_gopher_flags_rules_fire_individually(spark):
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    good = " ".join(["the", "a", "word", "here"] * 15)  # 60 words, stopwords ok
+    rows = [
+        (1, good),
+        (2, "the a short doc"),  # < 50 words
+        (3, " ".join(["supercalifragilistic"] * 60)),  # mean len > 10, no stop
+        (4, good + " " + "# " * 20),  # symbol ratio > 0.1
+        (5, " ".join(["the", "a"] + ["12345"] * 58)),  # alpha ratio < 0.8
+        (6, " ".join(["word", "other"] * 30)),  # < 2 distinct stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in cp.gopher_quality_flags(df).collect()}
+    assert got[1]["gopher_pass"]
+    assert not got[2]["flag_word_count"] and not got[2]["gopher_pass"]
+    assert not got[3]["flag_mean_word_len"]
+    assert not got[4]["flag_symbol_ratio"]
+    assert not got[5]["flag_alpha_words"]
+    assert not got[6]["flag_stopwords"]
+
+
+def test_gopher_flags_integer_exact_boundaries(spark):
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    # exactly 50 words / mean word length exactly 3 and exactly 10 pass
+    # (bounds are inclusive, integer compares — no float epsilon anywhere)
+    w50 = " ".join(["the"] + ["abc"] * 49)  # 50 words, mean exactly 3
+    mean10 = " ".join(["the", "a"] + ["abcdefghij"] * 58)  # mean <= 10
+    df = spark.createDataFrame(
+        [(1, w50), (2, mean10)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in cp.gopher_quality_flags(df).collect()}
+    assert got[1]["flag_word_count"] and got[1]["flag_mean_word_len"]
+    assert got[2]["flag_mean_word_len"]
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture sampling (corpus.temperature_mixture_sample)
+# ---------------------------------------------------------------------------
+def test_temperature_mixture_upsamples_low_resource_groups(spark):
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    # 900 'big' rows vs 100 'small': proportional sampling gives small 10%
+    # of the draw; alpha=0.5 gives it sqrt(100)/(sqrt(900)+sqrt(100)) = 25%.
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = cp.temperature_mixture_sample(df, "g", "id", 100)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(
+        F.count("*").alias("n")).collect()}
+    # quotas: w_big=30e6, w_small=10e6, W=40e6 -> 75 and 25
+    assert counts == {"big": 75, "small": 25}
+
+
+def test_temperature_mixture_deterministic_and_min_quota(spark):
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    rows = [(i, f"g{min(i, 5)}") for i in range(400)]  # g5 dominates; g0..g4 singletons
+    df = spark.createDataFrame(rows, "id long, g string")
+    s1 = sorted(r["id"] for r in cp.temperature_mixture_sample(df, "g", "id", 50).collect())
+    s2 = sorted(
+        r["id"]
+        for r in cp.temperature_mixture_sample(
+            df.repartition(17), "g", "id", 50
+        ).collect()
+    )
+    assert s1 == s2
+    # every group draws at least one row (floor-quota guarantee)
+    got_groups = {
+        r["g"]
+        for r in cp.temperature_mixture_sample(df, "g", "id", 50)
+        .select("g")
+        .distinct()
+        .collect()
+    }
+    assert got_groups == {f"g{i}" for i in range(6)}
+
+
+def test_temperature_mixture_rejects_unsupported_alpha(spark):
+    from e_commerce_data_lakehouse_spark.operators import corpus as cp
+
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError):
+        cp.temperature_mixture_sample(df, "g", "id", 10, alpha_num=2, alpha_den=3)

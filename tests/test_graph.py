@@ -264,3 +264,56 @@ def test_triangle_skewed_hub(spark):
     # star + one closing rim edge: hub has huge degree but only 1 triangle
     edges = [(0, i) for i in range(1, 30)] + [(1, 2)]
     assert _tri(spark, edges) == {0: 1, 1: 1, 2: 1}
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (graph.kcore)
+# ---------------------------------------------------------------------------
+def test_kcore_known_graph(spark):
+    # K4 on {1,2,3,4} plus a pendant path 4-5-6: the 3-core is exactly the
+    # K4 (degrees 3), found after peeling 6 (deg 1) then 5 (deg 1).
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = _edges(spark, k4 + [(4, 5), (5, 6)])
+    got = {r["vertex"]: r["core_degree"] for r in gr.kcore(e, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_when_overdemanding(spark):
+    # a tree has no 2-core
+    e = _edges(spark, [(1, 2), (1, 3), (2, 4), (2, 5)])
+    assert gr.kcore(e, k=2).count() == 0
+
+
+def test_kcore_cascade_peel(spark):
+    # chain of triangles sharing single cut vertices: 2-core keeps all
+    # triangle vertices; 3-core is empty (every vertex has degree <= 4 but
+    # triangles alone can't sustain min-degree 3 after peeling starts).
+    tri = []
+    for t in range(4):
+        a, b, c = 3 * t + 1, 3 * t + 2, 3 * t + 3
+        tri += [(a, b), (b, c), (a, c)]
+        if t:
+            tri.append((3 * t, a))  # bridge from previous triangle
+    e = _edges(spark, tri)
+    core2 = {r["vertex"] for r in gr.kcore(e, k=2).collect()}
+    assert core2 == set(range(1, 13))
+    assert gr.kcore(e, k=3).count() == 0
+
+
+def test_kcore_min_degree_invariant(spark):
+    # circulant C20(1,2) (every vertex degree 4) survives k=3 whole; the
+    # attached pendant chain peels away.  Every surviving vertex keeps
+    # within-core degree >= k, and re-running is deterministic.
+    n = 20
+    pairs = [(i, (i + d) % n) for i in range(n) for d in (1, 2)]
+    pairs += [(0, 100), (100, 101), (101, 102)]
+    e = _edges(spark, pairs)
+    rows = sorted(
+        (r["vertex"], r["core_degree"]) for r in gr.kcore(e, k=3).collect()
+    )
+    assert [v for v, _ in rows] == list(range(n))
+    assert all(d == 4 for _, d in rows)
+    again = sorted(
+        (r["vertex"], r["core_degree"]) for r in gr.kcore(e, k=3).collect()
+    )
+    assert rows == again

@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "multimodal_embed_topk",
     "hard_negative_topk",  # same bounded-broadcast-queries exact-kNN shape
     "hybrid_search_rrf",  # semantic arm = the ann_cosine_topk shape
+    "mmr_diversified_topk",  # relevance pool = the ann_cosine_topk shape
 }
 
 

@@ -165,3 +165,83 @@ def test_training_sample_partitioning_independent(spark):
     # a different seed draws a different sample
     other = sim._sample_vectors(emb.repartition(3), "embedding", 7, 60)
     assert not np.array_equal(draws[0], other)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (similarity.mmr_rerank)
+# ---------------------------------------------------------------------------
+def _vec_df(spark, rows):
+    return spark.createDataFrame(rows, "vid long, v array<float>")
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from e_commerce_data_lakehouse_spark.operators import similarity as sim
+
+    # all three candidates equally relevant (cos 0.8 to the query); 1 and 2
+    # point the SAME direction (mutual sim 1.0), 3 is diverse (sim 0.28 to
+    # 1).  Plain top-2 returns [1, 2] (tie → id); MMR must swap the clone
+    # for the diverse candidate: 7·0.8 − 3·1.0 = 2.6  <  7·0.8 − 3·0.28 =
+    # 4.76.
+    q = _vec_df(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+    cands = _vec_df(
+        spark,
+        [
+            (1, [0.8, 0.6, 0.0, 0.0]),
+            (2, [1.6, 1.2, 0.0, 0.0]),
+            (3, [0.8, -0.6, 0.0, 0.0]),
+        ],
+    )
+    got = (
+        sim.mmr_rerank(q, cands, "vid", "v", pool_k=3, k=2)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in got] == [1, 3]
+    assert [r["rank"] for r in got] == [1, 2]
+
+
+def test_mmr_rank1_is_top_relevance_and_scores_decrease_sanely(spark):
+    from e_commerce_data_lakehouse_spark.operators import similarity as sim
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(4)])
+        for i in range(30)
+    ]
+    emb = _vec_df(spark, rows)
+    q = emb.filter(F.col("vid") < 2)
+    out = sim.mmr_rerank(q, emb, "vid", "v", pool_k=10, k=4)
+    top = sim.brute_force_topk(q, emb, "vid", "v", k=1)
+    want_first = {
+        r["query_id"]: r["neighbor_id"] for r in top.collect()
+    }
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert rs[0]["neighbor_id"] == want_first[qid]
+        # MMR scores are 7*rel6 - 3*div6: rank1 score must be the max
+        assert rs[0]["mmr_score"] == max(r["mmr_score"] for r in rs)
+        assert len({r["neighbor_id"] for r in rs}) == len(rs)
+
+
+def test_mmr_deterministic_under_partitioning(spark):
+    from e_commerce_data_lakehouse_spark.operators import similarity as sim
+
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17 - 8) for j in range(8)])
+        for i in range(50)
+    ]
+    emb = _vec_df(spark, rows)
+    q = emb.filter(F.col("vid") < 3)
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["mmr_score"])
+        for r in sim.mmr_rerank(q, emb, "vid", "v", pool_k=12, k=5).collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["mmr_score"])
+        for r in sim.mmr_rerank(
+            q.repartition(5), emb.repartition(11), "vid", "v", pool_k=12, k=5
+        ).collect()
+    )
+    assert a == b and len(a) == 15
