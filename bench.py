@@ -120,6 +120,9 @@ HEADLINE = [
     "mmr_diversified_topk",
     "kcore_copurchase",
     "streaming_dedup_keys",
+    "salted_brand_revenue",
+    "rolling_active_users",
+    "leakage_safe_split_counts",
 ]
 
 

@@ -23,7 +23,9 @@ from e_commerce_data_lakehouse_spark.caching import tracked_persist
 from e_commerce_data_lakehouse_spark.catalog import testdata_catalog
 from e_commerce_data_lakehouse_spark.functions.exact import (
     avg_money,
+    dsum,
     sql_avg_money,
+    sql_dsum,
     sql_sum_money,
     sum_money,
 )
@@ -7751,3 +7753,129 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="append"
     )
     return spark.table(table)
+
+
+@register(
+    "salted_brand_revenue",
+    f"""
+SELECT p.p_brand AS brand,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def salted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join (``operators/joins.py:salted_join``)
+    registered as a driver-checked query: lineitem⋈part with the large
+    side's hot keys spread over 16 salts and the dim replicated per salt,
+    then brand revenue.  The salt is carried only through the shuffle —
+    the aggregate result is IDENTICAL to the plain join, which is exactly
+    what the oracle asserts.  This is the explicit fallback for the one
+    case AQE's runtime skew split can't fix (a single key too hot for any
+    single task); at this dim size a real plan would broadcast instead —
+    the query exists to pin the salting algebra end-to-end."""
+    t = load(spark, sf_dir, "lineitem", "part")
+    joined = jn.salted_join(
+        t["lineitem"].withColumnRenamed("l_partkey", "p_partkey"),
+        t["part"].select("p_partkey", "p_brand"),
+        keys=["p_partkey"],
+        n_salts=16,
+    )
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "rolling_active_users",
+    """
+WITH contrib AS (
+  SELECT DISTINCT CAST(ts AS DATE) + CAST(d AS INT) AS day, user_id
+  FROM events, generate_series(0, 6) AS g(d)
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS active_users_7d
+FROM contrib
+WHERE day <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
+GROUP BY day
+""",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU
+    engagement metric.  COUNT(DISTINCT) over a sliding range frame is not
+    window-expressible, and a point-in-range join explodes quadratically;
+    the scalable shape inverts the lookup: each event contributes to
+    exactly the 7 calendar days that can see it (explode factor 7,
+    constant), then (day, user) dedup + count are two hash aggregates
+    with map-side combine.  Clamped at the corpus's max day so every
+    output row is a fully-observed trailing window."""
+    ev = load(spark, sf_dir, "events")["events"]
+    # bounded scalar (one date), the infer_dim class of driver fetch — a
+    # 1-row non-equi semi join would compile to BroadcastNestedLoopJoin,
+    # which the repo-wide plan sweep forbids
+    max_day = ev.agg(F.max(F.to_date("ts")).alias("m")).first()["m"]
+    contrib = (
+        ev.select(
+            F.explode(
+                F.sequence(
+                    F.to_date("ts"), F.date_add(F.to_date("ts"), 6)
+                )
+            ).alias("day"),
+            "user_id",
+        )
+    )
+    return (
+        contrib.distinct()
+        .groupBy("day")
+        .agg(F.count("*").cast("long").alias("active_users_7d"))
+        .filter(F.col("day") <= F.lit(max_day))
+    )
+
+
+@register(
+    "leakage_safe_split_counts",
+    f"""
+WITH RECURSIVE {_CC_PAIRS_SQL},
+m AS (
+  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS ck
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+),
+s AS (
+  SELECT doc_id, ck,
+         ('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 4))::INT % 100 AS b
+  FROM m
+)
+SELECT CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test' ELSE 'train' END
+           AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_clusters
+FROM s GROUP BY 1
+""",
+)
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS, not
+    documents, are the unit of assignment — every doc hashes on its
+    cluster's min-id representative (unclustered docs on themselves), so
+    two near-identical pages can never land in different splits (the
+    contamination ``split_leakage_audit`` measures; this operator prevents
+    it by construction).  Composition of three existing primitives:
+    blocked token-Jaccard pairs → connected components → content-hash
+    split on the cluster key.  The oracle replays the full CC fixpoint
+    (recursive CTE) and the md5 bucket arithmetic."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = _jaccard_pair_edges(spark, sf_dir)
+    comp = gr.connected_components(pairs, "id_a", "id_b")
+    m = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("ck")
+    )
+    return (
+        cp.dataset_split(m, "ck")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("ck").cast("long").alias("n_clusters"),
+        )
+    )

@@ -995,3 +995,30 @@ def test_temperature_mixture_rejects_unsupported_alpha(spark):
     df = spark.createDataFrame([(1, "a")], "id long, g string")
     with pytest.raises(ValueError):
         cp.temperature_mixture_sample(df, "g", "id", 10, alpha_num=2, alpha_den=3)
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Every near-dup cluster lands wholly inside ONE split — the property
+    the leakage_safe_split_counts query is built on."""
+    from e_commerce_data_lakehouse_spark import entry_queries as eq
+    from e_commerce_data_lakehouse_spark.operators import graph as gr
+
+    docs = eq.load(spark, SF, "documents")["documents"]
+    pairs = eq._jaccard_pair_edges(spark, SF)
+    comp = gr.connected_components(pairs, "id_a", "id_b")
+    m = docs.join(comp, docs["doc_id"] == comp["id"], "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("ck")
+    )
+    split = cp.dataset_split(m, "ck")
+    straddlers = (
+        split.groupBy("ck")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    # and there exists at least one multi-doc cluster, so the guarantee
+    # is exercised, not vacuous
+    assert (
+        split.groupBy("ck").count().filter(F.col("count") > 1).count() > 0
+    )
