@@ -123,6 +123,10 @@ HEADLINE = [
     "salted_brand_revenue",
     "rolling_active_users",
     "leakage_safe_split_counts",
+    "winsorized_priority_prices",
+    "classifier_decile_lift",
+    "streaming_running_totals",
+    "event_transition_matrix",
 ]
 
 

@@ -7864,7 +7864,14 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     it by construction).  Composition of three existing primitives:
     blocked token-Jaccard pairs → connected components → content-hash
     split on the cluster key.  The oracle replays the full CC fixpoint
-    (recursive CTE) and the md5 bucket arithmetic."""
+    (recursive CTE) and the md5 bucket arithmetic.  Scale note: the pair
+    source is the oracle-replayable blocked-Jaccard of ``dup_clusters_cc``
+    and shares its documented generator artifact (the 30-word synthetic
+    vocab saturates token-SET Jaccard, so the pair graph grows
+    super-linearly on .scaledata; SCALE_BENCH `leakage_safe_split_counts`
+    13.6×/10× data) — on real corpora the same composition runs off
+    ``minhash_lsh_pairs`` (linear candidates; see ``cc_over_lsh_pairs``
+    at 4.1×/100× in SCALE_BENCH), with only the pair stage swapped."""
     docs = load(spark, sf_dir, "documents")["documents"]
     pairs = _jaccard_pair_edges(spark, sf_dir)
     comp = gr.connected_components(pairs, "id_a", "id_b")
@@ -7878,4 +7885,292 @@ def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_docs"),
             F.count_distinct("ck").cast("long").alias("n_clusters"),
         )
+    )
+
+
+@register(
+    "winsorized_priority_prices",
+    """
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+q AS (
+  SELECT o_orderpriority,
+         MAX(CASE WHEN rn = (n * 5 + 99) // 100 THEN o_totalprice END) AS p05,
+         MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN o_totalprice END) AS p95,
+         MAX(n) AS n
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT r.o_orderpriority AS priority,
+       CAST(q.n AS BIGINT) AS n_orders, q.p05, q.p95,
+       ROUND(CAST(SUM(CAST(
+           CASE WHEN r.o_totalprice < q.p05 THEN q.p05
+                WHEN r.o_totalprice > q.p95 THEN q.p95
+                ELSE r.o_totalprice END AS DECIMAL(30,2))) AS DOUBLE)
+             / COUNT(*), 6) AS winsorized_avg
+FROM orders r JOIN q ON r.o_orderpriority = q.o_orderpriority
+GROUP BY 1, 2, 3, 4
+""",
+)
+def winsorized_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust mean per order priority: clamp prices at the
+    exact p05/p95 ORDER STATISTICS (rank = ``ceil(q·n)`` over a total
+    order — no interpolation, so the quantile is an actual data value and
+    both engines agree bit-for-bit; engines' built-in percentile
+    interpolation rules differ, which is why the rank arithmetic is
+    explicit).  Complements the MAD-based ``robust_price_outliers``
+    (detect) with the winsorize (repair) form.  Scale: exact per-group
+    quantiles need one sort per group (the window); the approximate path
+    at 100 TB is ``order_percentiles_approx``.  The quantile table is one
+    row per group, broadcast back for the clamp pass."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    q = ranked.groupBy("o_orderpriority").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 5 + 99) div 100"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 95 + 99) div 100"),
+                F.col("o_totalprice"),
+            )
+        ).alias("p95"),
+        F.max("n").cast("long").alias("n_orders"),
+    )
+    clamped = o.join(F.broadcast(q), "o_orderpriority").select(
+        F.col("o_orderpriority").alias("priority"),
+        "n_orders",
+        "p05",
+        "p95",
+        F.when(F.col("o_totalprice") < F.col("p05"), F.col("p05"))
+        .when(F.col("o_totalprice") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("wp"),
+    )
+    return clamped.groupBy("priority", "n_orders", "p05", "p95").agg(
+        avg_money("wp").alias("winsorized_avg")
+    )
+
+
+@register(
+    "classifier_decile_lift",
+    f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+         string_split({NORM_SQL.format(c='text')}, ' ') AS w
+  FROM documents
+),
+chart AS (SELECT COUNT(*)::BIGINT AS nd, SUM(n_chars)::BIGINT AS sc FROM d),
+toks AS (
+  SELECT doc_id,
+         n_chars * (SELECT nd FROM chart) > (SELECT sc FROM chart) AS pos,
+         unnest(w) AS tok
+  FROM d
+),
+stats AS (
+  SELECT tok,
+         SUM(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS pos_cnt,
+         SUM(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS neg_cnt
+  FROM toks GROUP BY tok
+),
+tot AS (SELECT SUM(pos_cnt)::BIGINT AS pt, SUM(neg_cnt)::BIGINT AS nt
+        FROM stats),
+votes AS (
+  SELECT t.doc_id,
+         CASE WHEN s.pos_cnt * (SELECT nt FROM tot)
+                   > s.neg_cnt * (SELECT pt FROM tot) THEN 1
+              WHEN s.pos_cnt * (SELECT nt FROM tot)
+                   < s.neg_cnt * (SELECT pt FROM tot) THEN -1
+              ELSE 0 END AS v
+  FROM toks t JOIN stats s USING (tok)
+),
+scored AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT
+           - SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM votes GROUP BY doc_id
+),
+lab AS (
+  SELECT sc.doc_id, sc.s,
+         CASE WHEN d2.n_chars * (SELECT nd FROM chart)
+                   > (SELECT sc FROM chart) THEN 1 ELSE 0 END AS y
+  FROM scored sc JOIN documents d2 USING (doc_id)
+),
+deciled AS (
+  SELECT s, y, NTILE(10) OVER (ORDER BY s DESC, doc_id ASC) AS decile
+  FROM lab
+),
+overall AS (SELECT SUM(y)::BIGINT AS p, COUNT(*)::BIGINT AS n FROM lab)
+SELECT CAST(decile AS INT) AS decile,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(y)::BIGINT AS n_pos,
+       SUM(y)::BIGINT * (SELECT n FROM overall) * 1000000
+           // (COUNT(*)::BIGINT * (SELECT p FROM overall)) AS lift_ppm
+FROM deciled
+GROUP BY decile
+""",
+)
+def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for the trained quality classifier — the standard
+    model-eval artifact next to AUC (``classifier_auc``): rank all docs by
+    classifier score, cut into 10 equal deciles, report each decile's
+    positive rate relative to the base rate as an exact integer ppm
+    (``n_pos·N·1e6 div (n·P)``) — a well-calibrated quality model shows
+    lift >> 1e6 in decile 1 decaying below 1e6 in the tail.  Reuses the
+    registered ``quality_classifier_scores`` pipeline for train+score;
+    the decile cut is NTILE over the bounded per-doc score frame (total
+    order: score desc, id asc — deterministic and engine-portable)."""
+    from pyspark.sql import Window
+
+    scores = quality_classifier_scores(spark, sf_dir).select(
+        "doc_id",
+        (F.col("pos_votes") - F.col("neg_votes")).alias("s"),
+    )
+    docs = load(spark, sf_dir, "documents")["documents"]
+    totals = docs.agg(F.count("*"), F.sum("n_chars")).first()
+    n_docs, sum_chars = int(totals[0]), int(totals[1])
+    lab = scores.join(
+        docs.select(
+            "doc_id",
+            (F.col("n_chars") * n_docs > sum_chars)
+            .cast("int")
+            .alias("y"),
+        ),
+        "doc_id",
+    )
+    deciled = lab.select(
+        "s",
+        "y",
+        "doc_id",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("s").desc(), F.col("doc_id").asc()))
+        .alias("decile"),
+    )
+    overall = lab.agg(
+        F.sum("y").cast("long").alias("p"),
+        F.count("*").cast("long").alias("n"),
+    ).first()
+    p, n = int(overall["p"]), int(overall["n"])
+    return deciled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr(
+            f"CAST(sum(y) AS BIGINT) * {n}L * 1000000L"
+            f" div (CAST(count(*) AS BIGINT) * {p}L)"
+        ).alias("lift_ppm"),
+    )
+
+
+@register(
+    "streaming_running_totals",
+    """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS events_total,
+       CAST(COUNT(*) AS BIGINT) AS batch_events
+FROM events GROUP BY user_id
+""",
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator
+    (``streaming/stateful.py:running_totals_per_key`` —
+    ``applyInPandasWithState``): cumulative per-user event counts carried
+    across micro-batches in GroupState, Arrow-batched, sharded by key.
+    Drained with AvailableNow over the single events file (one
+    micro-batch), so the final state equals the batch per-key count and
+    batch_events equals events_total — which is exactly what the oracle
+    checks; a multi-batch replay is pinned separately in
+    ``tests/test_streaming_sessions.py``.  This is the GroupState code
+    path no batch query exercises, promoted from scale-bench-only to a
+    driver-checked registry entry."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.streaming import stateful as st
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now,
+        stream_events,
+    )
+
+    load(spark, sf_dir)  # session settings (UTC + nanosAsLong)
+    schema = _events_stream_schema(spark, sf_dir)
+    stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
+    totals = st.running_totals_per_key(stream, "user_id", "ts")
+    table = f"running_totals_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        totals, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="update"
+    )
+    return spark.table(table)
+
+
+@register(
+    "event_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(COUNT(*) * 1000000
+           // SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT)
+           AS prob_ppm
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (view→click→purchase dynamics): LEAD over (ts, event_id) within each
+    user, then bigram counts and row-normalized transition probabilities
+    as exact integer ppm (``n·1e6 div row_total``).  The per-user window
+    partitions on the user key (bounded per-partition state); the final
+    normalizing window runs over the AGGREGATE type×type matrix (≤ |types|²
+    rows).  The sequence-mining primitive behind session funnels and
+    next-event prediction features."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("long").alias("n_transitions"))
+    row_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000L").alias("__num"),
+        F.sum("n_transitions").over(row_tot).alias("__den"),
+    ).selectExpr(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "__num div __den AS prob_ppm",
     )
