@@ -127,6 +127,7 @@ HEADLINE = [
     "classifier_decile_lift",
     "streaming_running_totals",
     "event_transition_matrix",
+    "revenue_spike_flags",
 ]
 
 

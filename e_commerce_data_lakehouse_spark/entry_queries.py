@@ -8184,3 +8184,71 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_transitions",
         "__num div __den AS prob_ppm",
     )
+
+
+@register(
+    "revenue_spike_flags",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(30,2)))) AS BIGINT)
+             AS rev
+  FROM orders GROUP BY 1
+),
+win AS (
+  SELECT day, rev,
+         SUM(rev) OVER w AS s,
+         SUM(rev * rev) OVER w AS q,
+         COUNT(*) OVER w AS cnt
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, rev,
+       CAST(cnt AS BIGINT) AS n_window,
+       cnt = 28 AND
+       CAST((28 * rev - s) AS BIGINT) * CAST((28 * rev - s) AS BIGINT)
+           > 4 * CAST((28 * q - s * s) AS BIGINT) AS spike_flag
+FROM win
+""",
+)
+def revenue_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection, exact-integer form: flag any day
+    whose revenue sits more than 2 trailing standard deviations from the
+    trailing 28-day mean — the ops-dashboard spike/drop alarm.  The
+    z-score compare is multiplied through so no division, sqrt, or float
+    appears: ``(n·x − S)² > 4·(n·Q − S²)`` with S/Q the window sum and
+    sum-of-squares of whole-dollar revenue (BIGINT; headroom holds to
+    ~sf300 daily volumes, after which the same identity runs in
+    DECIMAL(38,0)).  The trailing window is a global ROWS frame over the
+    bounded one-row-per-day AGGREGATE (the plan-sweep-blessed shape);
+    days with fewer than 28 predecessors report ``spike_flag = false``
+    rather than a noisy partial-window verdict."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(30,2)")))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-28, -1)
+    win = daily.select(
+        "day",
+        "rev",
+        F.sum("rev").over(w).alias("s"),
+        F.sum(F.expr("rev * rev")).over(w).alias("q"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    return win.select(
+        "day",
+        "rev",
+        F.col("cnt").cast("long").alias("n_window"),
+        (
+            (F.col("cnt") == 28)
+            & (
+                F.expr("CAST(28 * rev - s AS BIGINT)")
+                * F.expr("CAST(28 * rev - s AS BIGINT)")
+                > F.expr("4 * CAST(28 * q - s * s AS BIGINT)")
+            )
+        ).alias("spike_flag"),
+    )
