@@ -8252,3 +8252,758 @@ def revenue_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spike_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 first pass: correlated-subquery shapes, customer-value analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "late_sole_supplier",
+    """
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM li l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY s.s_suppkey, s.s_name
+""",
+)
+def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("suppliers who kept orders waiting"): for each
+    order, find the supplier whose line shipped late (>60 days after the
+    order date) while every OTHER supplier on the same multi-supplier
+    order shipped on time — the classic double-correlated
+    EXISTS / NOT EXISTS.  The Spark plan uses the standard decorrelation:
+    ONE aggregation per order computing (distinct suppliers, distinct
+    late suppliers, the late supplier id), then a filter
+    ``n_supp > 1 AND n_late_supp = 1`` — a single shuffle on orderkey
+    instead of two correlated passes, the rewrite a 100 TB run needs.
+    The oracle keeps the textbook EXISTS form, so the hash-match proves
+    the decorrelated plan IS the correlated semantics."""
+    t = load(spark, sf_dir, "lineitem", "orders", "supplier")
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("is_late"),
+        )
+    )
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("n_late_supp"),
+            F.max(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+            F.col("late_supp") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+@register(
+    "rfm_segments",
+    """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(30,0))) AS BIGINT)
+             AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, spend_cents,
+         NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY spend_cents, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend_cents) AS BIGINT) AS segment_spend_cents
+FROM scored GROUP BY 1, 2, 3
+""",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    standard CRM cube: quintile-score each customer on last order date,
+    order count, and lifetime spend (exact integer cents), then count the
+    population of every (r, f, m) cell.  The NTILE windows run over the
+    per-customer AGGREGATE (O(customers), not O(orders) — the
+    plan-sweep-blessed bounded-input shape) with custkey tiebreakers so
+    quintile edges are deterministic across engines."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(30,0))"))
+        .cast("long")
+        .alias("spend_cents"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "spend_cents",
+        F.ntile(5)
+        .over(Window.orderBy("last_order", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("n_orders", "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("spend_cents", "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend_cents").alias("segment_spend_cents"),
+    )
+
+
+@register(
+    "abc_revenue_classes",
+    """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                  * 1000000) AS BIGINT) AS rev_micros
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, rev_micros,
+         SUM(rev_micros) OVER (ORDER BY rev_micros DESC, l_partkey
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev_micros) OVER () AS total
+  FROM per_part
+)
+SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
+            WHEN 100 * cum <= 95 * total THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_micros) AS BIGINT) AS class_rev_micros,
+       CAST((SUM(rev_micros) // 1000000) * 1000000
+            // (MAX(total) // 1000000) AS BIGINT) AS rev_share_ppm
+FROM ranked GROUP BY 1
+""",
+)
+def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: rank parts by revenue
+    (exact integer micros), take the running revenue share, and classify
+    A (first 80% of revenue), B (next 15%), C (tail).  The cumulative
+    window runs over the per-part AGGREGATE — one bounded sorted pass —
+    and every compare is multiplied through (``100·cum ≤ 80·total``) so
+    no division or float touches the classification; only the final
+    3-row report derives a ppm share by integer division."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))"
+                " * 1000000"
+            )
+        )
+        .cast("long")
+        .alias("rev_micros")
+    )
+    w_cum = Window.orderBy(
+        F.col("rev_micros").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy(F.col("rev_micros").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_part.select(
+        "rev_micros",
+        F.sum("rev_micros").over(w_cum).alias("cum"),
+        F.sum("rev_micros").over(w_all).alias("total"),
+    )
+    return (
+        ranked.select(
+            F.when(F.expr("100 * cum <= 80 * total"), F.lit("A"))
+            .when(F.expr("100 * cum <= 95 * total"), F.lit("B"))
+            .otherwise(F.lit("C"))
+            .alias("abc_class"),
+            "rev_micros",
+            "total",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev_micros").alias("class_rev_micros"),
+            # share from whole-dollar revenue: micros * 1e6 would overflow
+            # BIGINT past ~sf1 (DuckDB's SUM silently widens to HUGEINT,
+            # Spark's does not — ANSI overflow caught at sf0.01)
+            F.expr(
+                "(sum(rev_micros) div 1000000) * 1000000"
+                " div (max(total) div 1000000)"
+            ).alias("rev_share_ppm"),
+        )
+    )
+
+
+@register(
+    "repurchase_intervals",
+    """
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         LAG(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_d
+  FROM orders
+)
+SELECT CAST(LEAST(DATE_DIFF('day', prev_d, d) // 7, 52) AS INT)
+           AS gap_week_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM seq WHERE prev_d IS NOT NULL
+GROUP BY 1
+""",
+)
+def repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution — the input to churn and
+    next-order models: per-customer LAG over order dates gives the gap to
+    the previous order, bucketed into weeks (capped at 52+).  One shuffle
+    on custkey for the partitioned window, then a tiny bounded histogram
+    aggregate."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.lag(F.to_date("o_orderdate")).over(w).alias("prev_d"),
+    ).filter(F.col("prev_d").isNotNull())
+    return (
+        seq.select(
+            "o_custkey",
+            F.least(
+                F.expr("datediff(d, prev_d) div 7"), F.lit(52)
+            )
+            .cast("int")
+            .alias("gap_week_bucket"),
+        )
+        .groupBy("gap_week_bucket")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "order_value_gini",
+    """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(30,0))) AS BIGINT)
+             AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT spend_cents,
+         ROW_NUMBER() OVER (ORDER BY spend_cents, o_custkey) AS rn
+  FROM per_cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(spend_cents) AS BIGINT) AS total_spend_cents,
+       CAST((2 * SUM(rn * spend_cents) - (COUNT(*) + 1) * SUM(spend_cents))
+            // ((COUNT(*) * SUM(spend_cents)) // 1000000) AS BIGINT)
+           AS gini_ppm
+FROM ranked
+""",
+)
+def order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend — the standard
+    revenue-concentration KPI — in exact integer arithmetic via the
+    rank-sum identity ``G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)`` over
+    ascending-sorted spends.  The rank window runs over the per-customer
+    AGGREGATE; the identity needs only three scalar sums, so no row sees
+    the global n (single pass after the sort).  Integer headroom holds to
+    ~sf3 customer counts; past that the same identity runs in
+    DECIMAL(38,0).  Output is ppm via dividing by the pre-scaled
+    denominator (den ≥ 1e6 whenever there are >10 customers)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(30,0))"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    ranked = per_cust.select(
+        "spend_cents",
+        F.row_number()
+        .over(Window.orderBy("spend_cents", "o_custkey"))
+        .alias("rn"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend_cents").alias("total_spend_cents"),
+        F.expr(
+            "(2 * sum(rn * spend_cents)"
+            " - (count(*) + 1) * sum(spend_cents))"
+            " div ((count(*) * sum(spend_cents)) div 1000000)"
+        ).alias("gini_ppm"),
+    )
+
+
+@register(
+    "ship_delay_business_days",
+    """
+WITH bounds AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+         CAST(MAX(l_shipdate) AS DATE) AS hi
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cal AS (
+  SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+bd AS (
+  SELECT day,
+         SUM(CASE WHEN ISODOW(day) <= 5 THEN 1 ELSE 0 END)
+             OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS bd_idx
+  FROM cal
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(s.bd_idx - d.bd_idx) AS BIGINT) AS sum_bizdays,
+       CAST(SUM(s.bd_idx - d.bd_idx) * 1000000 // COUNT(*) AS BIGINT)
+           AS avg_bizdays_ppm
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN bd s ON s.day = CAST(l.l_shipdate AS DATE)
+JOIN bd d ON d.day = CAST(o.o_orderdate AS DATE)
+GROUP BY 1
+""",
+)
+def ship_delay_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay in BUSINESS days (weekends excluded) per order
+    priority — the SLA metric a fulfilment dashboard actually reports.
+    Instead of exploding a per-line date range (quadratic at scale) or a
+    branchy closed-form, build the bounded business-day calendar once
+    (explode(sequence) over the min/max AGGREGATE, cumulative weekday
+    count), then BROADCAST-join it twice: business-day delay is just
+    ``bd_idx(ship) − bd_idx(order)``.  The calendar is O(days) — ~2.4k
+    rows for 7 years — so both joins are map-side at any corpus size."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    o = t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.to_date("l_shipdate").alias("ship_d"),
+        F.to_date("o_orderdate").alias("ord_d"),
+        "o_orderpriority",
+    )
+    bounds = joined.agg(
+        F.min("ord_d").alias("lo"), F.max("ship_d").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    bd = cal.select(
+        "day",
+        F.sum(F.expr("CASE WHEN weekday(day) < 5 THEN 1 ELSE 0 END"))
+        .over(
+            Window.orderBy("day").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("bd_idx"),
+    )
+    ship_bd = F.broadcast(
+        bd.select(F.col("day").alias("ship_d"), F.col("bd_idx").alias("s_idx"))
+    )
+    ord_bd = F.broadcast(
+        bd.select(F.col("day").alias("ord_d"), F.col("bd_idx").alias("d_idx"))
+    )
+    return (
+        joined.join(ship_bd, "ship_d")
+        .join(ord_bd, "ord_d")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.expr("s_idx - d_idx")).alias("sum_bizdays"),
+            F.expr("sum(s_idx - d_idx) * 1000000 div count(*)").alias(
+                "avg_bizdays_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "ewma_daily_revenue",
+    """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(30,2)))) AS BIGINT)
+             AS rev
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT day, rev,
+         {terms},
+         LAG(rev, 15) OVER (ORDER BY day) AS l15
+  FROM daily
+)
+SELECT day, rev,
+       CASE WHEN l15 IS NULL THEN NULL
+            ELSE CAST(1000 * ({weighted}) // 65535 AS BIGINT)
+       END AS ewma_milli
+FROM lagged
+""".format(
+        terms=", ".join(
+            f"LAG(rev, {j}) OVER (ORDER BY day) AS l{j}" for j in range(15)
+        ),
+        weighted=" + ".join(
+            f"l{j} * {1 << (15 - j)}" for j in range(16)
+        ),
+    ),
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue with decay
+    ½ per day, in exact fixed point: the 16 most recent observed days get
+    dyadic weights 2^15..2^0 (older terms contribute < 1/65536 and are
+    truncated), so the smoothed value is one integer dot product —
+    bit-identical across engines, no float accumulation order to worry
+    about.  All 16 positional lags come from ONE window node over the
+    bounded daily AGGREGATE (positional weights can't be expressed as a
+    frame SUM); days with fewer than 16 predecessors report NULL rather
+    than a mis-scaled partial smooth."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(30,2)")))
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "rev",
+        *[F.lag("rev", j).over(w).alias(f"l{j}") for j in range(16)],
+    )
+    weighted = " + ".join(f"l{j} * {1 << (15 - j)}" for j in range(16))
+    return lagged.select(
+        "day",
+        "rev",
+        F.when(
+            F.col("l15").isNotNull(),
+            F.expr(f"1000 * ({weighted}) div 65535"),
+        ).alias("ewma_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 second pass: RLHF pair mining, epoch shuffling, feature stats,
+# streaming sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "preference_pairs",
+    """
+WITH scored AS (
+  SELECT lang, source, doc_id,
+         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS score
+  FROM documents
+),
+ranked AS (
+  SELECT lang, source, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score DESC, doc_id ASC) AS rn_best,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score ASC, doc_id DESC) AS rn_worst,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n_docs
+  FROM scored
+)
+SELECT b.lang, b.source,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       b.doc_id AS chosen_doc_id, b.score AS chosen_score,
+       w.doc_id AS rejected_doc_id, w.score AS rejected_score,
+       b.score - w.score AS score_margin
+FROM ranked b JOIN ranked w
+  ON b.lang = w.lang AND b.source = w.source
+WHERE b.rn_best = 1 AND w.rn_worst = 1 AND b.n_docs >= 2
+""",
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for reward-model / DPO training data: per
+    (lang, source) prompt group, pair the highest-scoring document
+    (chosen) with the lowest-scoring one (rejected), scored here by
+    lexical diversity (distinct-token count — exact, oracle-checkable;
+    swap in any scalar quality score).  Deterministic tiebreaks pull the
+    two ends APART (chosen breaks ties toward the smaller doc_id,
+    rejected toward the larger), so an all-tied group still yields a
+    valid pair and the pair is stable across engines and re-runs.
+
+    The Spark plan is ONE hash aggregate — argmax/argmin via
+    ``max(struct(score, -doc_id))`` — not two ranking windows: a single
+    map-side-combining shuffle on the group key, no sort, the shape that
+    holds when the corpus has 10^9 docs and 10^5 groups.  The oracle
+    keeps the textbook double-ROW_NUMBER form; the hash match proves the
+    agg rewrite implements it."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("score"),
+    )
+    per_group = scored.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("nid")))
+        .alias("best"),
+        F.min(F.struct(F.col("score"), (-F.col("doc_id")).alias("nid")))
+        .alias("worst"),
+    )
+    return per_group.filter(F.col("n_docs") >= 2).select(
+        "lang",
+        "source",
+        "n_docs",
+        (-F.col("best.nid")).alias("chosen_doc_id"),
+        F.col("best.score").alias("chosen_score"),
+        (-F.col("worst.nid")).alias("rejected_doc_id"),
+        F.col("worst.score").alias("rejected_score"),
+        (F.col("best.score") - F.col("worst.score")).alias("score_margin"),
+    )
+
+
+@register(
+    "epoch_shuffle",
+    f"""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+             AS shuffle_key
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(range(0, 3)) AS epoch) e
+)
+SELECT CAST(epoch AS INT) AS epoch,
+       CAST(('0x' || substr(shuffle_key, 1, 4))::INT % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+            PARTITION BY epoch,
+                         ('0x' || substr(shuffle_key, 1, 4))::INT % 8
+            ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+       doc_id
+FROM keyed
+""",
+)
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-epoch dataset shuffling — the ordering contract a
+    multi-epoch training job needs: every epoch visits all documents in a
+    different but DETERMINISTIC order (resume-safe, engine-portable,
+    independent of partition layout, unlike ``orderBy(rand(seed))``).
+    Each (epoch, doc) gets an md5 shuffle key; the first 16 bits route
+    the doc to one of 8 shards and a per-shard ROW_NUMBER assigns its
+    read position.  At scale the global sort is sharded: each shard sorts
+    ~1/8 of an epoch independently (the window partitions by shard), so
+    no single task ever sees the whole corpus — exactly how a
+    1000-executor shuffling job shards its output files."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    from pyspark.sql import Window
+
+    # epoch replication as a generator (explode(sequence)), not a join —
+    # 3 output rows per input row inside the scan stage, no plan hazard
+    keyed = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(2).cast("int"))
+        ).alias("epoch"),
+    )
+    keyed = keyed.select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("shuffle_key"),
+    ).select(
+        "epoch",
+        "doc_id",
+        "shuffle_key",
+        (
+            F.conv(F.substring("shuffle_key", 1, 4), 16, 10).cast("int") % 8
+        ).alias("shard"),
+    )
+    return keyed.select(
+        "epoch",
+        "shard",
+        F.row_number()
+        .over(
+            Window.partitionBy("epoch", "shard").orderBy(
+                "shuffle_key", "doc_id"
+            )
+        )
+        .cast("long")
+        .alias("pos"),
+        "doc_id",
+    )
+
+
+@register(
+    "embedding_covariance",
+    """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, t.i, qv[t.i + 1] AS v
+  FROM q CROSS JOIN (SELECT UNNEST(range(0, 64)) AS i) t
+)
+SELECT CAST(a.i AS INT) AS dim_i, CAST(b.i AS INT) AS dim_j,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(a.v * b.v) AS BIGINT) AS sum_prod,
+       CAST(SUM(a.v) AS BIGINT) AS sum_i,
+       CAST(SUM(b.v) AS BIGINT) AS sum_j,
+       CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(a.v * b.v)
+            - CAST(SUM(a.v) AS DECIMAL(38,0)) * SUM(b.v)
+            AS DECIMAL(38,0)) AS cov_num
+FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+""",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact feature-covariance statistics of the embedding column — the
+    input to whitening / PCA / feature-drift monitors.  Components are
+    quantized to integer fixed point SQL-side (bit-identical in both
+    engines), then each partition contributes ONE int64 GEMM partial
+    (``Q.T @ Q`` inside an Arrow ``mapInPandas`` kernel) and the combine
+    is a 2080-group hash aggregate — the corpus never shuffles, only
+    dim·(dim+1)/2 partial rows per Arrow batch do
+    (``operators/features.py:covariance_fixed``).  The oracle recomputes
+    the same sums by brute-force unnest self-join; the hash match proves
+    the GEMM partial-aggregation is exact."""
+    from e_commerce_data_lakehouse_spark.operators import features as ft
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return ft.covariance_fixed(emb, "embedding", dim=64, scale=10**6)
+
+
+@register(
+    "streaming_user_sessions",
+    """
+WITH marked AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+    SELECT user_id, ts, value, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization as a GENUINE Structured Streaming query: the same
+    30-minute-gap ``session_window`` expression as the batch
+    ``user_sessions``, but run over a watermarked file-source stream
+    (AvailableNow trigger draining to a memory sink) — the state-merging
+    path a live clickstream pipeline runs, where Spark's session-window
+    state store merges windows as events arrive instead of recomputing
+    history.  Oracle: the batch gaps-and-islands SQL — streaming output
+    must equal the batch fixpoint once the stream drains (T4/T5
+    semantics: the reference recomputes sessions per nightly batch,
+    ``transactions_processor.py:27-116``)."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now,
+        stream_events,
+    )
+
+    load(spark, sf_dir)  # session settings (UTC + nanosAsLong)
+    schema = _events_stream_schema(spark, sf_dir)
+    stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("__sw")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("__sw.start").alias("session_start"),
+            F.col("__sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    table = f"user_sessions_{uuid.uuid4().hex[:8]}"
+    run_available_now(sessions, tempfile.mkdtemp(prefix="ckpt_"), table)
+    out = spark.table(table)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
