@@ -5800,31 +5800,19 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: pairs of parts bought together in at
     least 2 distinct orders — the "frequently bought together" primitive.
 
-    Scale shape: the pair generation is a SELF-EQUI-JOIN on ``l_orderkey``
-    (never a cross join): both sides hash to the same partitions, and the
-    per-order pair blowup is bounded by (lines per order choose 2) — a
-    small constant (~21 for TPC-H's <=7 lines) independent of corpus size.
-    The distinct first collapses repeat part purchases within an order so
-    the support count means "orders", not "line pairs".  The pair aggregate
-    shuffles on (part_a, part_b); min-support HAVING keeps the output to
-    genuinely co-occurring pairs."""
+    Scale shape: pair generation is ``basket.cooccurrence_pairs`` — one
+    collect_set shuffle on ``l_orderkey`` (the set collapses repeat part
+    purchases, so support means "orders", not "line pairs") + in-stage
+    array pair expansion, then the (part_a, part_b) count aggregate.  Two
+    shuffles where the textbook distinct→self-join→agg plan pays three;
+    per-order fanout is (lines per order choose 2), a small constant
+    (~21 for TPC-H's <=7 lines) independent of corpus size — identical to
+    the self-join's output volume.  The oracle keeps the textbook
+    self-join form; the hash match proves the rewrite."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    )
-    return (
-        pairs.groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").cast("long").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
-    )
+    return bk.cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", "part_a", "part_b", "n_orders"
+    ).filter(F.col("n_orders") >= 2)
 
 
 @register(
@@ -6790,21 +6778,9 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e_commerce_data_lakehouse_spark.operators import graph as gr
 
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-    )
+    pairs = bk.cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", "pa", "pb", "__n"
+    ).select("pa", "pb")
     edges = pairs.union(pairs.select(F.col("pb"), F.col("pa")))
     return gr.pagerank_fixed(edges, "pa", "pb").select(
         F.col("id").alias("part_id"), "deg", "rank_fp"
@@ -7159,21 +7135,9 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count each triangle exactly once per corner.  See
     ``operators/graph.py:triangle_counts``."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-    )
+    edges = bk.cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", "src", "dst", "n"
+    ).filter(F.col("n") >= 2)
     return gr.triangle_counts(edges).select(
         F.col("vertex").alias("part_id"), "n_triangles"
     )
@@ -7701,19 +7665,10 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixpoint is unique, so depth just needs to cover the real round
     count (10 at sf0.01)."""
     li = load(spark, sf_dir, "lineitem")["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        bk.cooccurrence_pairs(
+            li, "l_orderkey", "l_partkey", "src", "dst", "n"
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
         .select("src", "dst")
     )
