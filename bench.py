@@ -128,6 +128,16 @@ HEADLINE = [
     "streaming_running_totals",
     "event_transition_matrix",
     "revenue_spike_flags",
+    # round 6
+    "late_sole_supplier",
+    "rfm_segments",
+    "ship_delay_business_days",
+    "preference_pairs",
+    "epoch_shuffle",
+    "embedding_covariance",
+    "streaming_user_sessions",
+    "retrieval_eval_knn",
+    "negative_part_samples",
 ]
 
 

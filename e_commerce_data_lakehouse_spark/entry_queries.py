@@ -8962,3 +8962,226 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third pass: retrieval eval, tolerance as-of, negative sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retrieval_eval_knn",
+    """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+r AS (
+  SELECT q.vec_id AS query_id, q.label AS qlabel, c.label AS clabel,
+         row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY ROUND(list_dot_product(q.v, c.v) /
+                  (sqrt(list_dot_product(q.v, q.v)) *
+                   sqrt(list_dot_product(c.v, c.v))), 6) DESC,
+                  c.vec_id ASC) AS rank
+  FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id != q.vec_id
+  QUALIFY rank <= 10
+)
+SELECT query_id,
+       CAST(qlabel AS INT) AS query_label,
+       CAST(MIN(CASE WHEN clabel = qlabel THEN rank END) AS INT)
+           AS first_hit_rank,
+       CAST(COALESCE(1000000 // MIN(CASE WHEN clabel = qlabel THEN rank END),
+                     0) AS BIGINT) AS rr_ppm,
+       CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+           AS hits_at_10,
+       CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) * 100000
+            AS BIGINT) AS precision_at_10_ppm
+FROM r GROUP BY 1, 2
+""",
+)
+def retrieval_eval_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the embedding space — the metric
+    table an embedding-model training loop reports each epoch: for every
+    query vector, exact cosine top-10, relevance = same class label, then
+    per-query reciprocal rank (MRR input) and precision@10.  Both metrics
+    are exact integer ppm (``1000000 div rank``) — no float division —
+    so the whole eval is driver-hash-checkable.  The kNN pass is the
+    bounded-broadcast exact shape of ``ann_cosine_topk``; labels attach
+    by equi-join, and the per-query metric is a 10-row-per-query
+    aggregate."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = sim.brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+    )
+    clab = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    hits = (
+        topk.join(F.broadcast(qlab), "query_id")
+        .join(F.broadcast(clab), "neighbor_id")
+        .select(
+            "query_id",
+            "query_label",
+            "rank",
+            (F.col("neighbor_label") == F.col("query_label")).alias("hit"),
+        )
+    )
+    return hits.groupBy("query_id", "query_label").agg(
+        F.min(F.when(F.col("hit"), F.col("rank")))
+        .cast("int")
+        .alias("first_hit_rank"),
+        F.coalesce(
+            F.expr("1000000 div min(CASE WHEN hit THEN rank END)"),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("rr_ppm"),
+        F.sum(F.col("hit").cast("int")).cast("long").alias("hits_at_10"),
+        (F.sum(F.col("hit").cast("int")) * 100000)
+        .cast("long")
+        .alias("precision_at_10_ppm"),
+    )
+
+
+@register(
+    "asof_view_within_1h",
+    """
+WITH v AS (
+    SELECT user_id, ts, MAX(event_id) AS view_event_id
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
+), p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       CASE WHEN v.ts >= p.purchase_ts - INTERVAL 1 HOUR
+            THEN v.view_event_id END AS view_event_id,
+       CASE WHEN v.ts >= p.purchase_ts - INTERVAL 1 HOUR
+            THEN v.ts END AS view_ts
+FROM p ASOF LEFT JOIN v
+    ON p.user_id = v.user_id AND p.purchase_ts >= v.ts
+""",
+)
+def asof_view_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas ``merge_asof(tolerance=)``
+    semantics): each purchase matched to the same user's latest prior view
+    only if that view happened within the last hour — the attribution
+    window every marketing pipeline applies.  Same single
+    union+sort+carry-forward shuffle as the unbounded as-of
+    (``operators/joins.py:asof_join``); the bound is a projection on the
+    carried match timestamp, not an extra join.  Oracle: DuckDB native
+    ASOF JOIN with the window applied as a CASE."""
+    ev = load(spark, sf_dir, "events")["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+        .withColumn("view_ts", F.col("ts"))
+        .select("user_id", F.col("ts"), "view_event_id", "view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return jn.asof_join(
+        purchases,
+        views.withColumnRenamed("ts", "__rts"),
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="__rts",
+        right_cols=["view_event_id", "view_ts"],
+        tolerance="1 HOUR",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "view_event_id", "view_ts"
+    )
+
+
+@register(
+    "negative_part_samples",
+    """
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS part_id
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+pop AS (
+  SELECT part_id, COUNT(*) AS n_buyers,
+         row_number() OVER (ORDER BY COUNT(*) DESC, part_id ASC) AS pop_rank
+  FROM inter GROUP BY part_id
+  QUALIFY pop_rank <= 100
+),
+cand AS (
+  SELECT c.custkey, p.part_id,
+         md5(CAST(c.custkey AS VARCHAR) || ':' || CAST(p.part_id AS VARCHAR))
+             AS nk
+  FROM (SELECT DISTINCT custkey FROM inter) c CROSS JOIN pop p
+),
+neg AS (
+  SELECT c.custkey, c.part_id,
+         row_number() OVER (PARTITION BY c.custkey
+                            ORDER BY c.nk, c.part_id) AS neg_rank
+  FROM cand c ANTI JOIN inter i
+    ON c.custkey = i.custkey AND c.part_id = i.part_id
+)
+SELECT custkey, part_id, CAST(neg_rank AS INT) AS neg_rank
+FROM neg WHERE neg_rank <= 3
+""",
+)
+def negative_part_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender / contrastive
+    training: for every customer, 3 popular parts they did NOT buy —
+    popularity-weighted negatives are the standard hard-ish negative
+    recipe (uniform negatives are too easy, true hard negatives need a
+    model).  The candidate pool is the top-100 parts by distinct buyers
+    (bounded, broadcast); candidates fan out per customer (O(customers ×
+    100), linear), actual purchases drop by LEFT ANTI join, and the
+    3-per-customer draw orders by a content hash (md5(cust:part) — stable
+    under re-runs, insertions, partitioning) via a per-group rank that
+    compiles to WindowGroupLimit.  Everything is engine-portable: the
+    oracle replays the identical pool, hash, and ranks."""
+    t = load(spark, sf_dir, "orders", "lineitem")
+    inter = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("custkey"), "o_orderkey")
+        .join(
+            t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("part_id")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("custkey", "part_id")
+        .distinct()
+    )
+    inter = tracked_persist(inter)
+    pop = (
+        inter.groupBy("part_id")
+        .agg(F.count("*").alias("n_buyers"))
+        .orderBy(F.col("n_buyers").desc(), F.col("part_id").asc())
+        .limit(100)
+        .select("part_id")
+    )
+    custs = inter.select("custkey").distinct()
+    cand = custs.join(F.broadcast(pop), how="cross").select(
+        "custkey",
+        "part_id",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("custkey").cast("string"),
+                F.col("part_id").cast("string"),
+            )
+        ).alias("nk"),
+    )
+    neg = cand.join(inter, ["custkey", "part_id"], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("custkey").orderBy("nk", "part_id")
+    return (
+        neg.select(
+            "custkey",
+            "part_id",
+            F.row_number().over(w).cast("int").alias("neg_rank"),
+        )
+        .filter(F.col("neg_rank") <= 3)
+    )

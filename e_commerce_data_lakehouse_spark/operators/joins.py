@@ -125,6 +125,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` for the same key (backward, inclusive — DuckDB /
@@ -136,6 +137,12 @@ def asof_join(
     preceding window carries the most recent right values forward onto left
     rows — O(n log n) total, no pairwise product, partitioned by key so a
     1000-executor cluster sorts each key's timeline locally.
+
+    ``tolerance`` (optional, an SQL interval body like ``'1 HOUR'``)
+    bounds the lookback — pandas ``merge_asof(tolerance=...)`` semantics:
+    a match older than ``left_ts − tolerance`` is nulled out (inclusive
+    at the boundary).  The carried match timestamp makes this a pure
+    post-window projection: same single shuffle, no extra pass.
 
     ``right`` must be unique per ``(on, right_ts)`` (pre-dedup with
     ``keep_latest``) — equal-timestamp duplicates would make "the" latest
@@ -153,14 +160,32 @@ def asof_join(
         .orderBy("__t", "__tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    fill_cols = list(right_cols)
+    if tolerance is not None:
+        # carry the matched right timestamp so the tolerance check is a
+        # projection on the already-windowed frame
+        unioned = unioned.withColumn(
+            "__rt", F.when(F.col("__tag") == 0, F.col("__t"))
+        )
+        fill_cols.append("__rt")
     filled = unioned.select(
         "*",
         *[
             F.last(c, ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_cols
+            for c in fill_cols
         ],
     )
-    out = filled.filter(F.col("__tag") == 1).drop("__tag", "__t", *right_cols)
+    out = filled.filter(F.col("__tag") == 1)
+    if tolerance is not None:
+        in_window = F.col("__asof___rt") >= F.col("__t") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        for c in right_cols:
+            out = out.withColumn(
+                f"__asof_{c}", F.when(in_window, F.col(f"__asof_{c}"))
+            )
+        out = out.drop("__rt", "__asof___rt")
+    out = out.drop("__tag", "__t", *right_cols)
     for c in right_cols:
         out = out.withColumnRenamed(f"__asof_{c}", c)
     return out

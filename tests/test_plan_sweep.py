@@ -34,6 +34,11 @@ BNLJ_ALLOWED = {
     "hard_negative_topk",  # same bounded-broadcast-queries exact-kNN shape
     "hybrid_search_rrf",  # semantic arm = the ann_cosine_topk shape
     "mmr_diversified_topk",  # relevance pool = the ann_cosine_topk shape
+    "retrieval_eval_knn",  # eval over the ann_cosine_topk exact-kNN shape
+    # candidate fan-out = customers x a BOUNDED top-100 broadcast pool
+    # (O(customers) output, linear) — the one legitimate broadcast-cross
+    # outside the kNN family
+    "negative_part_samples",
 }
 
 
