@@ -29,13 +29,31 @@ is a no-op in Spark, so double-release is safe.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
 
 _TRACKED: list[DataFrame] = []
 
+# Serialized-in-memory, disk-spillable — NOT the DataFrame default
+# (MEMORY_AND_DISK_DESER): deserialized row caches of a few 10^7 rows
+# carry object overhead that can overflow a small executor heap while the
+# consuming job runs (observed: a 60M-row persisted interaction set OOM'd
+# an 8g local heap at gen-sf10).  Serialized blocks are several times
+# smaller, evict to disk gracefully, and re-reads pay one cheap decode
+# pass — the right default for a library whose persists are mostly
+# narrow long/string projections consumed 2-3 times.
+_PERSIST_LEVEL = StorageLevel.MEMORY_AND_DISK
 
-def tracked_persist(df: DataFrame) -> DataFrame:
-    """``df.persist()`` + register for later :func:`release_persisted`."""
-    out = df.persist()
+
+def tracked_persist(
+    df: DataFrame, level: StorageLevel = _PERSIST_LEVEL
+) -> DataFrame:
+    """``df.persist(level)`` + register for later :func:`release_persisted`.
+
+    ``level`` defaults to SERIALIZED memory-and-disk (see
+    ``_PERSIST_LEVEL``); pass ``StorageLevel.MEMORY_AND_DISK_DESER`` for a
+    small hot frame where decode cost dominates.
+    """
+    out = df.persist(level)
     _TRACKED.append(out)
     return out
 

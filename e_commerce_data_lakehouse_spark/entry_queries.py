@@ -9185,3 +9185,151 @@ def negative_part_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("neg_rank") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 fourth pass: quantile normalization, streaming dim enrichment,
+# embedding whitening
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_norm_scores",
+    """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, score,
+       CAST(CASE WHEN n = 1 THEN 500000
+                 ELSE ((rnk - 1) * 1000000) // (n - 1) END AS BIGINT)
+           AS qnorm_ppm
+FROM ranked
+""",
+)
+def quantile_norm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile normalization of a quality score — the
+    rank-based feature transform that makes scores comparable across
+    languages with different raw distributions (the cross-lingual
+    quality-threshold trick: filter every language at the same
+    QUANTILE, not the same raw value).  Output is the normalized rank in
+    exact integer ppm (``(rank−1)·10⁶ div (n−1)``; a single-doc language
+    pins to the median).  One shuffle on lang for the rank window;
+    deterministic doc_id tiebreaks."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    wn = Window.partitionBy("lang")
+    return scored.select(
+        "doc_id",
+        "lang",
+        "score",
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(wn).alias("n"),
+    ).select(
+        "doc_id",
+        "lang",
+        "score",
+        F.expr(
+            "CAST(CASE WHEN n = 1 THEN 500000"
+            " ELSE ((rnk - 1) * 1000000) div (n - 1) END AS BIGINT)"
+        ).alias("qnorm_ppm"),
+    )
+
+
+@register(
+    "streaming_enriched_purchases",
+    f"""
+WITH dd AS (
+  SELECT CAST(datediff('day', DATE '{DIM_DATE_START}', CAST(gs AS DATE)) + 1 AS INT)
+             AS date_key,
+         CAST(gs AS DATE) AS full_date,
+         CAST(ISODOW(CAST(gs AS DATE)) AS INT) AS iso_dow
+  FROM generate_series(DATE '{DIM_DATE_START}', DATE '{DIM_DATE_END}',
+                       INTERVAL 1 DAY) t(gs)
+)
+SELECT e.event_id, e.user_id, e.ts,
+       COALESCE(dd.date_key, -1) AS date_key,
+       dd.iso_dow,
+       CAST(e.value AS DOUBLE) AS value
+FROM events e LEFT JOIN dd ON CAST(e.ts AS DATE) = dd.full_date
+WHERE e.event_type = 'purchase'
+""",
+)
+def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment as a genuine streaming query
+    (``streaming/joins.py:enrich_with_dim``): the purchase stream joins
+    the broadcast date dimension per micro-batch — the streaming form of
+    the reference's J2 date-key lookup (each micro-batch re-reads the dim,
+    so an SCD-1 update is picked up on the next batch).  Unmatched dates
+    take the −1 sentinel (P10).  Oracle: the same join in batch SQL —
+    stream-static left join over a drained AvailableNow stream must equal
+    the batch join exactly."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.functions.dates import build_dim_date
+    from e_commerce_data_lakehouse_spark.streaming.joins import enrich_with_dim
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now,
+        stream_events,
+    )
+
+    load(spark, sf_dir)  # session settings (UTC + nanosAsLong)
+    schema = _events_stream_schema(spark, sf_dir)
+    stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.to_date("ts").alias("__d"), "value"
+    )
+    dim = build_dim_date(spark, DIM_DATE_START, DIM_DATE_END).select(
+        F.col("full_date").alias("__d"),
+        "date_key",
+        # Spark dayofweek is Sun=1..Sat=7; the dim stores that, the oracle
+        # speaks ISODOW (Mon=1..Sun=7) — convert here
+        (((F.col("day_of_week") + 5) % 7) + 1).cast("int").alias("iso_dow"),
+    )
+    enriched = enrich_with_dim(purchases, dim, ["__d"], how="left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("date_key", F.lit(-1)).cast("int").alias("date_key"),
+        F.col("iso_dow").cast("int").alias("iso_dow"),
+        F.col("value").cast("double").alias("value"),
+    )
+    table = f"enriched_purchases_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        enriched, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="append"
+    )
+    out = spark.table(table)
+    return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+@register("embedding_whitening", None)
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening of the embedding table — covariance → driver
+    Cholesky → broadcast GEMM apply (``operators/features.py:whiten``).
+    Rows-only by declaration (the factorization is iterative float math
+    no SQL engine replays bit-for-bit); the semantic contract — whitened
+    covariance ≈ I, partition-layout independence, row preservation — is
+    pinned by ``tests/test_features.py``."""
+    from e_commerce_data_lakehouse_spark.operators import features as ft
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return ft.whiten(emb, "vec_id", "embedding", dim=64)

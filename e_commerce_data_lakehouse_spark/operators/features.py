@@ -107,3 +107,82 @@ def covariance_fixed(
             " - cast(sum_i as decimal(38,0)) * sum_j as decimal(38,0))"
         ).alias("cov_num"),
     )
+
+
+def whiten(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10**6,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """ZCA-style whitening of an embedding column: output vectors have
+    (sample) covariance ≈ I — the standard preprocessing before linear
+    probes, PCA truncation, or Mahalanobis-distance dedup.
+
+    Plan shape — the driver-bounded-matrix pattern: the exact integer
+    covariance statistics (:func:`covariance_fixed`) collect as
+    dim·(dim+1)/2 rows of BOUNDED driver metadata (2,080 rows at dim 64 —
+    never data rows), the driver Cholesky-factors the ridge-regularized
+    covariance once (O(dim³) on scalars), and the inverse factor ships
+    back inside an Arrow ``mapInPandas`` closure that applies
+    ``(x − mean) @ L⁻ᵀ`` as one float64 GEMM per batch.  The corpus is
+    touched exactly twice (covariance pass + transform pass) and never
+    shuffled.
+
+    Determinism: the covariance inputs are exact integers (partition-
+    layout independent by :func:`covariance_fixed`'s contract), and the
+    driver factorization is a single fixed-order float computation — so
+    the broadcast matrix, and therefore every output vector, is
+    bit-identical across runs and partitionings.  Cross-engine exactness
+    is NOT claimed (Cholesky is iterative float math) — the registered
+    query is rows-only with property tests pinning whitened covariance
+    ≈ I and partition independence.
+    """
+    import numpy as np
+    import pandas as pd
+
+    stats = covariance_fixed(df, vec_col, dim, scale).collect()
+    if not stats or stats[0]["n_vectors"] < 2:
+        raise ValueError("whiten needs at least 2 vectors")
+    n = stats[0]["n_vectors"]
+    cov = np.zeros((dim, dim), dtype=np.float64)
+    mean_q = np.zeros(dim, dtype=np.float64)
+    denom = float(n) * float(n - 1) * float(scale) ** 2
+    for r in stats:
+        i, j = r["dim_i"], r["dim_j"]
+        c = float(int(r["cov_num"])) / denom
+        cov[i, j] = c
+        cov[j, i] = c
+        if i == j:
+            mean_q[i] = float(r["sum_i"]) / (float(n) * float(scale))
+    L = np.linalg.cholesky(cov + eps * np.eye(dim))
+    # W = L^-T: (x - mean) @ W has covariance (L^-1 C L^-T) = I (up to eps)
+    W = np.linalg.inv(L).T
+    mean = mean_q
+
+    def transform(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Xc = X - mean
+            # fixed-order accumulation (k ascending), NOT a BLAS GEMM:
+            # dgemm's blocked reduction order varies with the batch's row
+            # count, so `(X-mean) @ W` differs in the last ulp between
+            # partition layouts — this loop is the same O(n·dim²) work
+            # with one deterministic association order, making outputs
+            # bit-identical across runs and partitionings (test-pinned)
+            Y = np.zeros((Xc.shape[0], dim), dtype=np.float64)
+            for k in range(dim):
+                Y += Xc[:, k : k + 1] * W[k]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "whitened": list(Y)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        transform, schema=f"{id_col} long, whitened array<double>"
+    )

@@ -144,3 +144,30 @@ def test_epoch_shuffle_is_a_permutation_per_epoch(spark):
         if shard_of[(0, d)] != shard_of[(1, d)]
     )
     assert diffs > len(docs) // 2
+
+
+def test_whiten_covariance_is_identity(spark):
+    """Whitened output must have sample covariance ~ I (up to the eps
+    ridge) and preserve every row."""
+    emb = eq.load(spark, SF, "embeddings")["embeddings"]
+    out = ft.whiten(emb, "vec_id", "embedding", dim=64)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    Y = np.array([r["whitened"] for r in rows], dtype=np.float64)
+    C = np.cov(Y, rowvar=False)
+    assert np.abs(C - np.eye(64)).max() < 0.05
+
+
+def test_whiten_partition_layout_independent(spark):
+    emb = eq.load(spark, SF, "embeddings")["embeddings"]
+    a = {
+        r["vec_id"]: tuple(r["whitened"])
+        for r in ft.whiten(emb.coalesce(1), "vec_id", "embedding", 64).collect()
+    }
+    b = {
+        r["vec_id"]: tuple(r["whitened"])
+        for r in ft.whiten(
+            emb.repartition(16), "vec_id", "embedding", 64
+        ).collect()
+    }
+    assert a == b
