@@ -9247,9 +9247,13 @@ def quantile_norm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "score",
+        # rnk is INT from row_number: widen BEFORE the 1e6 multiply or the
+        # int32 product overflows past ~2.1k docs per language (ANSI throw
+        # caught by the gen-sf1 scale run; sf0.01 ranks were just under)
         F.expr(
             "CAST(CASE WHEN n = 1 THEN 500000"
-            " ELSE ((rnk - 1) * 1000000) div (n - 1) END AS BIGINT)"
+            " ELSE ((CAST(rnk AS BIGINT) - 1) * 1000000)"
+            " div (n - 1) END AS BIGINT)"
         ).alias("qnorm_ppm"),
     )
 
