@@ -138,6 +138,8 @@ HEADLINE = [
     "streaming_user_sessions",
     "retrieval_eval_knn",
     "negative_part_samples",
+    "quantile_norm_scores",
+    "streaming_merge_upsert",
 ]
 
 

@@ -9337,3 +9337,92 @@ def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     return ft.whiten(emb, "vec_id", "embedding", dim=64)
+
+
+@register(
+    "streaming_merge_upsert",
+    """
+WITH lines AS (
+  SELECT l_orderkey, CAST(l_linenumber AS INT) AS l_linenumber, l_partkey,
+         CAST(l_quantity AS DOUBLE) AS quantity,
+         lpad(CAST(l_linenumber AS VARCHAR), 2, '0') || ':' ||
+         md5(CAST(l_orderkey AS VARCHAR) || ',' ||
+             CAST(l_partkey AS VARCHAR) || ',' ||
+             CAST(CAST(l_quantity AS DOUBLE) AS VARCHAR)) AS ord
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY ord DESC) AS rn
+  FROM lines
+)
+SELECT l_orderkey, l_linenumber, l_partkey, quantity
+FROM ranked WHERE rn = 1
+""",
+)
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once streaming MERGE sink path, driver-checked end to
+    end (T1/T4, ``streaming/stateful.py:foreach_batch_merge``): a
+    file-source stream of order lines upserts into a ``ManagedTable``
+    keyed by ``l_orderkey``; each micro-batch dedupes itself
+    (keep-latest) then MERGEs order-aware, so replays and stale
+    re-deliveries cannot clobber newer rows.  The order column is
+    ``lpad(linenumber):md5(content)`` — "latest line wins" with a
+    content-hash tiebreak, because the synthetic lineitem does NOT keep
+    linenumbers unique per order (11.8k duplicate (order, line) groups at
+    sf0.01 — a bare linenumber order made the survivor nondeterministic,
+    caught by the driver compare).  The drained table must equal the
+    batch keep-latest fixpoint (the oracle's ROW_NUMBER window)."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+    from e_commerce_data_lakehouse_spark.streaming.stateful import (
+        foreach_batch_merge,
+    )
+
+    load(spark, sf_dir)  # session settings
+    li_schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    stream = (
+        spark.readStream.schema(li_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            "l_partkey",
+            F.col("l_quantity").cast("double").alias("quantity"),
+        )
+        .withColumn(
+            "ord",
+            F.concat(
+                F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+                F.lit(":"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_partkey").cast("string"),
+                        F.col("quantity").cast("string"),
+                    )
+                ),
+            ),
+        )
+    )
+    run_id = uuid.uuid4().hex[:8]
+    target = ManagedTable(
+        spark, tempfile.mkdtemp(prefix=f"merge_upsert_{run_id}_")
+    )
+    q = foreach_batch_merge(
+        stream,
+        target,
+        keys=["l_orderkey"],
+        checkpoint_dir=tempfile.mkdtemp(prefix="ckpt_"),
+        order_col="ord",
+    )
+    q.awaitTermination()
+    return target.read().select(
+        "l_orderkey", "l_linenumber", "l_partkey", "quantity"
+    )
