@@ -140,6 +140,9 @@ HEADLINE = [
     "negative_part_samples",
     "quantile_norm_scores",
     "streaming_merge_upsert",
+    "cohort_ltv_curves",
+    "session_paths_topk",
+    "dq_expectations_report",
 ]
 
 

@@ -9426,3 +9426,241 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return target.read().select(
         "l_orderkey", "l_linenumber", "l_partkey", "quantity"
     )
+
+
+@register(
+    "cohort_ltv_curves",
+    """
+WITH fo AS (
+  SELECT o_custkey,
+         MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort_month
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT f.cohort_month,
+         CAST((YEAR(o.o_orderdate) - YEAR(f.cohort_month)) * 12
+              + (MONTH(o.o_orderdate) - MONTH(f.cohort_month)) AS INT)
+             AS months_since,
+         CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(30,0))) AS BIGINT)
+             AS spend_cents
+  FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+sized AS (
+  SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM fo GROUP BY 1
+)
+SELECT m.cohort_month, m.months_since, s.cohort_size, m.spend_cents,
+       CAST(SUM(m.spend_cents) OVER (
+            PARTITION BY m.cohort_month ORDER BY m.months_since
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_cents,
+       CAST(SUM(m.spend_cents) OVER (
+            PARTITION BY m.cohort_month ORDER BY m.months_since
+            ROWS UNBOUNDED PRECEDING) // s.cohort_size AS BIGINT)
+           AS ltv_cents_per_customer
+FROM m JOIN sized s USING (cohort_month)
+""",
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the money-side complement of
+    ``cohort_retention``: customers cohorted by first-order month,
+    cumulative cohort spend (exact integer cents) and LTV per customer at
+    every months-since-acquisition offset.  The cumulative window runs
+    over the (cohort, offset) AGGREGATE (bounded: cohorts × offsets), the
+    cohort-size join broadcasts, and month arithmetic is explicit
+    ``(Δyear)·12 + Δmonth`` so both engines count offsets identically."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    fo = o.groupBy(F.col("o_custkey")).agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    )
+    m = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("o_orderdate") - F.year("cohort_month")) * 12
+                + (F.month("o_orderdate") - F.month("cohort_month"))
+            )
+            .cast("int")
+            .alias("months_since"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(30,0))"))
+            .cast("long")
+            .alias("spend_cents")
+        )
+    )
+    sized = fo.groupBy("cohort_month").agg(
+        F.count("*").alias("cohort_size")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("months_since")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        m.join(F.broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month",
+            "months_since",
+            "cohort_size",
+            "spend_cents",
+            F.sum("spend_cents").over(w).alias("cum_spend_cents"),
+        )
+        .withColumn(
+            "ltv_cents_per_customer",
+            F.expr("cum_spend_cents div cohort_size"),
+        )
+    )
+
+
+@register(
+    "session_paths_topk",
+    """
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+), numbered AS (
+    SELECT user_id, session_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn
+    FROM islands
+), paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM numbered WHERE rn <= 5
+    GROUP BY 1, 2
+), counted AS (
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+)
+SELECT path, n_sessions FROM counted
+ORDER BY n_sessions DESC, path ASC LIMIT 20
+""",
+)
+def session_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey paths — the '>'-joined sequence of the
+    first five event types per 30-minute session, the path-analysis
+    primitive under funnels and Markov attribution.  One shuffle on
+    user_id sessionizes (native ``session_window``); the per-session path
+    is built ORDER-SAFELY by sorting the collected (ts, event_id, type)
+    structs inside the aggregate (``collect_list`` alone has no order
+    guarantee under Spark's partial aggregation), then a tiny path-count
+    aggregate and a TakeOrdered top-20 with a path tiebreak."""
+    ev = load(spark, sf_dir, "events")["events"]
+    sessions = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("__sw")
+        )
+        .agg(
+            F.expr(
+                "array_join(slice(transform("
+                "array_sort(collect_list(struct(ts, event_id, event_type)))"
+                ", x -> x.event_type), 1, 5), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        sessions.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "dq_expectations_report",
+    """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+                        AND l_partkey IS NOT NULL
+                        AND l_suppkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS keys_not_null,
+         CAST(SUM(CASE WHEN l_quantity > 0 AND l_quantity <= 50
+                  THEN 1 ELSE 0 END) AS BIGINT) AS quantity_in_range,
+         CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                  THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_range,
+         CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS price_positive,
+         CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_in_domain,
+         CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS shipdate_not_null
+  FROM lineitem
+)
+SELECT r.rule_name, a.n_rows, r.n_pass,
+       a.n_rows - r.n_pass AS n_fail,
+       CAST(r.n_pass * 1000000 // a.n_rows AS BIGINT) AS pass_ppm
+FROM agg a CROSS JOIN LATERAL (VALUES
+    ('keys_not_null', a.keys_not_null),
+    ('quantity_in_range', a.quantity_in_range),
+    ('discount_in_range', a.discount_in_range),
+    ('price_positive', a.price_positive),
+    ('returnflag_in_domain', a.returnflag_in_domain),
+    ('shipdate_not_null', a.shipdate_not_null)
+) AS r(rule_name, n_pass)
+""",
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations report (the Great-
+    Expectations-style validation suite the reference scatters across its
+    per-job ``validate_*`` functions): every rule is a boolean predicate
+    counted in ONE map-side-combining pass over the table — six rules
+    cost one scan and a one-row shuffle, not six jobs — then the single
+    aggregate row unpivots to a per-rule report with exact integer ppm
+    pass rates.  Adding a rule is adding one conditional-sum column."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    rules = {
+        "keys_not_null": (
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_partkey").isNotNull()
+            & F.col("l_suppkey").isNotNull()
+        ),
+        "quantity_in_range": (F.col("l_quantity") > 0)
+        & (F.col("l_quantity") <= 50),
+        "discount_in_range": (F.col("l_discount") >= 0)
+        & (F.col("l_discount") <= 0.1),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "returnflag_in_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+    }
+    agg = li.agg(
+        F.count("*").alias("n_rows"),
+        *[
+            F.sum(pred.cast("int")).cast("long").alias(name)
+            for name, pred in rules.items()
+        ],
+    )
+    stacked = agg.select(
+        "n_rows",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule_name"),
+                        F.col(name).alias("n_pass"),
+                    )
+                    for name in rules
+                ]
+            )
+        ).alias("r"),
+    )
+    return stacked.select(
+        F.col("r.rule_name").alias("rule_name"),
+        "n_rows",
+        F.col("r.n_pass").alias("n_pass"),
+        (F.col("n_rows") - F.col("r.n_pass")).alias("n_fail"),
+        F.expr("r.n_pass * 1000000 div n_rows").alias("pass_ppm"),
+    )
