@@ -64,8 +64,10 @@ def cooccurrence_pairs(
 
     Per-group fanout is (distinct items per group choose 2) — exactly the
     self-join's output volume, so skew behavior is unchanged; what
-    disappears is the join's re-shuffle and compare work.  Measured at
-    sf0.1: the co-purchase edge build drops ~2× vs the join form.
+    disappears is the join's re-shuffle and compare work.  Measured on
+    the co-purchase edge build at sf0.1: first-touch 5.1 → 3.5 s, warm
+    parity (the removed shuffle is the part that grows with data — at
+    gen-sf3 the downstream part_pagerank dropped 50.1 → 41.5 s warm).
     """
     sets = df.groupBy(F.col(group_col).alias("__g")).agg(
         F.array_sort(F.collect_set(F.col(item_col))).alias("__items")
