@@ -47,3 +47,28 @@ def test_release_survives_dropped_references(spark):
 
     gc.collect()
     assert caching.release_persisted() == 1
+
+
+def test_tracked_persist_defaults_to_serialized_spillable(spark):
+    """Regression pin for the gen-sf10 OOM: library persists must store
+    serialized (deserialized row caches of ~5e7 rows overflow an 8g heap
+    while the consuming job runs) and must keep the disk fallback."""
+    df = caching.tracked_persist(spark.range(10))
+    try:
+        lvl = df.storageLevel
+        assert not lvl.deserialized
+        assert lvl.useMemory and lvl.useDisk
+    finally:
+        caching.release_persisted()
+
+
+def test_tracked_persist_level_override(spark):
+    from pyspark.storagelevel import StorageLevel
+
+    df = caching.tracked_persist(
+        spark.range(10), StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    try:
+        assert df.storageLevel.deserialized
+    finally:
+        caching.release_persisted()
