@@ -143,6 +143,7 @@ HEADLINE = [
     "cohort_ltv_curves",
     "session_paths_topk",
     "dq_expectations_report",
+    "customer_global_spend_rank",
 ]
 
 

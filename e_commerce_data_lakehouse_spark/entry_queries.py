@@ -9664,3 +9664,54 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("r.n_pass")).alias("n_fail"),
         F.expr("r.n_pass * 1000000 div n_rows").alias("pass_ppm"),
     )
+
+
+@register(
+    "customer_global_spend_rank",
+    """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice * 100 AS DECIMAL(30,0))) AS BIGINT)
+             AS spend_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, spend_cents,
+       CAST(ROW_NUMBER() OVER (ORDER BY spend_cents DESC, o_custkey)
+            AS BIGINT) AS global_rank,
+       CAST(NTILE(5) OVER (ORDER BY spend_cents DESC, o_custkey)
+            AS INT) AS quintile
+FROM per_cust
+""",
+)
+def customer_global_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL spend ranking of every customer — computed WITHOUT a
+    single-task global window (``operators/ranking.py:global_row_number``:
+    range-repartition on the order keys, Arrow partition-local indexes, a
+    #partitions-sized broadcast offset table).  This is the scale path
+    for the global-ranking family (``rfm_segments`` /
+    ``customer_spend_quartiles`` rank over BOUNDED aggregates, which is
+    fine until the per-customer aggregate itself is a billion rows; this
+    operator ranks a billion rows at full parallelism).  The quintile
+    column reproduces NTILE(5) from the rank arithmetic
+    (``ntile_from_rank``) — the oracle's window NTILE must agree exactly,
+    which is the proof the rank-based rewrite IS the window semantics."""
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
+
+    o = load(spark, sf_dir, "orders")["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(30,0))"))
+        .cast("long")
+        .alias("spend_cents")
+    )
+    ranked = rk.global_row_number(
+        per_cust,
+        [F.col("spend_cents").desc(), F.col("o_custkey")],
+        out_col="global_rank",
+    )
+    n = ranked.count()  # bounded scalar (avoids a 1-row cross join)
+    return ranked.select(
+        "o_custkey",
+        "spend_cents",
+        "global_rank",
+        rk.ntile_from_rank("global_rank", n, 5).alias("quintile"),
+    )

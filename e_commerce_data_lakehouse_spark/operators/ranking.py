@@ -1,0 +1,115 @@
+"""Distributed global ranking without a single-task window.
+
+A global ``row_number() OVER (ORDER BY ...)`` puts EVERY row through one
+task — the one window shape that cannot scale past a single executor's
+throughput (the repo's plan sweep only admits it above bounded
+aggregates).  This module computes exact global row numbers the way
+``RDD.zipWithIndex`` does, but Arrow-vectorized and order-aware:
+
+1. ``repartitionByRange`` on the order keys — each partition holds a
+   contiguous, disjoint key range (one range shuffle; the sampled bounds
+   affect only partition SIZES, never the resulting ranks);
+2. ``sortWithinPartitions`` — no shuffle;
+3. an Arrow ``mapInPandas`` pass assigns each row its partition-local
+   index (a running counter per partition — ``mapInPandas`` preserves
+   row order) and tags the partition id from the ``TaskContext``;
+4. per-partition row counts collect as BOUNDED driver metadata (one row
+   per partition), prefix-sum to offsets, and a broadcast join turns
+   local indexes into global ranks.
+
+Two passes over the data (count + rank — inherent to the problem, same
+as ``zipWithIndex``), both embarrassingly parallel; the only global
+coordination is the #partitions-sized offset table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructType
+
+from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    out_col: str = "global_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row numbers in ``order_cols`` order.
+
+    ``order_cols`` must be a total order (add a unique id tiebreaker) or
+    equal-key rows get an arbitrary—though still valid—relative rank.
+    Returns ``df``'s columns plus ``out_col``.
+    """
+    import numpy as np
+
+    sdf = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    ).sortWithinPartitions(*order_cols)
+
+    # copy the field list: StructType(fields) keeps the passed list by
+    # reference, so .add() on it would MUTATE the source frame's cached
+    # schema (observed: the source suddenly "grows" a __pid column)
+    out_schema = StructType(list(sdf.schema.fields)).add(
+        "__pid", IntegerType()
+    ).add("__lrn", LongType())
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        i = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__pid"] = np.int32(pid)
+            pdf["__lrn"] = np.arange(i, i + len(pdf), dtype=np.int64)
+            i += len(pdf)
+            yield pdf
+
+    local = tracked_persist(sdf.mapInPandas(assign, out_schema))
+    # bounded driver metadata: one (pid, count) row per partition
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in local.groupBy("__pid")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lrn") + F.lit(1))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def ntile_from_rank(rank_col: str, n_rows: int | str, k: int) -> Column:
+    """NTILE(k) reproduced exactly from a global rank and the total row
+    count (an int scalar or a column name) — no window.
+
+    The SQL contract: with ``q = n div k`` and ``r = n mod k``, the first
+    ``r`` tiles hold ``q+1`` rows and the rest ``q``.  The tempting
+    one-liner ``floor((rank−1)·k/n)+1`` is NOT this — it spreads the
+    larger tiles evenly instead of front-loading them (first divergence
+    at n=12, k=5: rank 6 belongs to tile 2, the one-liner says 3) and
+    breaks entirely for k > n (test-pinned counterexamples).  So:
+    ``rank ≤ r·(q+1)`` → ``(rank−1) div (q+1) + 1``, else
+    ``r + (rank−q·r−... )`` — the piecewise form below.  The ``q = 0``
+    (k > n) edge collapses to tile = rank, matching SQL.
+    """
+    n = F.lit(n_rows) if isinstance(n_rows, int) else F.col(n_rows)
+    rn = F.col(rank_col)
+    q = F.floor(n / k)
+    r = n - q * k
+    cut = r * (q + 1)
+    big = F.floor((rn - 1) / (q + 1)) + 1
+    small = r + F.floor((rn - cut - 1) / q) + 1
+    return F.when(rn <= cut, big).otherwise(small).cast("int")

@@ -171,3 +171,54 @@ def test_whiten_partition_layout_independent(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_global_row_number_equals_window_row_number(spark):
+    """The distributed two-pass ranking must equal the single-task global
+    window it replaces, and be independent of input partitioning."""
+    from pyspark.sql import Window
+
+    from e_commerce_data_lakehouse_spark.caching import release_persisted
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
+
+    df = spark.range(997).select(
+        F.col("id"), ((F.col("id") * 131) % 97).alias("v")
+    )
+    expect = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.col("v").desc(), "id"))
+            .alias("rn"),
+        ).collect()
+    }
+    for layout in (df.coalesce(1), df.repartition(16)):
+        got = {
+            r["id"]: r["global_rank"]
+            for r in rk.global_row_number(
+                layout, [F.col("v").desc(), F.col("id")]
+            ).collect()
+        }
+        assert got == expect
+        release_persisted()
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    from pyspark.sql import Window
+
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
+
+    # (12, 5) is the first case where the even-spread one-liner
+    # floor((rn-1)k/n)+1 diverges from SQL NTILE; (5, 7) is k > n
+    for n, k in [(10, 5), (11, 5), (12, 5), (7, 3), (5, 7), (1, 4)]:
+        df = spark.range(n).select(F.col("id"))
+        w = Window.orderBy("id")
+        rows = df.select(
+            "id",
+            F.ntile(k).over(w).alias("want"),
+            F.row_number().over(w).alias("rn"),
+        ).select(
+            "want", rk.ntile_from_rank("rn", n, k).alias("got")
+        ).collect()
+        assert all(r["want"] == r["got"] for r in rows), (n, k)
