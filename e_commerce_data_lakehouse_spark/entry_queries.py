@@ -8375,7 +8375,8 @@ SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
        CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(rev_micros) AS BIGINT) AS class_rev_micros,
        CAST((SUM(rev_micros) // 1000000) * 1000000
-            // (MAX(total) // 1000000) AS BIGINT) AS rev_share_ppm
+            // GREATEST(MAX(total) // 1000000, 1) AS BIGINT)
+           AS rev_share_ppm
 FROM ranked GROUP BY 1
 """,
 )
@@ -8429,7 +8430,7 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Spark's does not — ANSI overflow caught at sf0.01)
             F.expr(
                 "(sum(rev_micros) div 1000000) * 1000000"
-                " div (max(total) div 1000000)"
+                " div greatest(max(total) div 1000000, 1L)"
             ).alias("rev_share_ppm"),
         )
     )
@@ -8502,8 +8503,8 @@ ranked AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(SUM(spend_cents) AS BIGINT) AS total_spend_cents,
        CAST((2 * SUM(rn * spend_cents) - (COUNT(*) + 1) * SUM(spend_cents))
-            // ((COUNT(*) * SUM(spend_cents)) // 1000000) AS BIGINT)
-           AS gini_ppm
+            // GREATEST((COUNT(*) * SUM(spend_cents)) // 1000000, 1)
+            AS BIGINT) AS gini_ppm
 FROM ranked
 """,
 )
@@ -8534,10 +8535,13 @@ def order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.count("*").alias("n_customers"),
         F.sum("spend_cents").alias("total_spend_cents"),
+        # greatest(..., 1): ANSI integral div throws on zero — only
+        # reachable on degenerate inputs (total spend < $10k), where the
+        # ppm scale is meaningless anyway; real data never hits it
         F.expr(
             "(2 * sum(rn * spend_cents)"
             " - (count(*) + 1) * sum(spend_cents))"
-            " div ((count(*) * sum(spend_cents)) div 1000000)"
+            " div greatest((count(*) * sum(spend_cents)) div 1000000, 1L)"
         ).alias("gini_ppm"),
     )
 
@@ -9602,7 +9606,8 @@ WITH agg AS (
 )
 SELECT r.rule_name, a.n_rows, r.n_pass,
        a.n_rows - r.n_pass AS n_fail,
-       CAST(r.n_pass * 1000000 // a.n_rows AS BIGINT) AS pass_ppm
+       CAST(r.n_pass * 1000000 // GREATEST(a.n_rows, 1) AS BIGINT)
+           AS pass_ppm
 FROM agg a CROSS JOIN LATERAL (VALUES
     ('keys_not_null', a.keys_not_null),
     ('quantity_in_range', a.quantity_in_range),
@@ -9662,7 +9667,9 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.col("r.n_pass").alias("n_pass"),
         (F.col("n_rows") - F.col("r.n_pass")).alias("n_fail"),
-        F.expr("r.n_pass * 1000000 div n_rows").alias("pass_ppm"),
+        F.expr(
+            "r.n_pass * 1000000 div greatest(n_rows, 1L)"
+        ).alias("pass_ppm"),
     )
 
 
