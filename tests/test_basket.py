@@ -85,3 +85,49 @@ def test_matches_duckdb_oracle(spark, tmp_path):
     ).fetchall()
     got = bk.association_rules(df, "basket", "item", min_support=2)
     assert sorted(map(tuple, got.collect())) == sorted(oracle)
+
+
+def test_cooccurrence_pairs_equals_self_join_reference(spark):
+    """The collect_set + array-expansion pair builder must produce the
+    EXACT pair multiset of the textbook distinct→self-join→agg plan,
+    including repeat items within a group (deduped), singleton groups
+    (no pairs), and items appearing in many groups (summed support)."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import basket as bk
+
+    rows = []
+    # group 1: repeat purchase of item 5 (must dedup), 3 distinct items
+    rows += [(1, 5), (1, 5), (1, 7), (1, 9)]
+    # group 2: singleton (no pairs)
+    rows += [(2, 7)]
+    # group 3: shares the (5, 7) pair with group 1 (support 2)
+    rows += [(3, 7), (3, 5)]
+    # group 4: two items, reversed insertion order (sorting must fix)
+    rows += [(4, 9), (4, 3)]
+    df = spark.createDataFrame(rows, "g long, item long")
+
+    got = {
+        (r["item_a"], r["item_b"]): r["n_groups"]
+        for r in bk.cooccurrence_pairs(df, "g", "item").collect()
+    }
+
+    op = df.distinct()
+    a, b = op.alias("a"), op.alias("b")
+    ref = {
+        (r["ia"], r["ib"]): r["n"]
+        for r in a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("ia"), F.col("b.item").alias("ib")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == ref
+    assert got[(5, 7)] == 2          # cross-group support summed
+    assert (5, 9) in got and (7, 9) in got
+    assert all(x < y for (x, y) in got)   # canonical orientation
