@@ -8369,8 +8369,10 @@ ranked AS (
          SUM(rev_micros) OVER () AS total
   FROM per_part
 )
-SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
-            WHEN 100 * cum <= 95 * total THEN 'B'
+SELECT CASE WHEN 100 * CAST(cum AS DECIMAL(38,0))
+                 <= 80 * CAST(total AS DECIMAL(38,0)) THEN 'A'
+            WHEN 100 * CAST(cum AS DECIMAL(38,0))
+                 <= 95 * CAST(total AS DECIMAL(38,0)) THEN 'B'
             ELSE 'C' END AS abc_class,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(rev_micros) AS BIGINT) AS class_rev_micros,
@@ -8414,8 +8416,24 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.select(
-            F.when(F.expr("100 * cum <= 80 * total"), F.lit("A"))
-            .when(F.expr("100 * cum <= 95 * total"), F.lit("B"))
+            # the 100x/80x multipliers run in DECIMAL(38,0): cum/total are
+            # micros sums (~2e18 at gen-sf10), so 100*cum overflows BIGINT
+            # exactly where the docstring predicted for the share column —
+            # caught by the sf10 robustness sweep, same fix on both engines
+            F.when(
+                F.expr(
+                    "100 * CAST(cum AS DECIMAL(38,0))"
+                    " <= 80 * CAST(total AS DECIMAL(38,0))"
+                ),
+                F.lit("A"),
+            )
+            .when(
+                F.expr(
+                    "100 * CAST(cum AS DECIMAL(38,0))"
+                    " <= 95 * CAST(total AS DECIMAL(38,0))"
+                ),
+                F.lit("B"),
+            )
             .otherwise(F.lit("C"))
             .alias("abc_class"),
             "rev_micros",
