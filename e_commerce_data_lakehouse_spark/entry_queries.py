@@ -7989,7 +7989,8 @@ SELECT CAST(decile AS INT) AS decile,
        COUNT(*)::BIGINT AS n_docs,
        SUM(y)::BIGINT AS n_pos,
        SUM(y)::BIGINT * (SELECT n FROM overall) * 1000000
-           // (COUNT(*)::BIGINT * (SELECT p FROM overall)) AS lift_ppm
+           // GREATEST(COUNT(*)::BIGINT * (SELECT p FROM overall), 1)
+           AS lift_ppm
 FROM deciled
 GROUP BY decile
 """,
@@ -8038,9 +8039,12 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deciled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("y").cast("long").alias("n_pos"),
+        # GREATEST(.., 1) guards the degenerate all-equal-length corpus
+        # where no doc exceeds mean length (p=0): ANSI Spark would throw
+        # on the integral division, and the oracle carries the same guard
         F.expr(
             f"CAST(sum(y) AS BIGINT) * {n}L * 1000000L"
-            f" div (CAST(count(*) AS BIGINT) * {p}L)"
+            f" div greatest(CAST(count(*) AS BIGINT) * {p}L, 1L)"
         ).alias("lift_ppm"),
     )
 
@@ -8152,8 +8156,8 @@ WITH daily AS (
 ),
 win AS (
   SELECT day, rev,
-         SUM(rev) OVER w AS s,
-         SUM(rev * rev) OVER w AS q,
+         SUM(CAST(rev AS HUGEINT)) OVER w AS s,
+         SUM(CAST(rev AS HUGEINT) * rev) OVER w AS q,
          COUNT(*) OVER w AS cnt
   FROM daily
   WINDOW w AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
@@ -8161,8 +8165,7 @@ win AS (
 SELECT day, rev,
        CAST(cnt AS BIGINT) AS n_window,
        cnt = 28 AND
-       CAST((28 * rev - s) AS BIGINT) * CAST((28 * rev - s) AS BIGINT)
-           > 4 * CAST((28 * q - s * s) AS BIGINT) AS spike_flag
+       (28 * rev - s) * (28 * rev - s) > 4 * (28 * q - s * s) AS spike_flag
 FROM win
 """,
 )
@@ -8172,9 +8175,14 @@ def revenue_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing 28-day mean — the ops-dashboard spike/drop alarm.  The
     z-score compare is multiplied through so no division, sqrt, or float
     appears: ``(n·x − S)² > 4·(n·Q − S²)`` with S/Q the window sum and
-    sum-of-squares of whole-dollar revenue (BIGINT; headroom holds to
-    ~sf300 daily volumes, after which the same identity runs in
-    DECIMAL(38,0)).  The trailing window is a global ROWS frame over the
+    sum-of-squares of whole-dollar revenue.  The identity runs in exact
+    wide integers on BOTH engines — DECIMAL(38,0) in Spark, HUGEINT
+    (int128) in the DuckDB oracle — because the BIGINT form overflows
+    far earlier than the old docstring claimed: S² ~ 5e18 already at
+    sf1, and at gen-sf10 even SUM(rev²) exceeds 2^63 (r6 ADVICE).  In
+    DECIMAL(38,0) the binding term is (28·rev − S)² ≲ 1e38, i.e.
+    headroom to daily revenues ~2e17 dollars (sf ~1e9).  The trailing
+    window is a global ROWS frame over the
     bounded one-row-per-day AGGREGATE (the plan-sweep-blessed shape);
     days with fewer than 28 predecessors report ``spike_flag = false``
     rather than a noisy partial-window verdict."""
@@ -8187,11 +8195,18 @@ def revenue_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rev")
     )
     w = Window.orderBy("day").rowsBetween(-28, -1)
+    # window sums and the multiplied-through compare run in DECIMAL(38,0):
+    # SUM(rev*rev) alone exceeds 2^63 at gen-sf10, and s*s does at ~sf1
+    # (r6 ADVICE) — same exact-integer identity, two orders more headroom
     win = daily.select(
         "day",
         "rev",
-        F.sum("rev").over(w).alias("s"),
-        F.sum(F.expr("rev * rev")).over(w).alias("q"),
+        F.sum(F.expr("CAST(rev AS DECIMAL(38,0))")).over(w).alias("s"),
+        F.sum(
+            F.expr("CAST(rev AS DECIMAL(38,0)) * CAST(rev AS DECIMAL(38,0))")
+        )
+        .over(w)
+        .alias("q"),
         F.count("*").over(w).alias("cnt"),
     )
     return win.select(
@@ -8200,10 +8215,10 @@ def revenue_spike_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("n_window"),
         (
             (F.col("cnt") == 28)
-            & (
-                F.expr("CAST(28 * rev - s AS BIGINT)")
-                * F.expr("CAST(28 * rev - s AS BIGINT)")
-                > F.expr("4 * CAST(28 * q - s * s AS BIGINT)")
+            & F.expr(
+                "(28 * CAST(rev AS DECIMAL(38,0)) - s)"
+                " * (28 * CAST(rev AS DECIMAL(38,0)) - s)"
+                " > 4 * (28 * q - s * s)"
             )
         ).alias("spike_flag"),
     )
@@ -8320,11 +8335,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation — the
     standard CRM cube: quintile-score each customer on last order date,
     order count, and lifetime spend (exact integer cents), then count the
-    population of every (r, f, m) cell.  The NTILE windows run over the
-    per-customer AGGREGATE (O(customers), not O(orders) — the
-    plan-sweep-blessed bounded-input shape) with custkey tiebreakers so
-    quintile edges are deterministic across engines."""
-    from pyspark.sql import Window
+    population of every (r, f, m) cell.  The three quintile scores are
+    computed WITHOUT any single-task global window: each is a distributed
+    exact global rank (``operators/ranking.py:global_row_number`` —
+    range repartition + Arrow local index + #partitions broadcast
+    offsets) turned into NTILE(5) by ``ntile_from_rank`` arithmetic,
+    applied as three successive range shuffles over the narrow
+    per-customer AGGREGATE.  The oracle keeps the window-NTILE form, so
+    the hash-match proves the rank rewrite IS the window semantics.
+    Custkey tiebreakers keep quintile edges deterministic across
+    engines."""
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
 
     o = load(spark, sf_dir, "orders")["orders"]
     per_cust = o.groupBy("o_custkey").agg(
@@ -8334,18 +8355,24 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spend_cents"),
     )
-    scored = per_cust.select(
-        "o_custkey",
+    # three independent total orders → three range shuffles of the same
+    # 4-column frame (no custkey re-join needed: each pass carries the
+    # previous ranks through)
+    cur = rk.global_row_number(
+        per_cust, [F.col("last_order"), F.col("o_custkey")], "__r_rn"
+    )
+    cur = rk.global_row_number(
+        cur, [F.col("n_orders"), F.col("o_custkey")], "__f_rn"
+    )
+    cur = rk.global_row_number(
+        cur, [F.col("spend_cents"), F.col("o_custkey")], "__m_rn"
+    )
+    n = cur.count()  # bounded scalar over the already-persisted rank frame
+    scored = cur.select(
         "spend_cents",
-        F.ntile(5)
-        .over(Window.orderBy("last_order", "o_custkey"))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("n_orders", "o_custkey"))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("spend_cents", "o_custkey"))
-        .alias("m_score"),
+        rk.ntile_from_rank("__r_rn", n, 5).alias("r_score"),
+        rk.ntile_from_rank("__f_rn", n, 5).alias("f_score"),
+        rk.ntile_from_rank("__m_rn", n, 5).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
@@ -8520,8 +8547,10 @@ ranked AS (
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(SUM(spend_cents) AS BIGINT) AS total_spend_cents,
-       CAST((2 * SUM(rn * spend_cents) - (COUNT(*) + 1) * SUM(spend_cents))
-            // GREATEST((COUNT(*) * SUM(spend_cents)) // 1000000, 1)
+       CAST((2 * SUM(CAST(rn AS HUGEINT) * spend_cents)
+             - (COUNT(*) + 1) * SUM(CAST(spend_cents AS HUGEINT)))
+            // GREATEST((COUNT(*) * SUM(CAST(spend_cents AS HUGEINT)))
+                        // 1000000, 1)
             AS BIGINT) AS gini_ppm
 FROM ranked
 """,
@@ -8530,13 +8559,16 @@ def order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer lifetime spend — the standard
     revenue-concentration KPI — in exact integer arithmetic via the
     rank-sum identity ``G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx)`` over
-    ascending-sorted spends.  The rank window runs over the per-customer
-    AGGREGATE; the identity needs only three scalar sums, so no row sees
-    the global n (single pass after the sort).  Integer headroom holds to
-    ~sf3 customer counts; past that the same identity runs in
-    DECIMAL(38,0).  Output is ppm via dividing by the pre-scaled
-    denominator (den ≥ 1e6 whenever there are >10 customers)."""
-    from pyspark.sql import Window
+    ascending-sorted spends.  The rank is a distributed exact global rank
+    (``operators/ranking.py:global_row_number`` — no single-task window
+    anywhere in the plan), and the identity needs only three scalar sums,
+    so no row sees the global n.  The rank-weighted sums run in
+    DECIMAL(38,0) (HUGEINT on the oracle side): Σ rn·xᵢ passes 2^63
+    around gen-sf3 customer counts — the known BIGINT-micros-sum scale
+    class — while the DECIMAL form has headroom past sf1e6.  Output is
+    ppm via dividing by the pre-scaled denominator (den ≥ 1e6 whenever
+    there are >10 customers)."""
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
 
     o = load(spark, sf_dir, "orders")["orders"]
     per_cust = o.groupBy("o_custkey").agg(
@@ -8544,11 +8576,8 @@ def order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("spend_cents")
     )
-    ranked = per_cust.select(
-        "spend_cents",
-        F.row_number()
-        .over(Window.orderBy("spend_cents", "o_custkey"))
-        .alias("rn"),
+    ranked = rk.global_row_number(
+        per_cust, [F.col("spend_cents"), F.col("o_custkey")], "rn"
     )
     return ranked.agg(
         F.count("*").alias("n_customers"),
@@ -8557,9 +8586,11 @@ def order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reachable on degenerate inputs (total spend < $10k), where the
         # ppm scale is meaningless anyway; real data never hits it
         F.expr(
-            "(2 * sum(rn * spend_cents)"
-            " - (count(*) + 1) * sum(spend_cents))"
-            " div greatest((count(*) * sum(spend_cents)) div 1000000, 1L)"
+            "(2 * sum(CAST(rn AS DECIMAL(38,0)) * spend_cents)"
+            " - (count(*) + 1) * sum(CAST(spend_cents AS DECIMAL(38,0))))"
+            " div greatest((count(*)"
+            " * sum(CAST(spend_cents AS DECIMAL(38,0)))) div 1000000,"
+            " CAST(1 AS DECIMAL(38,0)))"
         ).alias("gini_ppm"),
     )
 

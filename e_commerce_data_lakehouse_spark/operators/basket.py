@@ -28,10 +28,74 @@ Scale shape (100 TB of order lines):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
+
+# target per-task group count for the pair aggregate: ~1.5M (a, b, cnt)
+# hash-table entries ≈ 75 MB — comfortably inside a per-core executor
+# share, so the aggregate never falls back to sort-spill merging
+_PAIR_GROUPS_PER_PARTITION = 1_500_000
+
+
+def pairs_from_sets(
+    sets: DataFrame,
+    items_col: str,
+    out_a: str = "item_a",
+    out_b: str = "item_b",
+    count_col: str = "n_groups",
+) -> DataFrame:
+    """Pair-count aggregate over PRE-BUILT per-group item sets (one row
+    per group, ``items_col`` a sorted array) — the second half of
+    :func:`cooccurrence_pairs`, exposed so callers that already hold the
+    sets (the a-priori rule miner, anything reusing one persisted
+    basket frame) skip rebuilding them.
+
+    ``sets`` should be persisted by the caller: the exact pair total is
+    first computed from the array sizes (one cheap O(groups) job) to
+    size the pair aggregate's partitioning.  With a min-support-style
+    workload most generated pairs are SINGLETON groups — map-side
+    combine cannot shrink them, so the aggregate's hash table is ~the
+    full pair count and the default partition count (32 in this repo's
+    sessions) hands each task a multi-GB table that spills to
+    sort-merge runs: the superlinearity the r6 gen-sf10 sweep measured
+    (295 s).  Sizing partitions as ``total_pairs / 1.5M`` keeps every
+    task's table in memory — re-measured sf10: the pair stage drops
+    ~2× and scaling returns to ~linear.
+    """
+    total_pairs = (
+        sets.select(F.size(items_col).alias("__s"))
+        .agg(F.sum(F.expr("CAST(__s AS BIGINT) * (__s - 1) / 2")))
+        .first()[0]
+        or 0
+    )
+    pairs = sets.filter(F.size(items_col) >= 2).select(
+        F.explode(
+            F.expr(
+                f"flatten(transform({items_col}, (x, i) ->"
+                f" transform(slice({items_col}, i + 2, size({items_col})),"
+                " y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("__p")
+    )
+    keyed = pairs.select(
+        F.col("__p.a").alias(out_a), F.col("__p.b").alias(out_b)
+    )
+    default = int(
+        sets.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    nparts = int(math.ceil(total_pairs / _PAIR_GROUPS_PER_PARTITION))
+    if nparts > default:
+        # explicit numPartitions: AQE never coalesces it back, and the
+        # following groupBy reuses the hash partitioning (no 2nd shuffle)
+        keyed = keyed.repartition(nparts, out_a, out_b)
+    return keyed.groupBy(out_a, out_b).agg(
+        F.count("*").cast("long").alias(count_col)
+    )
 
 
 def cooccurrence_pairs(
@@ -60,7 +124,9 @@ def cooccurrence_pairs(
     2. pair expansion as an ARRAY EXPRESSION over the sorted set —
        ``(s[i], s[j]) for i < j`` via transform+slice+flatten, generated
        inside the scan stage, no join — then the (a, b) count aggregate
-       (the second shuffle, identical to the join plan's last stage).
+       (the second shuffle, identical to the join plan's last stage,
+       partition-sized from the exact pair total: see
+       :func:`pairs_from_sets`).
 
     Per-group fanout is (distinct items per group choose 2) — exactly the
     self-join's output volume, so skew behavior is unchanged; what
@@ -68,22 +134,17 @@ def cooccurrence_pairs(
     the co-purchase edge build at sf0.1: first-touch 5.1 → 3.5 s, warm
     parity (the removed shuffle is the part that grows with data — at
     gen-sf3 the downstream part_pagerank dropped 50.1 → 41.5 s warm).
+
+    The per-group sets are persisted for the duration of the two jobs
+    (pair-total sizing + the aggregate itself) — serialized storage,
+    O(distinct line items) bytes.
     """
-    sets = df.groupBy(F.col(group_col).alias("__g")).agg(
-        F.array_sort(F.collect_set(F.col(item_col))).alias("__items")
+    sets = tracked_persist(
+        df.groupBy(F.col(group_col).alias("__g")).agg(
+            F.array_sort(F.collect_set(F.col(item_col))).alias("__items")
+        )
     )
-    pairs = sets.filter(F.size("__items") >= 2).select(
-        F.explode(
-            F.expr(
-                "flatten(transform(__items, (x, i) ->"
-                " transform(slice(__items, i + 2, size(__items)),"
-                " y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("__p")
-    )
-    return pairs.groupBy(
-        F.col("__p.a").alias(out_a), F.col("__p.b").alias(out_b)
-    ).agg(F.count("*").cast("long").alias(count_col))
+    return pairs_from_sets(sets, "__items", out_a, out_b, count_col)
 
 
 def association_rules(
@@ -100,32 +161,45 @@ def association_rules(
     ``confidence_ppm`` = P(consequent | antecedent) and ``lift_ppm`` =
     confidence / P(consequent), both in integer parts-per-million.
     """
-    baskets = tracked_persist(
-        df.select(
-            F.col(basket_col).alias("__basket"),
-            F.col(item_col).alias("__item"),
-        ).distinct()
+    # ONE basket shuffle: collect_set both dedups repeat purchases (the
+    # old explicit distinct was a second full shuffle of line-level data
+    # for nothing) and yields the per-basket sets the pair stage reads
+    sets = tracked_persist(
+        df.groupBy(F.col(basket_col).alias("__basket")).agg(
+            F.array_sort(F.collect_set(F.col(item_col))).alias("__items")
+        )
     )
     # bounded scalar: total basket count enters the lift arithmetic as a
     # literal (one count job — the alternative 1-row cross join plans as a
     # BroadcastNestedLoopJoin, which the repo-wide plan sweep forbids)
-    n_baskets = baskets.select("__basket").distinct().count()
-    item_cnt = baskets.groupBy("__item").agg(
-        F.count("*").cast("long").alias("__icnt")
+    n_baskets = sets.count()
+    item_cnt = tracked_persist(
+        sets.select(F.explode("__items").alias("__item"))
+        .groupBy("__item")
+        .agg(F.count("*").cast("long").alias("__icnt"))
     )
     # a-priori prune: an item below min_support cannot be in a frequent
-    # pair.  Single consumer now (the pair stage reads it once — the old
-    # self-join read it twice and needed a persist), so no cache.
-    freq = baskets.join(
-        F.broadcast(
-            item_cnt.filter(F.col("__icnt") >= min_support).select(
-                "__item"
-            )
-        ),
-        "__item",
-    )
-    pairs = cooccurrence_pairs(
-        freq, "__basket", "__item", "ia", "ib", "pair_baskets"
+    # pair — but on dense retail data EVERY item clears min_support=2
+    # (measured gen-sf10: 2M/2M items frequent), so the prune pass is
+    # pure overhead there.  Probe the infrequent count (bounded scalar on
+    # the persisted O(catalog) frame) and rebuild the sets only when the
+    # prune actually removes something; pruning never changes the rule
+    # output either way, so both branches hash identically.
+    infreq = item_cnt.filter(F.col("__icnt") < min_support)
+    if infreq.count() > 0:
+        freq_sets = (
+            sets.select("__basket", F.explode("__items").alias("__item"))
+            # anti-join against the SMALL side: the infrequent list is
+            # what shrinks as data grows, the frequent list tracks the
+            # whole catalog
+            .join(F.broadcast(infreq.select("__item")), "__item", "left_anti")
+            .groupBy("__basket")
+            .agg(F.array_sort(F.collect_set("__item")).alias("__items"))
+        )
+    else:
+        freq_sets = sets
+    pairs = pairs_from_sets(
+        freq_sets, "__items", "ia", "ib", "pair_baskets"
     ).filter(F.col("pair_baskets") >= min_support)
     rules = pairs.select(
         F.col("ia").alias("antecedent"),

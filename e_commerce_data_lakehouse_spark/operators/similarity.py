@@ -813,14 +813,23 @@ def mmr_rerank(
         F.col("__n").alias("an"),
     )
     b = pooled.select(
-        "query_id",
+        F.col("query_id").alias("b_qid"),
         F.col("neighbor_id").alias("b_id"),
         F.col("__v").alias("bv"),
         F.col("__n").alias("bn"),
     )
+    # LEFT join: a pool whose query has exactly one candidate produces no
+    # (a_id, b_id) pair, and an inner join would drop the whole group
+    # before the kernel ever saw it — the rank-1 row must still be
+    # emitted (r6 ADVICE).  The null b-side rows carry sim6 = NULL and
+    # are skipped when building the pairwise map.
     pairs = (
-        a.join(b, "query_id")
-        .filter(F.col("a_id") != F.col("b_id"))
+        a.join(
+            b,
+            (F.col("query_id") == F.col("b_qid"))
+            & (F.col("a_id") != F.col("b_id")),
+            "left",
+        )
         .select(
             "query_id",
             "a_id",
@@ -845,9 +854,14 @@ def mmr_rerank(
                 index=False, name=None
             )
         )
+        # null b_id rows are the left-join survivors of one-candidate
+        # pools — no pairwise similarity exists for them by definition
+        sims = pdf.dropna(subset=["b_id"]).astype(
+            {"b_id": "int64", "sim6": "int64"}
+        )
         sim_map: dict[tuple[int, int], int] = {
             (r[0], r[1]): r[2]
-            for r in pdf[["a_id", "b_id", "sim6"]].itertuples(
+            for r in sims[["a_id", "b_id", "sim6"]].itertuples(
                 index=False, name=None
             )
         }

@@ -245,3 +245,52 @@ def test_mmr_deterministic_under_partitioning(spark):
         ).collect()
     )
     assert a == b and len(a) == 15
+
+
+def test_mmr_single_candidate_pool_emits_rank1(spark):
+    """A query whose relevance pool contains exactly ONE candidate must
+    still yield its rank-1 row (r6 ADVICE: the inner pair self-join made
+    `pairs` empty for that query, so applyInPandas never saw the group
+    while the oracle did emit the row)."""
+    from e_commerce_data_lakehouse_spark.operators import similarity as sim
+
+    q = _vec_df(spark, [(0, [1.0, 0.0, 0.0, 0.0])])
+    cands = _vec_df(spark, [(1, [0.5, 0.5, 0.0, 0.0])])
+    got = sim.mmr_rerank(q, cands, "vid", "v", pool_k=5, k=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["query_id"], r["neighbor_id"], r["rank"]) == (0, 1, 1)
+    # cos(q, c) = 0.707107 → rel6 = 707107; rank-1 score = 7·rel6 − 3·0
+    assert r["mmr_score"] == 7 * 707107
+
+
+def test_mmr_mixed_pool_sizes(spark):
+    """One query with a single-candidate pool next to one with a full
+    pool, through the same left-join plan: both must emit, and the
+    multi-candidate query's output is unchanged by the join rewrite."""
+    from e_commerce_data_lakehouse_spark.operators import similarity as sim
+
+    # query 0 only matches candidate 1 in a tiny corpus; query 10 sees all
+    q = _vec_df(
+        spark, [(0, [1.0, 0.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0, 0.0])]
+    )
+    cands = _vec_df(
+        spark,
+        [
+            (1, [0.9, 0.1, 0.0, 0.0]),
+            (2, [0.1, 0.9, 0.0, 0.0]),
+            (3, [0.0, 0.8, 0.6, 0.0]),
+        ],
+    )
+    full = sim.mmr_rerank(q, cands, "vid", "v", pool_k=3, k=2)
+    rows = {r["query_id"]: [] for r in full.collect()}
+    for r in full.collect():
+        rows[r["query_id"]].append(r)
+    assert set(rows) == {0, 10}
+    assert len(rows[0]) == 2 and len(rows[10]) == 2
+    # single-candidate restriction: pool_k=1 keeps only the top-1 per query
+    solo = sim.mmr_rerank(q, cands, "vid", "v", pool_k=1, k=2).collect()
+    assert sorted((r["query_id"], r["rank"]) for r in solo) == [
+        (0, 1),
+        (10, 1),
+    ]
