@@ -9017,6 +9017,96 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_sessions_append",
+    """
+WITH marked AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+    SELECT user_id, ts, value, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+HAVING MAX(ts) + INTERVAL 30 MINUTE
+           <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOUR
+""",
+)
+def streaming_sessions_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION counterpart of ``streaming_user_sessions`` (r6
+    VERDICT next-step #5): the same 30-minute-gap ``session_window``
+    aggregate, but drained in APPEND mode into a real ``ManagedTable``
+    sink (``streaming/pipeline.py:run_available_now_append`` —
+    exactly-once per micro-batch via ``append_once`` txn markers).
+    Append mode emits a session only once the 2-hour watermark passes its
+    end, so sink rows are immutable and NOTHING materializes on the
+    driver — this is the shape that scales past the complete-mode memory
+    sink's ~sf3 driver-heap ceiling (SCALING.md).  The drained table
+    holds exactly the watermark-CLOSED sessions, so the oracle is the
+    batch gaps-and-islands fixpoint with
+    ``HAVING session_end <= max(event time) − 2 hours`` — the hash-match
+    proves both the session semantics and the append/flush contract
+    (AvailableNow runs a final empty batch to flush windows finalized by
+    the last watermark advance).  Reference behavior: T5 full-recompute
+    (``silver_to_gold_iot_sensors.py:98-115``)."""
+    import tempfile
+    import uuid
+
+    from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now_append,
+        stream_events,
+    )
+
+    load(spark, sf_dir)  # session settings (UTC + nanosAsLong)
+    schema = _events_stream_schema(spark, sf_dir)
+    stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("__sw")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("__sw.start").alias("session_start"),
+            F.col("__sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    target = ManagedTable(
+        spark, tempfile.mkdtemp(prefix=f"sess_append_{uuid.uuid4().hex[:8]}_")
+    )
+    run_available_now_append(
+        sessions, tempfile.mkdtemp(prefix="ckpt_"), target
+    )
+    return target.read().select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-6 third pass: retrieval eval, tolerance as-of, negative sampling
 # ---------------------------------------------------------------------------

@@ -83,6 +83,41 @@ def hourly_event_counts(
     )
 
 
+def run_available_now_append(
+    result: DataFrame, checkpoint_dir: str, target
+) -> None:
+    """Drain an APPEND-mode streaming aggregate into a real table sink
+    (``ManagedTable`` — the parquet-snapshot Delta stand-in), exactly
+    once per micro-batch via ``append_once`` txn markers.
+
+    This is the PRODUCTION shape for watermark-closed session/window
+    aggregates: append mode emits a window only after the watermark
+    passes its end, so (a) sink rows are immutable — no complete-mode
+    rewrite of the whole result per batch, and (b) driver/collect never
+    sees the result set (the memory sink materializes the entire COMPLETE
+    output on the driver, which caps the complete-mode oracle vehicle at
+    ~sf3 — SCALING.md).  State is bounded by the watermark horizon;
+    output volume per batch is just the newly-finalized windows.
+
+    AvailableNow note: after the last data batch, the engine runs one
+    more (empty) batch so windows finalized by the final watermark are
+    flushed — the drained sink therefore holds every session whose end
+    ≤ max(event time) − watermark delay, which is what the oracle
+    checks."""
+    q = (
+        result.writeStream.foreachBatch(
+            lambda batch, batch_id: target.append_once(
+                batch, f"b{batch_id}"
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, table_name: str,
     output_mode: str = "complete",

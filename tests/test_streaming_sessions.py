@@ -54,3 +54,58 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
         for r in spark.table("sess_out").collect()
     }
     assert streamed == batch
+
+
+def test_append_mode_sessions_emit_only_watermark_closed(spark, tmp_path):
+    """run_available_now_append drains ONLY the sessions the final
+    watermark (max event time - delay) has closed, exactly once, into a
+    ManagedTable — and the flush batch AvailableNow runs after the last
+    data batch is what emits them (append mode emits nothing while the
+    watermark still trails the data)."""
+    from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now_append,
+    )
+
+    rows = [
+        # u1: an early session (closed by the final watermark) and a late
+        # one ending within the 1h delay of max ts (still open in state)
+        ("u1", "2024-01-01 08:00:00"),
+        ("u1", "2024-01-01 08:05:00"),
+        ("u1", "2024-01-01 11:50:00"),
+        # u2: one early closed session
+        ("u2", "2024-01-01 07:00:00"),
+        # max ts → watermark = 11:00
+        ("u3", "2024-01-01 12:00:00"),
+    ]
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(rows, ["user_id", "ts_raw"])
+        .withColumn("ts", F.col("ts_raw").cast("timestamp"))
+        .drop("ts_raw")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .format("parquet")
+        .load(src)
+        .withWatermark("ts", "1 hour")
+    )
+    sessions = agg.sessionize(stream, "user_id", "ts", gap="30 minutes")
+    target = ManagedTable(spark, str(tmp_path / "sink"))
+    run_available_now_append(sessions, str(tmp_path / "ck"), target)
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in target.read().collect()
+    }
+    # closed: u1@08:00 (ends 08:35 < 11:00), u2@07:00 (ends 07:30).
+    # open: u1@11:50 (ends 12:20 > 11:00), u3@12:00 (ends 12:30).
+    assert got == {
+        ("u1", "2024-01-01 08:00:00", 2),
+        ("u2", "2024-01-01 07:00:00", 1),
+    }
+    # exactly-once: replaying an already-committed batch id is a no-op
+    before = target.read().count()
+    assert target.append_once(target.read(), "b0") is False
+    assert target.read().count() == before

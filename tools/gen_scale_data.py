@@ -9,8 +9,9 @@ arbitrary scale factors with the SAME schemas and the same
 workload-relevant characteristics as the driver testdata (profiled from
 sf0.01/sf0.1):
 
-- documents: random word sequences over a ~30-word vocab, 8-110 words
-  (avg ~300 chars), langs weighted en~41% / de,es,fr,zh ~15% each, 20
+- documents: Zipf-drawn word sequences over a 5,000-word vocab (30
+  frequent head words + syllable-composite tail; see VOCAB below), 8-110
+  words (avg ~330 chars), langs weighted en~41% / de,es,fr,zh ~15% each, 20
   sources, ~6% near-duplicate docs (1-3 word mutations of an earlier doc)
   and ~0.2% exact duplicates — matching the ~4-8% near-dup involvement
   measured in the driver data (216 shared-80-char-prefix groups / 5000
@@ -46,11 +47,55 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-VOCAB = np.array(
+# --- vocabulary -----------------------------------------------------------
+# r6 VERDICT: the original ~30-word vocab made token-SET similarity
+# DEGENERATE at scale — any 60+-word doc contains nearly the whole vocab,
+# so all long docs collapse to near-identical token sets and the
+# containment/Jaccard pair set grows output-quadratically (976 s sweep
+# point measured the artifact, not the operator).  The r7 vocabulary is
+# 5,000 words drawn Zipf-style: the original 30 words stay as the
+# most-frequent head (stopword-ish overlap between unrelated docs), the
+# tail is deterministic syllable composites.  Unrelated docs now share
+# only head words (token-Jaccard ~0.2 — below every dedup threshold)
+# while the planted 1-3-word mutations stay above them, which is the
+# real-corpus shape.  Changing ONLY gen_documents: each table draws from
+# its own fresh rng, so embeddings + all relational tables remain
+# bit-identical to the r4-r6 vintage.
+_HEAD_WORDS = (
     "spark batch part line column order small sort fast value scan hash "
     "slow group agg filter query a big key window row table stream merge "
     "data vector customer join the".split()
 )
+_SYLLS = (
+    "ra ti ne qua lor ven dis mar sol tek bri cam dur fen gal hon jin "
+    "kel lum nor pax rem sam tor ul vex win yor zen ost".split()
+)
+
+
+def _make_vocab(size: int = 5000) -> np.ndarray:
+    words = list(_HEAD_WORDS)
+    i = 0
+    while len(words) < size:
+        a = _SYLLS[i % 30]
+        b = _SYLLS[(i // 30) % 30]
+        c = _SYLLS[(i // 900) % 30] if i >= 900 else ""
+        words.append(a + b + c)
+        i += 1
+    return np.array(words)
+
+
+VOCAB = _make_vocab()
+# Zipf(1.07) over rank (+2.7 shift): head word ~4.3%, rank-100 ~0.5%
+_VOCAB_W = 1.0 / (np.arange(1, len(VOCAB) + 1) + 2.7) ** 1.07
+VOCAB_CDF = np.cumsum(_VOCAB_W / _VOCAB_W.sum())
+
+
+def _draw_words(rng: np.random.Generator, size: int) -> np.ndarray:
+    """Zipf-distributed vocab indexes (inverse-CDF via searchsorted —
+    O(size·log V), no per-call cdf rebuild like rng.choice(p=...))."""
+    return np.searchsorted(VOCAB_CDF, rng.random(size))
+
+
 LANGS = np.array(["en", "de", "es", "fr", "zh"])
 LANG_W = np.array([0.41, 0.1475, 0.1475, 0.1475, 0.1475])
 SOURCES = np.array([f"src{i}" for i in range(20)])
@@ -76,13 +121,13 @@ def gen_documents(sf: float, rng: np.random.Generator) -> pa.Table:
             if kind[i] < 0.06:  # near-dup: mutate 1-3 positions
                 for _ in range(int(rng.integers(1, 4))):
                     pos = int(rng.integers(0, len(words)))
-                    words[pos] = str(VOCAB[int(rng.integers(0, len(VOCAB)))])
+                    words[pos] = str(VOCAB[int(_draw_words(rng, 1)[0])])
                 texts.append(" ".join(words))
             else:  # exact dup
                 texts.append(texts[base])
             langs[i] = langs[base]
         else:
-            idx = rng.integers(0, len(VOCAB), size=int(lengths[i]))
+            idx = _draw_words(rng, int(lengths[i]))
             texts.append(" ".join(VOCAB[idx]))
     n_chars = np.array([len(t) for t in texts], dtype=np.int64)
     return pa.table(
@@ -335,7 +380,12 @@ def gen_static_dims(sf: float, rng: np.random.Generator) -> dict[str, pa.Table]:
     }
 
 
-def generate(sf: float, out_root: str, only_missing: bool = False) -> str:
+def generate(
+    sf: float,
+    out_root: str,
+    only_missing: bool = False,
+    tables: list[str] | None = None,
+) -> str:
     d = os.path.join(out_root, f"sf{sf:g}")
     os.makedirs(d, exist_ok=True)
     # per-sf child seeds: sf0.1 data is NOT a prefix of sf1 data, matching
@@ -349,9 +399,12 @@ def generate(sf: float, out_root: str, only_missing: bool = False) -> str:
     def _rng(seed_seq):
         return np.random.default_rng([seed_seq.entropy, sf_key])
 
+    def _want(name: str) -> bool:
+        return tables is None or name in tables
+
     def _write(name: str, build):
         path = os.path.join(d, f"{name}.parquet")
-        if only_missing and os.path.exists(path):
+        if not _want(name) or (only_missing and os.path.exists(path)):
             return
         pq.write_table(build(), path)
 
@@ -360,7 +413,9 @@ def generate(sf: float, out_root: str, only_missing: bool = False) -> str:
     _write("customer", lambda: gen_customer(sf, _rng(cust_seed)))
     ord_path = os.path.join(d, "orders.parquet")
     li_path = os.path.join(d, "lineitem.parquet")
-    if not (only_missing and os.path.exists(ord_path) and os.path.exists(li_path)):
+    if (_want("orders") or _want("lineitem")) and not (
+        only_missing and os.path.exists(ord_path) and os.path.exists(li_path)
+    ):
         rng_o = _rng(ord_seed)
         orders, dates_us = gen_orders(sf, rng_o)
         pq.write_table(orders, ord_path)
@@ -370,7 +425,10 @@ def generate(sf: float, out_root: str, only_missing: bool = False) -> str:
     dims_missing = [
         t
         for t in ("part", "supplier", "nation", "region")
-        if not (only_missing and os.path.exists(os.path.join(d, f"{t}.parquet")))
+        if _want(t)
+        and not (
+            only_missing and os.path.exists(os.path.join(d, f"{t}.parquet"))
+        )
     ]
     if dims_missing:
         dims = gen_static_dims(sf, _rng(dim_seed))
@@ -390,6 +448,14 @@ def main() -> None:
         ),
     )
     ap.add_argument(
+        "--tables",
+        nargs="+",
+        default=None,
+        help="regenerate only these tables (others untouched even if "
+        "missing) — used when a generator change affects a subset, e.g. "
+        "the r7 vocab widening touches only documents",
+    )
+    ap.add_argument(
         "--only-missing",
         action="store_true",
         help="skip tables whose parquet already exists (documents/"
@@ -398,7 +464,9 @@ def main() -> None:
     )
     args = ap.parse_args()
     for sf in args.sfs:
-        d = generate(sf, args.out, only_missing=args.only_missing)
+        d = generate(
+            sf, args.out, only_missing=args.only_missing, tables=args.tables
+        )
         sizes = {
             f: round(os.path.getsize(os.path.join(d, f)) / 1e6, 1)
             for f in sorted(os.listdir(d))
