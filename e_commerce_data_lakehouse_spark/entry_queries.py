@@ -1533,6 +1533,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_index_eval", None)  # sampled k-means centroids not SQL-reproducible
+def ann_index_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality harness (r7 VERDICT ask #5): evaluate the IVF and
+    IVF-PQ approximate indexes against the exact brute-force baseline on
+    the same bounded query set — recall@10 vs the exact top-10 sets and
+    label-relevance MRR, with the MRR delta each index's approximation
+    costs.  This is the eval a training pipeline runs before swapping an
+    ANN index into its retrieval path; the index builds scan the corpus,
+    the eval itself is O(n_queries · k) broadcast joins
+    (``operators/similarity.py:index_recall_eval``).  Rows-only: the
+    sampled k-means centroids are not SQL-reproducible, but the output is
+    deterministic (seeded trainers, fixed-order reductions) and pytest
+    pins recall bounds."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(queries, emb, "vec_id", "embedding", k=10)
+    variants = {
+        "ivf": sim.ivf_topk(
+            queries, emb, "vec_id", "embedding", k=10,
+            n_centroids=16, n_probe=3,
+        ),
+        "ivf_pq": sim.ivf_pq_topk(
+            queries, emb, "vec_id", "embedding", k=10,
+            n_centroids=16, n_probe=4,
+        ),
+    }
+    return sim.index_recall_eval(
+        variants, exact, emb.select("vec_id", "label"), k=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytics extensions beyond the reference's surface (SURVEY §2.4 lists
 # these as "not present" there): ROLLUP, exact percentiles, pivot.
@@ -8003,9 +8034,14 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``n_pos·N·1e6 div (n·P)``) — a well-calibrated quality model shows
     lift >> 1e6 in decile 1 decaying below 1e6 in the tail.  Reuses the
     registered ``quality_classifier_scores`` pipeline for train+score;
-    the decile cut is NTILE over the bounded per-doc score frame (total
-    order: score desc, id asc — deterministic and engine-portable)."""
-    from pyspark.sql import Window
+    the decile cut is a DISTRIBUTED exact global rank
+    (``operators/ranking.py:global_row_number`` — range shuffle on
+    ``s DESC, doc_id ASC``, Arrow local indexes, broadcast offsets)
+    turned into NTILE(10) by ``ntile_from_rank`` arithmetic — the per-doc
+    score frame is O(corpus), so the previous single-task NTILE window
+    was the same 100×-scale hazard ``rfm_segments`` had (r7).  Total
+    order: score desc, id asc — deterministic and engine-portable."""
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
 
     scores = quality_classifier_scores(spark, sf_dir).select(
         "doc_id",
@@ -8023,19 +8059,17 @@ def classifier_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    deciled = lab.select(
-        "s",
-        "y",
-        "doc_id",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("s").desc(), F.col("doc_id").asc()))
-        .alias("decile"),
-    )
     overall = lab.agg(
         F.sum("y").cast("long").alias("p"),
         F.count("*").cast("long").alias("n"),
     ).first()
     p, n = int(overall["p"]), int(overall["n"])
+    ranked = rk.global_row_number(
+        lab, [F.col("s").desc(), F.col("doc_id").asc()], out_col="__rn"
+    )
+    deciled = ranked.select(
+        "s", "y", rk.ntile_from_rank("__rn", n, 10).alias("decile")
+    )
     return deciled.groupBy(F.col("decile").cast("int").alias("decile")).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("y").cast("long").alias("n_pos"),
@@ -8413,11 +8447,17 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto inventory classification: rank parts by revenue
     (exact integer micros), take the running revenue share, and classify
     A (first 80% of revenue), B (next 15%), C (tail).  The cumulative
-    window runs over the per-part AGGREGATE — one bounded sorted pass —
-    and every compare is multiplied through (``100·cum ≤ 80·total``) so
-    no division or float touches the classification; only the final
-    3-row report derives a ppm share by integer division."""
-    from pyspark.sql import Window
+    sum runs DISTRIBUTED over the per-part aggregate
+    (``operators/ranking.py:global_cumsum`` — range shuffle on
+    ``rev_micros DESC, l_partkey``, per-partition Arrow partial sums,
+    broadcast #partitions-sized offsets; no single-task Window node, the
+    same machinery that fixed ``rfm_segments``), and every compare is
+    multiplied through (``100·cum ≤ 80·total``) so no division or float
+    touches the classification; only the final 3-row report derives a
+    ppm share by integer division.  The grand total rides along as a
+    literal from the same bounded offset metadata — the old
+    ``SUM() OVER ()`` second global window disappears entirely."""
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
 
     li = load(spark, sf_dir, "lineitem")["lineitem"]
     per_part = li.groupBy("l_partkey").agg(
@@ -8430,17 +8470,13 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rev_micros")
     )
-    w_cum = Window.orderBy(
-        F.col("rev_micros").desc(), "l_partkey"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.orderBy(F.col("rev_micros").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = per_part.select(
+    ranked = rk.global_cumsum(
+        per_part,
+        [F.col("rev_micros").desc(), "l_partkey"],
         "rev_micros",
-        F.sum("rev_micros").over(w_cum).alias("cum"),
-        F.sum("rev_micros").over(w_all).alias("total"),
-    )
+        out_col="cum",
+        total_col="total",
+    ).select("rev_micros", "cum", "total")
     return (
         ranked.select(
             # the 100x/80x multipliers run in DECIMAL(38,0): cum/total are

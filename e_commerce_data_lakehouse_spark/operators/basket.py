@@ -64,12 +64,16 @@ def pairs_from_sets(
     sessions) hands each task a multi-GB table that spills to
     sort-merge runs: the superlinearity the r6 gen-sf10 sweep measured
     (295 s).  Sizing partitions as ``total_pairs / 1.5M`` keeps every
-    task's table in memory — re-measured sf10: the pair stage drops
-    ~2× and scaling returns to ~linear.
+    task's table in memory — committed re-measures (SCALE_BENCH.json):
+    gen-sf1 6.1 → 3.7 s, gen-sf3 20.7 → 9.8 s warm, sf1→sf3 now ~2.7×
+    for 3× data (~linear).
     """
+    # integral `div`, not `/`: float division would accumulate the sum in
+    # DOUBLE and lose exactness above ~2^53 pairs — the very regime this
+    # sizing exists for
     total_pairs = (
         sets.select(F.size(items_col).alias("__s"))
-        .agg(F.sum(F.expr("CAST(__s AS BIGINT) * (__s - 1) / 2")))
+        .agg(F.sum(F.expr("CAST(__s AS BIGINT) * (__s - 1) div 2")))
         .first()[0]
         or 0
     )
@@ -187,7 +191,10 @@ def association_rules(
     # output either way, so both branches hash identically.
     infreq = item_cnt.filter(F.col("__icnt") < min_support)
     if infreq.count() > 0:
-        freq_sets = (
+        # persisted: pairs_from_sets runs TWO jobs over its input (the
+        # pair-total sizing pass + the aggregate) — without this the
+        # explode/anti-join/re-collect rebuild executes twice
+        freq_sets = tracked_persist(
             sets.select("__basket", F.explode("__items").alias("__item"))
             # anti-join against the SMALL side: the infrequent list is
             # what shrinks as data grows, the frequent list tracks the

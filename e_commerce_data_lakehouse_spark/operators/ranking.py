@@ -91,6 +91,88 @@ def global_row_number(
     )
 
 
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "cum",
+    total_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum of BIGINT ``value_col`` in ``order_cols``
+    order — ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``
+    without the single-task window.
+
+    Same three-step machinery as :func:`global_row_number` (range shuffle
+    → local sort → Arrow pass), but the Arrow pass carries a running
+    per-partition cumulative sum and the bounded driver metadata is one
+    (pid, partition_sum) row per partition; the prefix-sum of those
+    becomes each partition's additive offset.  If ``total_col`` is given,
+    the grand total (a driver-side Python int summed exactly) is attached
+    as a literal column — callers that previously paid a second
+    ``SUM(v) OVER ()`` global window get it for free.
+
+    Contract: ``value_col`` is integral and the running sum stays inside
+    int64 (the same bound the SQL BIGINT window has); the per-partition
+    numpy cumsum wraps rather than throws past 2^63, but the driver-side
+    offset arithmetic is exact Python int and the final total is checked
+    against the int64 range.
+    """
+    import numpy as np
+
+    sdf = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    ).sortWithinPartitions(*order_cols)
+
+    out_schema = StructType(list(sdf.schema.fields)).add(
+        "__pid", IntegerType()
+    ).add("__lcum", LongType())
+
+    def assign(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        carry = np.int64(0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__pid"] = np.int32(pid)
+            c = pdf[value_col].to_numpy(dtype=np.int64).cumsum() + carry
+            pdf["__lcum"] = c
+            if len(c):
+                carry = c[-1]
+            yield pdf
+
+    local = tracked_persist(sdf.mapInPandas(assign, out_schema))
+    # bounded driver metadata: one (pid, partition total) row per
+    # partition; Spark's BIGINT sum ANSI-throws if a partition overflows
+    sums = {
+        r["__pid"]: r["s"]
+        for r in local.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(sums):
+        offsets.append((pid, acc))
+        acc += int(sums[pid] or 0)
+    if not -(2**63) <= acc < 2**63:
+        raise OverflowError(
+            f"global_cumsum total {acc} exceeds int64 — widen value_col"
+        )
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    out = (
+        local.join(F.broadcast(off), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lcum"))
+        .drop("__pid", "__lcum", "__off")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out
+
+
 def ntile_from_rank(rank_col: str, n_rows: int | str, k: int) -> Column:
     """NTILE(k) reproduced exactly from a global rank and the total row
     count (an int scalar or a column name) — no window.

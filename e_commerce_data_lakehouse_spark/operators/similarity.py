@@ -891,3 +891,97 @@ def mmr_rerank(
         )
 
     return pairs.groupBy("query_id").applyInPandas(select_mmr, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Index-quality evaluation — recall@k / MRR of ANN indexes vs exact kNN
+# ---------------------------------------------------------------------------
+def index_recall_eval(
+    variants: dict[str, DataFrame],
+    exact: DataFrame,
+    labels: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Index-quality harness: score each ANN index's top-k against the
+    exact brute-force top-k (the metric table an embedding-pipeline
+    owner reads before swapping an index into production).
+
+    ``exact`` and every ``variants`` value are top-k frames in the
+    :func:`_topk_per_query` shape (``query_id, neighbor_id, rank``);
+    ``labels`` maps ``vec_id -> label`` for the label-relevance MRR.
+    Returns ONE row per index name (plus an ``exact`` row scoring the
+    baseline against itself = the trivial 1.0 recall / delta 0):
+
+    - ``recall_at_k_ppm`` — mean |variant_topk ∩ exact_topk| / k, exact
+      integer ppm over all queries,
+    - ``mrr_ppm`` — mean reciprocal rank of the first same-label
+      neighbor (0 when no hit in the top k),
+    - ``mrr_delta_ppm`` — variant MRR minus the exact baseline's MRR
+      (how much retrieval quality the index's approximation costs).
+
+    Scale shape: every join here is per-query bounded — top-k frames are
+    O(n_queries · k) — so the whole eval is a handful of broadcast
+    equi-joins and 1-row aggregates regardless of corpus size; only the
+    index builds themselves touch the candidate table.  The exact
+    baseline row's MRR is collected once (1-row driver metadata) to feed
+    the delta literals.
+    """
+    exact = tracked_persist(exact)
+    n_q = exact.select("query_id").distinct().count()  # bounded scalar
+
+    qlab = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("__ql")
+    )
+    nlab = labels.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("__nl")
+    )
+    ex_pairs = exact.select("query_id", "neighbor_id")
+
+    def metrics(name: str, topk: DataFrame) -> DataFrame:
+        topk = tracked_persist(topk)
+        overlap = (
+            topk.select("query_id", "neighbor_id")
+            .join(ex_pairs, ["query_id", "neighbor_id"])
+            .count()
+        )  # bounded: <= n_q * k
+        rr = (
+            topk.join(F.broadcast(qlab), "query_id")
+            .join(F.broadcast(nlab), "neighbor_id")
+            .groupBy("query_id")
+            .agg(
+                F.coalesce(
+                    F.expr(
+                        "1000000 div min(CASE WHEN __nl = __ql"
+                        " THEN rank END)"
+                    ),
+                    F.lit(0),
+                ).alias("__rr")
+            )
+            .agg(F.sum("__rr").cast("long").alias("__s"))
+            .first()[0]
+            or 0
+        )
+        spark = topk.sparkSession
+        return spark.createDataFrame(
+            [
+                (
+                    name,
+                    n_q,
+                    (overlap * 1_000_000) // max(k * n_q, 1),
+                    int(rr) // max(n_q, 1),
+                )
+            ],
+            "index_name string, n_queries long, recall_at_k_ppm long,"
+            " mrr_ppm long",
+        )
+
+    rows = [metrics("exact", exact)]
+    for name in sorted(variants):
+        rows.append(metrics(name, variants[name]))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    exact_mrr = rows[0].first()["mrr_ppm"]  # 1-row driver metadata
+    return out.withColumn(
+        "mrr_delta_ppm", F.col("mrr_ppm") - F.lit(int(exact_mrr))
+    )

@@ -13,8 +13,10 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from e_commerce_data_lakehouse_spark import entry_queries as eq
 
@@ -55,15 +57,139 @@ def test_query_plan_has_no_scale_hazards(spark, name):
         assert op not in plan, f"{name}: {op} in physical plan"
 
 
+# Column names a global window's bounding Aggregate may group by: each is
+# bounded-cardinality in this schema regardless of corpus size (calendar
+# units, enumerated classes/statuses, dimension names).  A corpus-scaling
+# key (custkey, partkey, doc_id, orderkey, token, ...) matches none of
+# these, so the sweep fails the moment someone parks a global window over
+# a per-entity aggregate — the exact shape that bit rfm_segments (r6) and
+# classifier_decile_lift (r8) before their global_row_number rewrites.
+BOUNDED_KEY_WORDS = (
+    "day date full_date year month week quarter hour minute dow "
+    "decile tile bucket class segment flag status type mode lang "
+    "region nation brand priority shipmode returnflag linestatus "
+    "source lo hi"
+).split()
+
+# Aggregates whose grouping key is bounded by CONSTRUCTION though its
+# name is not on the whitelist.  classifier_auc's window reads the score
+# HISTOGRAM: score = pos_votes - neg_votes per doc, an integer bounded by
+# max tokens/doc (~110 in this corpus), so distinct scores are O(score
+# range), never O(corpus).
+BOUNDED_BY_CONSTRUCTION = {"classifier_auc": {"score"}}
+
+_ATTR_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split ``[a], [b], ...`` into bracket-group contents at depth 0."""
+    groups, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    return out + ["".join(cur).strip()] if cur else out
+
+
+def _grouping_key_names(agg_line: str) -> list[str] | None:
+    """Resolved grouping-key names of a logical ``Aggregate`` line, or
+    None when the aggregate is ungrouped (global — one output row)."""
+    s = agg_line[agg_line.index("Aggregate ") + len("Aggregate "):]
+    groups = _top_level_groups(s)
+    if len(groups) < 2:
+        return None  # ungrouped: Aggregate [outputs] only
+    keys, out = groups[0], groups[1]
+    names = []
+    for tok in _split_top_commas(keys):
+        m = _ATTR_RE.match(tok)
+        if m and m.group(1) == "_groupingexpression":
+            # computed grouping expr: resolve through its output alias
+            am = re.search(re.escape(tok) + r"L? AS ([A-Za-z_0-9]+)#", out)
+            names.append(am.group(1) if am else tok)
+        elif m:
+            names.append(m.group(1))
+        else:
+            names.append(tok)  # unresolvable expr: fails the whitelist
+    return names
+
+
+def assert_global_windows_bounded(plan: str, name: str) -> None:
+    """Core invariant, callable on any optimized-plan string: every
+    global Window node must read either a LIMIT (GlobalLimit/LocalLimit —
+    K rows by definition) or an Aggregate whose grouping keys are all
+    bounded-cardinality, before any source Relation."""
+    allowed_extra = BOUNDED_BY_CONSTRUCTION.get(name, set())
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Window [") or s.count("], [") != 1:
+            continue
+        tail = s.rsplit("], [", 1)[-1]
+        if " ASC" not in tail and " DESC" not in tail:
+            continue  # trailing group is a partition spec, not an order
+        for b in lines[i + 1 :]:
+            if "GlobalLimit" in b or "LocalLimit" in b:
+                break  # bounded: window reads a top-K/limit frame
+            if "Aggregate" in b:
+                keys = _grouping_key_names(b)
+                for k in keys or []:
+                    kl = k.lower().lstrip("_")
+                    ok = (
+                        k in allowed_extra
+                        or any(
+                            kl == w or kl.endswith("_" + w) or kl.endswith(w)
+                            for w in BOUNDED_KEY_WORDS
+                        )
+                    )
+                    assert ok, (
+                        f"{name}: global Window over Aggregate grouped by "
+                        f"'{k}' — not a bounded-cardinality key; a "
+                        f"per-entity group scales with the corpus and "
+                        f"serializes the window onto one task. Use "
+                        f"operators/ranking.py (global_row_number/"
+                        f"global_cumsum) instead.\n{b.strip()[:200]}"
+                    )
+                break  # bounded: aggregate over whitelisted keys
+            assert "Relation" not in b, (
+                f"{name}: global Window over un-aggregated source "
+                f"(single-task O(rows) input):\n{line}"
+            )
+
+
 @pytest.mark.parametrize("name", sorted(eq.QUERIES))
 def test_global_windows_consume_bounded_input(spark, name):
     """A Window with NO partition spec serializes onto one task — a scale
-    hazard UNLESS its input is already a bounded aggregate (e.g. a
-    months×years frame of ~100 rows; the source of the benign
-    'WindowExec: No Partition Defined' warnings).  Pin that invariant:
-    every global Window node must have an Aggregate strictly between it
-    and any source Relation, so the single-task input is O(groups), never
-    O(rows).
+    hazard UNLESS its input is already bounded: a LIMIT, or an aggregate
+    over bounded-cardinality keys (e.g. a months×years frame of ~100
+    rows; the source of the benign 'WindowExec: No Partition Defined'
+    warnings).  r8 strengthening (VERDICT r7 ask #4): an Aggregate alone
+    is NOT enough — grouping by custkey/partkey/doc_id produces an
+    O(corpus) frame that still serializes; the grouping keys must come
+    from the bounded whitelist above.
 
     Logical ``Window`` prints ``[exprs], [partSpec], [orderSpec]`` when
     fully specified; empty specs are omitted, so a 2-group line is global
@@ -73,22 +199,45 @@ def test_global_windows_consume_bounded_input(spark, name):
     """
     df = eq.QUERIES[name].spark_fn(spark, SF)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    lines = plan.splitlines()
-    for i, line in enumerate(lines):
-        s = line.strip().lstrip(":+- ")
-        if not s.startswith("Window [") or s.count("], [") != 1:
-            continue
-        tail = s.rsplit("], [", 1)[-1]
-        if " ASC" not in tail and " DESC" not in tail:
-            continue  # trailing group is a partition spec, not an order
-        below = lines[i + 1 :]
-        for b in below:
-            if "Aggregate" in b or "AggregateExec" in b:
-                break  # bounded: window reads an aggregated frame
-            assert "Relation" not in b, (
-                f"{name}: global Window over un-aggregated source "
-                f"(single-task O(rows) input):\n{line}"
+    assert_global_windows_bounded(plan, name)
+
+
+def test_plan_sweep_catches_per_entity_global_window(spark):
+    """The checker itself must FAIL on the hazard class it exists for: a
+    global cumulative window over a per-partkey aggregate (the exact
+    pre-r8 abc_revenue_classes shape).  If this starts passing, the
+    whitelist has rotted open."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    w = Window.orderBy(F.col("q").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bad = per_part.select("l_partkey", F.sum("q").over(w).alias("cum"))
+    plan = bad._jdf.queryExecution().optimizedPlan().toString()
+    with pytest.raises(AssertionError, match="l_partkey"):
+        assert_global_windows_bounded(plan, "planted")
+
+    # and the benign shape still passes: same window over a month agg
+    ok_df = li.groupBy(F.month("l_shipdate").alias("month")).agg(
+        F.sum("l_quantity").alias("q")
+    )
+    ok = ok_df.select(
+        "month",
+        F.sum("q")
+        .over(
+            Window.orderBy("month").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
             )
+        )
+        .alias("cum"),
+    )
+    assert_global_windows_bounded(
+        ok._jdf.queryExecution().optimizedPlan().toString(), "benign"
+    )
 
 
 @pytest.mark.parametrize(

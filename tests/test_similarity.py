@@ -294,3 +294,28 @@ def test_mmr_mixed_pool_sizes(spark):
         (0, 1),
         (10, 1),
     ]
+
+
+def test_ann_index_eval_pinned_bounds(spark):
+    """The registered index-quality harness (r7 VERDICT ask #5): the
+    exact row must be the identity (recall 1.0, delta 0) and both ANN
+    variants must clear a pinned recall floor — deterministic because
+    every trainer is seeded with fixed-order reductions, so these are
+    exact values at this sf, pinned with headroom against data-vintage
+    drift."""
+    rows = {
+        r["index_name"]: r
+        for r in eq.QUERIES["ann_index_eval"].spark_fn(spark, SF).collect()
+    }
+    assert set(rows) == {"exact", "ivf", "ivf_pq"}
+    ex = rows["exact"]
+    assert ex["recall_at_k_ppm"] == 1_000_000
+    assert ex["mrr_delta_ppm"] == 0
+    assert ex["n_queries"] == 20
+    for name in ("ivf", "ivf_pq"):
+        r = rows[name]
+        # measured at sf0.001: ivf 490000, ivf_pq 505000 — floor at 40%
+        assert r["recall_at_k_ppm"] >= 400_000, (name, r)
+        # MRR of an ANN variant can only differ from exact through
+        # missed neighbors; it must stay within half the exact MRR
+        assert r["mrr_ppm"] >= ex["mrr_ppm"] // 2, (name, r)

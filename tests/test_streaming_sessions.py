@@ -109,3 +109,45 @@ def test_append_mode_sessions_emit_only_watermark_closed(spark, tmp_path):
     before = target.read().count()
     assert target.append_once(target.read(), "b0") is False
     assert target.read().count() == before
+
+
+def test_append_mode_emits_session_ending_exactly_at_watermark(
+    spark, tmp_path
+):
+    """Pin the eviction TIE (r7 ADVICE #4): a session whose end equals the
+    final watermark exactly (end == max(ts) − delay) IS emitted by
+    Spark's append-mode session-window eviction — measured, not assumed —
+    which is why the streaming_sessions_append oracle closes sessions
+    with ``session_end <= max(ts) − delay`` (inclusive).  One second past
+    the tie stays open.  If a Spark upgrade flips this boundary, this
+    test fails before the sf-grown driver data can."""
+    from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now_append,
+    )
+
+    rows = [
+        ("u_tie", "2024-01-01 10:30:00"),  # ends 11:00:00 == watermark
+        ("u_under", "2024-01-01 10:29:59"),  # ends 10:59:59 < watermark
+        ("u_over", "2024-01-01 10:30:01"),  # ends 11:00:01 > watermark
+        ("umax", "2024-01-01 12:00:00"),  # max ts → watermark = 11:00:00
+    ]
+    src = str(tmp_path / "src")
+    (
+        spark.createDataFrame(rows, ["user_id", "ts_raw"])
+        .withColumn("ts", F.col("ts_raw").cast("timestamp"))
+        .drop("ts_raw")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .format("parquet")
+        .load(src)
+        .withWatermark("ts", "1 hour")
+    )
+    sessions = agg.sessionize(stream, "user_id", "ts", gap="30 minutes")
+    target = ManagedTable(spark, str(tmp_path / "sink"))
+    run_available_now_append(sessions, str(tmp_path / "ck"), target)
+    got = {r["user_id"] for r in target.read().collect()}
+    assert got == {"u_tie", "u_under"}, got
