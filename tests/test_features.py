@@ -222,3 +222,42 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
             "want", rk.ntile_from_rank("rn", n, k).alias("got")
         ).collect()
         assert all(r["want"] == r["got"] for r in rows), (n, k)
+
+
+def test_global_cumsum_equals_window_cumsum(spark):
+    """The distributed prefix sum must equal the single-task cumulative
+    window it replaces (SUM OVER ROWS UNBOUNDED PRECEDING), carry the
+    exact grand total when asked, and be independent of input
+    partitioning — including negative values and a partition-straddling
+    layout."""
+    from pyspark.sql import Window
+
+    from e_commerce_data_lakehouse_spark.caching import release_persisted
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
+
+    df = spark.range(997).select(
+        F.col("id"),
+        (((F.col("id") * 131) % 97) - 48).cast("long").alias("v"),
+    )
+    w = Window.orderBy(F.col("v").desc(), "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    expect = {
+        r["id"]: r["cum"]
+        for r in df.select(
+            "id", F.sum("v").over(w).alias("cum")
+        ).collect()
+    }
+    total = sum((i * 131) % 97 - 48 for i in range(997))
+    for layout in (df.coalesce(1), df.repartition(16)):
+        rows = rk.global_cumsum(
+            layout,
+            [F.col("v").desc(), "id"],
+            "v",
+            out_col="cum",
+            total_col="tot",
+        ).collect()
+        got = {r["id"]: r["cum"] for r in rows}
+        assert got == expect
+        assert all(r["tot"] == total for r in rows)
+        release_persisted()
