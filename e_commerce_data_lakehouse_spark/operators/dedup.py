@@ -114,6 +114,99 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     return df
 
 
+def _token_base(
+    df: DataFrame, id_col: str, text_col: str, block_cols: list[str]
+) -> DataFrame:
+    """(id, blocks..., distinct-token array, token count) — the shared
+    input shape of the token-set similarity joins."""
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        toks.alias("toks"),
+        F.size(toks).cast("double").alias("__nt"),
+    )
+
+
+def _prefix_candidates(
+    base: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    win: float,
+    pair_cond,
+) -> DataFrame:
+    """Lossless PREFIX-FILTERED candidate pairs for token-set similarity
+    at threshold ``t`` (``win = t - 5e-7``, the ROUND-compatible bound) —
+    prefix filtering in the SSJoin/PPJoin family (Chaudhuri et al.
+    SIGMOD'06, Xiao et al. WWW'08; both public).
+
+    Why: the naive block self-join pairs EVERY two docs sharing the
+    block key.  With a Zipf-shaped corpus the biggest (lang, first-token)
+    block is the head word's — a constant FRACTION of the corpus — so
+    one join task receives an O(n²)-growing block and serializes the
+    stage (observed live at gen-sf10: one straggler task holding the
+    (en, top-word) block for >25 min while 31 cores idled).
+
+    The filter: a qualifying pair must share ≥ ``win·|A|`` of A's tokens,
+    i.e. fewer than ``(1-win)·|A|`` of A's tokens miss B — so among A's
+    ``k = floor((1-win)·|A|) + 1`` globally RAREST tokens (document
+    frequency ascending, token ascending — any total order is lossless,
+    rarity minimizes candidates) at least one token is in B.  Candidates
+    = equi-join of A's k-rarest token stream against B's FULL token
+    stream on (blocks..., token).  The join key now includes the token,
+    so the head block shatters across the cluster, and a pair is only
+    generated when it shares a RARE token — the head-word pairs that
+    made the block quadratic never meet.
+
+    ``pair_cond(nt_a, nt_b)`` adds the caller's orientation + lossless
+    size-window conjuncts.  Returns distinct (__ida, __idb) with no
+    score — callers re-join the token arrays for the exact verify, which
+    is now O(candidates), not O(block²).
+    """
+    from pyspark.sql import Window
+
+    tok_stream = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.col("__nt"),
+        F.explode("toks").alias("__tok"),
+    )
+    # document frequency over THIS df — O(distinct tokens) aggregate with
+    # map-side combine; joined back onto the exploded stream (AQE
+    # broadcasts it at test scale, shuffle-joins it when the vocab grows)
+    freq = tok_stream.groupBy("__tok").agg(F.count("*").alias("__tf"))
+    w = Window.partitionBy(id_col).orderBy("__tf", "__tok")
+    # k = floor((1-win)·|A|) + 1; +1e-9 guards the float product rounding
+    # DOWN across an integer boundary (under-k would drop true pairs,
+    # over-k only adds candidates)
+    k = (
+        F.floor((1.0 - win) * F.col("__nt") + 1e-9).cast("int") + 1
+    )
+    pref = (
+        tok_stream.join(freq, "__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col(id_col).alias("__ida"),
+            *[F.col(c) for c in block_cols],
+            F.col("__nt").alias("__nta"),
+            "__tok",
+        )
+    )
+    full = tok_stream.select(
+        F.col(id_col).alias("__idb"),
+        *[F.col(c) for c in block_cols],
+        F.col("__nt").alias("__ntb"),
+        "__tok",
+    )
+    return (
+        pref.join(full, [*block_cols, "__tok"])
+        .filter(pair_cond(F.col("__nta"), F.col("__ntb")))
+        .select("__ida", "__idb")
+        .dropDuplicates(["__ida", "__idb"])
+    )
+
+
 def token_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -121,48 +214,39 @@ def token_jaccard_pairs(
     block_cols: list[str],
     threshold: float,
 ) -> DataFrame:
-    """Candidate near-dup pairs by token-set Jaccard within a blocking key.
+    """Exact near-dup pairs by token-set Jaccard within a blocking key.
 
-    Blocking keeps this an equi-join (shuffle on the block key) instead of a
-    quadratic cross join; the block key here is caller-provided (e.g. lang +
-    first token).  For probabilistic blocking at scale use
+    Result = every same-block pair with ``ROUND(J, 6) >= t`` (id_a <
+    id_b) — identical to a block self-join, but candidates come from the
+    lossless prefix filter (:func:`_prefix_candidates`): r8 rework after
+    the gen-sf10 sweep caught the head-token block serializing one task
+    (the Zipf top word starts ~10% of docs, so the old (lang, tok1)
+    block join had an O(n²) straggler).  The lossless size window
+    (``J >= t`` forces the two token counts within a factor of ``t``,
+    derived from ``t - 5e-7`` to stay lossless w.r.t. the final
+    ``ROUND(J, 6) >= t``) prunes candidates before the verify join
+    touches the token arrays.  For probabilistic blocking at scale use
     :func:`minhash_lsh_pairs`.
-
-    Within a block the join residual short-circuits on a LOSSLESS size
-    prefilter before touching the token arrays: ``J(A,B) <= min/max`` of
-    the distinct-token counts, so ``J >= t`` forces the two counts within
-    a factor of ``t`` — two integer compares that skip the O(|A|+|B|)
-    intersect/union for every size-incompatible pair.  The window is
-    derived from ``t - 5e-7`` so it is lossless w.r.t. the FINAL filter
-    ``ROUND(J, 6) >= t`` (a raw score just under ``t`` can round up to
-    it; the exact-``t`` window would prune such a pair while the
-    window-free SQL oracle keeps it).  Only the per-pair cost changes
-    (measured 8x on the gen-sf1 block profile, where blocks hold ~300
-    docs and most pair candidates differ >10% in token count).
     """
-    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    base = ensure_parallelism(df).select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        toks.alias("toks"),
-        F.size(toks).cast("double").alias("__nt"),
+    base = _token_base(df, id_col, text_col, block_cols)
+    win = threshold - 5e-7
+    cand = _prefix_candidates(
+        base,
+        id_col,
+        block_cols,
+        win,
+        pair_cond=lambda na, nb: (F.col("__ida") < F.col("__idb"))
+        & (na >= win * nb)
+        & (nb >= win * na),
     )
     a = base.alias("a")
     b = base.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    # lossless size window first — cheap conjuncts short-circuit the
-    # expensive intersect residual that Catalyst pushes in after them.
-    # t - 5e-7: the final filter compares ROUND(J, 6) >= t, so the window
-    # must admit raw scores that round UP to t.
-    win = threshold - 5e-7
-    cond.append(F.col("a.__nt") >= win * F.col("b.__nt"))
-    cond.append(F.col("b.__nt") >= win * F.col("a.__nt"))
     inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
     union = F.size(F.array_union("a.toks", "b.toks")).cast("double")
     jac = F.round(inter / union, 6)
     return (
-        a.join(b, cond)
+        cand.join(a, F.col("__ida") == F.col(f"a.{id_col}"))
+        .join(b, F.col("__idb") == F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -237,30 +321,33 @@ def token_containment_pairs(
     quoted inside a much longer one has low Jaccard (the union is large)
     but containment ~1, and corpus pipelines drop the contained copy.
 
-    Same blocked equi-join shape as :func:`token_jaccard_pairs`; the
-    residual short-circuits on the one-sided lossless size bound
-    (containment >= t forces ``|A| <= |B|/t`` since ``|A∩B| <= |B|``)
-    before touching the token arrays.  Self-pairs are excluded; both
-    orientations of a pair can appear (a⊂b and b⊂a are distinct facts).
+    Same prefix-filtered candidate shape as :func:`token_jaccard_pairs`
+    (the asymmetric case is where the prefix bound comes from: at most
+    ``(1-t)|A|`` of A's tokens can miss B, so A's k rarest tokens are the
+    prefix and B explodes ALL tokens); the one-sided lossless size bound
+    (containment >= t forces ``t*|A| <= |B|`` since ``|A∩B| <= |B|``)
+    prunes candidates before the verify join.  Self-pairs are excluded;
+    both orientations of a pair can appear (a⊂b and b⊂a are distinct
+    facts).
     """
-    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    base = ensure_parallelism(df).select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        toks.alias("toks"),
-        F.size(toks).cast("double").alias("__nt"),
+    base = _token_base(df, id_col, text_col, block_cols)
+    win = threshold - 5e-7
+    cand = _prefix_candidates(
+        base,
+        id_col,
+        block_cols,
+        win,
+        # lossless: |A∩B| <= |B|, so containment >= t forces t*|A| <= |B|
+        pair_cond=lambda na, nb: (F.col("__ida") != F.col("__idb"))
+        & (win * na <= nb),
     )
     a = base.alias("a")
     b = base.alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    cond.append(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-    # lossless: |A∩B| <= |B|, so containment >= t forces t*|A| <= |B|
-    # (t - 5e-7: the final filter compares ROUND(c, 6) >= t)
-    cond.append((threshold - 5e-7) * F.col("a.__nt") <= F.col("b.__nt"))
     inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
     containment = F.round(inter / F.col("a.__nt"), 6)
     return (
-        a.join(b, cond)
+        cand.join(a, F.col("__ida") == F.col(f"a.{id_col}"))
+        .join(b, F.col("__idb") == F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_contained"),
             F.col(f"b.{id_col}").alias("id_container"),
