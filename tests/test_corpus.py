@@ -1022,3 +1022,68 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     assert (
         split.groupBy("ck").count().filter(F.col("count") > 1).count() > 0
     )
+
+
+def test_prefix_filtered_pairs_match_bruteforce(spark):
+    """The r8 prefix-filtered candidate generation must be LOSSLESS: on a
+    seeded random corpus (short/long docs, shared head words, planted
+    near-dups, multiple blocks) both token_jaccard_pairs and
+    token_containment_pairs must equal a Python brute force over all
+    same-block pairs — including threshold-boundary scores that ROUND up
+    to t (the 5e-7 window the prefix size is derived from)."""
+    import itertools
+    import random as _random
+
+    from e_commerce_data_lakehouse_spark.operators import dedup as dd
+
+    rng = _random.Random(7)
+    head = ["the", "a", "of", "data", "spark"]
+    tail = [f"w{i}" for i in range(200)]
+    rows = []
+    for i in range(120):
+        n = rng.choice([4, 6, 10, 20, 40])
+        words = [rng.choice(head)] + [
+            rng.choice(head) if rng.random() < 0.4 else rng.choice(tail)
+            for _ in range(n - 1)
+        ]
+        rows.append((i, rng.choice(["en", "de"]), " ".join(words)))
+        if rng.random() < 0.3:  # planted near-dup: mutate 0-2 words
+            m = list(words)
+            for _ in range(rng.randint(0, 2)):
+                m[rng.randrange(len(m))] = rng.choice(tail)
+            rows.append((1000 + i, rows[-1][1], " ".join(m)))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    # brute force on normalized distinct token sets per (lang) block
+    def tokset(text):
+        return set(text.split(" "))  # already normalized words
+
+    docs = {r[0]: (r[1], tokset(r[2])) for r in rows}
+    want_j, want_c = set(), set()
+    for x, y in itertools.combinations(sorted(docs), 2):
+        (lx, tx), (ly, ty) = docs[x], docs[y]
+        if lx != ly:
+            continue
+        inter = len(tx & ty)
+        j = round(inter / len(tx | ty), 6)
+        if j >= 0.8:
+            want_j.add((x, y))
+        for a, b in ((x, y), (y, x)):
+            ca = round(inter / len(docs[a][1]), 6)
+            if ca >= 0.8:
+                want_c.add((a, b))
+
+    got_j = {
+        (r["id_a"], r["id_b"])
+        for r in dd.token_jaccard_pairs(
+            df, "doc_id", "text", ["lang"], threshold=0.8
+        ).collect()
+    }
+    got_c = {
+        (r["id_contained"], r["id_container"])
+        for r in dd.token_containment_pairs(
+            df, "doc_id", "text", ["lang"], threshold=0.8
+        ).collect()
+    }
+    assert got_j == want_j and len(want_j) > 5
+    assert got_c == want_c and len(want_c) > len(want_j)
