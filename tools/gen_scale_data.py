@@ -380,6 +380,28 @@ def gen_static_dims(sf: float, rng: np.random.Generator) -> dict[str, pa.Table]:
     }
 
 
+def _write_split(table: "pa.Table", path: str) -> None:
+    """Write with >= 64 row groups (bounded below at 8192 rows/group).
+
+    pyarrow's default is one ~1Mi-row group, and a parquet ROW GROUP is the
+    unit of split — Spark plans byte-range splits but every split except
+    the one containing the group's start offset yields ZERO rows, so a
+    single-group documents/embeddings file scans as ONE task no matter how
+    many cores the cluster has (caught live in the r8 gen-sf10 sweep: a
+    500k-row single-group documents.parquet held one straggler task for
+    >8 min of single-core expression work while 31 cores idled, and fooled
+    ``ensure_parallelism``'s planned-partition probe).  64 groups give the
+    32-core test sessions 2x task elasticity; real multi-file tables at
+    100 TB already have thousands of groups.  Layout only — the table
+    CONTENT (row order included) is byte-identical to a one-group write,
+    so data vintage is unchanged while scan timings become honest.
+    """
+    rows = table.num_rows
+    pq.write_table(
+        table, path, row_group_size=max(8192, (rows + 63) // 64)
+    )
+
+
 def generate(
     sf: float,
     out_root: str,
@@ -406,7 +428,7 @@ def generate(
         path = os.path.join(d, f"{name}.parquet")
         if not _want(name) or (only_missing and os.path.exists(path)):
             return
-        pq.write_table(build(), path)
+        _write_split(build(), path)
 
     _write("documents", lambda: gen_documents(sf, _rng(doc_seed)))
     _write("embeddings", lambda: gen_embeddings(sf, _rng(vec_seed)))
@@ -418,9 +440,9 @@ def generate(
     ):
         rng_o = _rng(ord_seed)
         orders, dates_us = gen_orders(sf, rng_o)
-        pq.write_table(orders, ord_path)
+        _write_split(orders, ord_path)
         del orders
-        pq.write_table(gen_lineitem(sf, rng_o, dates_us), li_path)
+        _write_split(gen_lineitem(sf, rng_o, dates_us), li_path)
     _write("events", lambda: gen_events(sf, _rng(ev_seed)))
     dims_missing = [
         t
@@ -433,7 +455,7 @@ def generate(
     if dims_missing:
         dims = gen_static_dims(sf, _rng(dim_seed))
         for t in dims_missing:
-            pq.write_table(dims[t], os.path.join(d, f"{t}.parquet"))
+            _write_split(dims[t], os.path.join(d, f"{t}.parquet"))
     return d
 
 
