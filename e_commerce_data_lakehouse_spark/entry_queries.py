@@ -1203,7 +1203,15 @@ WHERE ROUND(list_dot_product(a.v, b.v) /
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup with label blocking (cluster id as the
     blocking key — an equi-join, not a cross join).  The unsupervised scale
-    path with hyperplane-LSH blocking is ``embedding_near_dup_lsh``."""
+    path with hyperplane-LSH blocking is ``embedding_near_dup_lsh``.
+
+    The label key has ~10 distinct values, so the bare equi-join caps the
+    pair stage at 10 tasks no matter the cluster (caught by the r8
+    gen-sf10 sweep: 7 AQE-coalesced tasks each holding ~30 min of CPU
+    while 25 cores idled).  The join is SALTED: the a-side replicates
+    across 16 salt buckets, the b-side routes by hash — same pair
+    multiset, 16x the join keys, so the quadratic-by-contract work
+    actually spreads."""
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     from e_commerce_data_lakehouse_spark.functions.vectors import (
         cosine_prenormed,
@@ -1218,24 +1226,39 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.select(
         "vec_id", "label", "embedding", norm_fixed("embedding", dim).alias("__n")
     )
+    n_salt = 16
     a = base.select(
         F.col("vec_id").alias("id_a"), "label",
         F.col("embedding").alias("__va"), F.col("__n").alias("__na"),
+    ).withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(n_salt - 1).cast("int"))
+        ),
     )
     b = base.select(
         F.col("vec_id").alias("id_b"), "label",
         F.col("embedding").alias("__vb"), F.col("__n").alias("__nb"),
+    ).withColumn(
+        "__salt", F.pmod(F.xxhash64("id_b"), F.lit(n_salt)).cast("int")
     )
-    pairs = a.join(b, ["label"]).filter(F.col("id_a") < F.col("id_b"))
+    pairs = (
+        a.join(b, ["label", "__salt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("__salt")
+    )
+    raw = cosine_prenormed("__va", "__vb", "__na", "__nb", dim)
+    # filter on the RAW double (ROUND(c,6) >= t  <=>  c >= t - 5e-7 for
+    # the half-up rounding both engines use): the predicate Catalyst
+    # pushes into the join is then a double compare, not a per-row
+    # BigDecimal ROUND over every candidate pair
     return (
-        pairs.select(
+        pairs.filter(raw >= 0.35 - 5e-7)
+        .select(
             "id_a",
             "id_b",
-            cosine_prenormed("__va", "__vb", "__na", "__nb", dim).alias(
-                "cosine_sim"
-            ),
+            F.round(raw, 6).alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= 0.35)
     )
 
 
