@@ -4527,23 +4527,41 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs levenshtein is confined to each block); ``F.levenshtein`` and
     DuckDB's agree exactly, so the pairs are value-checked.  At 100 TB the
     blocking key would be a stronger candidate key (phonetic code, name
-    prefix, LSH bucket) — same plan shape."""
+    prefix, LSH bucket) — same plan shape.
+
+    Two r8 sweep fixes, both result-identical: the nation key has ~25
+    values so the join is SALTED ×8 (a-side replicated, b-side
+    hash-routed — otherwise the quadratic block work caps at 25 tasks),
+    and the per-pair distance uses the BANDED ``levenshtein(a, b, k)``
+    (O(k·n) early-exit DP, -1 past the threshold) instead of the full
+    O(n²) DP — for the ≤ k pairs that survive, the banded value IS the
+    exact distance, so the output column and the oracle's plain
+    ``levenshtein`` agree."""
     c = load(spark, sf_dir, "customer")["customer"]
-    a, b = c.alias("a"), c.alias("b")
+    n_salt = 8
+    a = c.withColumn(
+        "__salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(n_salt - 1).cast("int"))
+        ),
+    ).alias("a")
+    b = c.withColumn(
+        "__salt", F.pmod(F.xxhash64("c_custkey"), F.lit(n_salt)).cast("int")
+    ).alias("b")
+    d = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 2).cast("int")
     return (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.__salt") == F.col("b.__salt"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
+        .filter((d >= 0) & (d <= 2))
         .select(
             F.col("a.c_custkey").alias("id_a"),
             F.col("b.c_custkey").alias("id_b"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-            .cast("int")
-            .alias("edit_distance"),
+            d.alias("edit_distance"),
         )
-        .filter(F.col("edit_distance") <= 2)
     )
 
 
