@@ -78,9 +78,14 @@ def qlog2_sql(c: str) -> str:
     (see module docstring).  ``c`` must be >= 1.
     """
     k = f"CAST(floor(log2({c})) AS BIGINT)"
+    # CAST(c AS BIGINT) before the 2^P multiply: when ``c`` arrives as an
+    # INT expression (e.g. a driver-embedded corpus-total literal), the
+    # mantissa product runs in int32 and overflows past c ~ 2.1e6 —
+    # caught by the r8 gen-sf10 sweep at total = 23.6M tokens (ANSI
+    # throw); invisible at sf0.01
     return (
         f"(({k}) * {1 << P_BITS}"
-        f" + (({c}) * {1 << P_BITS})"
+        f" + (CAST(({c}) AS BIGINT) * {1 << P_BITS})"
         f" div shiftleft(CAST(1 AS BIGINT), CAST({k} AS INT))"
         f" - {1 << P_BITS})"
     )
