@@ -3790,11 +3790,13 @@ def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard against ANY held-out benchmark doc (doc_id % 97) reaches 0.9 —
     the near-dup complement of ``benchmark_contamination``'s exact n-gram
     overlap (paraphrased benchmark leakage shares few exact n-grams but
-    keeps a high token Jaccard).  The bounded benchmark side is broadcast,
-    so the corpus streams map-side through the blocked join: at 100 TB the
-    big table is touched once with no shuffle.  Blocking is language-only
-    — the benchmark side is small enough that a per-language broadcast
-    probe is cheap, and tighter blocking would cost recall.  See
+    keeps a high token Jaccard).  r9 rework (the r8 sweep's slowest query,
+    647.7 s at gen-sf10): the benchmark side now builds a broadcast
+    rare-token PREFIX index and the corpus TOKEN STREAM equi-joins it on
+    (lang, token) — map-side, one corpus pass, no per-pair nested
+    ``array_intersect`` — then only surviving candidates are
+    exact-verified (17.1 s at gen-sf10, oracle unchanged so the hash
+    proves losslessness).  See
     ``operators/dedup.py:token_jaccard_pairs_between``."""
     docs = load(spark, sf_dir, "documents")["documents"]
     base = docs.select("doc_id", "lang", "text")
@@ -4525,9 +4527,11 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose names are within edit distance 2 — the record-linkage primitive.
     Blocking on the nation key keeps the self-join an equi-join (the
     all-pairs levenshtein is confined to each block); ``F.levenshtein`` and
-    DuckDB's agree exactly, so the pairs are value-checked.  At 100 TB the
-    blocking key would be a stronger candidate key (phonetic code, name
-    prefix, LSH bucket) — same plan shape.
+    DuckDB's agree exactly, so the pairs are value-checked.  This exact
+    form is quadratic BY CONTRACT (~4.5e10 in-block pairs at gen-sf10);
+    the implemented 100 TB sibling is ``fuzzy_name_matches_blocked``
+    (deletion-neighborhood candidate key, LOSSLESS — same oracle, linear
+    row expansion; see ``operators/entity.py``).
 
     Two r8 sweep fixes, both result-identical: the nation key has ~25
     values so the join is SALTED ×8 (a-side replicated, b-side
@@ -4562,6 +4566,41 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.c_custkey").alias("id_b"),
             d.alias("edit_distance"),
         )
+    )
+
+
+@register(
+    "fuzzy_name_matches_blocked",
+    """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_distance
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def fuzzy_name_matches_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sibling of ``fuzzy_name_matches`` (r8's one remaining
+    quadratic-by-contract sweep skip): SAME answer — the oracle SQL is
+    the exact all-pairs query verbatim, so the hash gate proves the
+    blocking lossless — but candidates come from the symmetric-delete
+    neighborhood equi-join of ``operators/entity.py`` instead of the
+    nation-block self-join.  Two names within edit distance 2 always
+    share a string reachable by deleting <= 2 chars from each
+    (pigeonhole over an optimal alignment), so the join key is
+    (nation, xxhash64(deletion-variant)): O(n·172) linear row expansion
+    at name length 18, shared only by genuinely-close names — no
+    quadratic block, no Zipf head, nothing to salt.  Survivors are
+    verified with the banded ``levenshtein(a, b, 2)``."""
+    from e_commerce_data_lakehouse_spark.operators import entity as ent
+
+    c = load(spark, sf_dir, "customer")["customer"]
+    return ent.edit_distance_pairs_blocked(
+        dd.ensure_parallelism(c.select("c_custkey", "c_nationkey", "c_name")),
+        "c_custkey",
+        "c_name",
+        ["c_nationkey"],
+        max_dist=2,
     )
 
 

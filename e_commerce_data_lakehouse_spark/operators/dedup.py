@@ -256,6 +256,45 @@ def token_jaccard_pairs(
     )
 
 
+def _prefix_index(
+    base: DataFrame, id_col: str, block_cols: list[str], win: float
+) -> DataFrame:
+    """Per-document PREFIX token index of ``base``: for each doc B, its
+    ``k_B = floor((1-win)·|B|) + 1`` rarest tokens (document frequency
+    over ``base`` ascending, token ascending).  Lossless probe key for
+    token-set Jaccard at threshold ``t`` (``win = t - 5e-7``): any A with
+    ``J(A,B) >= t`` has ``|A∩B| >= t·|A∪B| >= t·|B|``, so B misses at
+    most ``(1-t)·|B|`` of its own tokens from A — among ANY ``k_B``
+    tokens of B at least one is in A.  Rarity ordering minimizes how
+    often a probe token hits the index (a Zipf head word is in almost
+    no document's prefix).  Output: (blocks..., __tok, __idb, __ntb).
+    """
+    from pyspark.sql import Window
+
+    stream = base.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.col("__nt"),
+        F.explode("toks").alias("__tok"),
+    )
+    freq = stream.groupBy("__tok").agg(F.count("*").alias("__tf"))
+    w = Window.partitionBy(id_col).orderBy("__tf", "__tok")
+    # +1e-9 guards the float product rounding DOWN across an integer
+    # boundary (under-k would drop true pairs, over-k only adds candidates)
+    k = F.floor((1.0 - win) * F.col("__nt") + 1e-9).cast("int") + 1
+    return (
+        stream.join(freq, "__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            *[F.col(c) for c in block_cols],
+            "__tok",
+            F.col(id_col).alias("__idb"),
+            F.col("__nt").alias("__ntb"),
+        )
+    )
+
+
 def token_jaccard_pairs_between(
     a_df: DataFrame,
     b_df: DataFrame,
@@ -270,35 +309,55 @@ def token_jaccard_pairs_between(
     leakage; near-dup text against the held-out set is the stronger
     signal).
 
-    Scale shape: ``b`` (the benchmark) is bounded by the premise of
-    decontamination, so it is broadcast and the corpus streams map-side
-    through the blocked join — the 100 TB side is touched once, no
-    shuffle.  The same lossless size window as
-    :func:`token_jaccard_pairs` short-circuits the per-pair
-    intersect/union.
+    Scale shape (r9 rework — the r8 form broadcast the benchmark but
+    still ran ``array_intersect`` for EVERY same-block (corpus, bench)
+    pair, a bounded-side nested loop whose constant grows with the
+    benchmark; 647.7 s at gen-sf10, the slowest query in the repo):
+
+    1. Build the rare-token PREFIX INDEX over the bounded benchmark side
+       (:func:`_prefix_index` — each bench doc's ``floor((1-t)|B|)+1``
+       rarest tokens, lossless by the pigeonhole bound) and broadcast it.
+    2. Equi-join the corpus TOKEN STREAM against the index on
+       (blocks..., token) — map-side, the 100 TB side touched once, no
+       corpus shuffle.  A head token is in almost no prefix, so the
+       Zipf-head fanout that made the naive join quadratic never fires;
+       the lossless size window prunes the rest.
+    3. Exact-verify the surviving candidate pairs only: re-join the
+       token arrays (bench side broadcast; candidate side is small by
+       the decontamination premise, so AQE broadcasts it against the
+       corpus) and keep ``ROUND(J, 6) >= t``.
+
+    Same result set as the naive blocked join — the sf0.01 oracle hash
+    and the brute-force random-corpus pytest pin losslessness.
     """
-    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-
-    def prep(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            *[F.col(c) for c in block_cols],
-            toks.alias("toks"),
-            F.size(toks).cast("double").alias("__nt"),
-        )
-
-    a = ensure_parallelism(prep(a_df)).alias("a")
-    b = prep(b_df).alias("b")
-    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    a_base = _token_base(a_df, id_col, text_col, block_cols)
+    b_base = _token_base(b_df, id_col, text_col, block_cols)
     # t - 5e-7: lossless w.r.t. the ROUND(J, 6) >= t final filter
     win = threshold - 5e-7
-    cond.append(F.col("a.__nt") >= win * F.col("b.__nt"))
-    cond.append(F.col("b.__nt") >= win * F.col("a.__nt"))
+    pidx = _prefix_index(b_base, id_col, block_cols, win)
+    a_stream = a_base.select(
+        F.col(id_col).alias("__ida"),
+        *[F.col(c) for c in block_cols],
+        F.col("__nt").alias("__nta"),
+        F.explode("toks").alias("__tok"),
+    )
+    cand = (
+        a_stream.join(F.broadcast(pidx), [*block_cols, "__tok"])
+        .filter(
+            (F.col("__nta") >= win * F.col("__ntb"))
+            & (F.col("__ntb") >= win * F.col("__nta"))
+        )
+        .select("__ida", "__idb")
+        .dropDuplicates(["__ida", "__idb"])
+    )
+    a = a_base.alias("a")
+    b = b_base.alias("b")
     inter = F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
     union = F.size(F.array_union("a.toks", "b.toks")).cast("double")
     jac = F.round(inter / union, 6)
     return (
-        a.join(F.broadcast(b), cond)
+        cand.join(F.broadcast(b), F.col("__idb") == F.col(f"b.{id_col}"))
+        .join(a, F.col("__ida") == F.col(f"a.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -128,31 +128,26 @@ class Dag:
         speed (the reference's chains are linear for the same reason)."""
         order = self.topo_order()
         runs: dict[str, TaskRun] = {}
-        pool = _fut.ThreadPoolExecutor(max_workers=1)
-        try:
-            for name in order:
-                t = self.tasks[name]
-                bad = [
-                    d
-                    for d in t.deps
-                    if runs[d].status != "success"
-                ]
-                if bad:
-                    runs[name] = TaskRun(
-                        name, "upstream_failed", 0, 0.0,
-                        error=f"upstream {sorted(bad)} not successful",
-                    )
-                    continue
-                runs[name] = self._run_task(t, spark, pool)
-        finally:
-            pool.shutdown(wait=False)
+        for name in order:
+            t = self.tasks[name]
+            bad = [
+                d
+                for d in t.deps
+                if runs[d].status != "success"
+            ]
+            if bad:
+                runs[name] = TaskRun(
+                    name, "upstream_failed", 0, 0.0,
+                    error=f"upstream {sorted(bad)} not successful",
+                )
+                continue
+            runs[name] = self._run_task(t, spark)
         return [runs[n] for n in order]
 
     def _run_task(
         self,
         t: Task,
         spark: SparkSession | None,
-        pool: _fut.ThreadPoolExecutor,
     ) -> TaskRun:
         group = f"dag:{self.name}:{t.name}"
 
@@ -170,10 +165,20 @@ class Dag:
         t0 = time.monotonic()
         last_err: str | None = None
         timed_out = False
+        attempts = 0
         for attempt in range(1, t.retries + 2):
+            attempts = attempt
             if attempt > 1 and t.retry_delay > 0:
                 time.sleep(t.retry_delay)
+            # fresh single-worker executor PER ATTEMPT (r8 ADVICE): a
+            # timed-out attempt whose thread never unwinds (pure-Python
+            # task, or a hung action the job-group cancel can't stop)
+            # must not queue the retry — or any later task — behind it.
+            pool = _fut.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix=group
+            )
             fut = pool.submit(attempt_fn)
+            pool.shutdown(wait=False)  # worker finishes its one item
             try:
                 result = fut.result(timeout=t.timeout)
                 return TaskRun(
@@ -191,10 +196,21 @@ class Dag:
                     # unblocks when its cancelled jobs raise
                     spark.sparkContext.cancelJobGroup(group)
                 fut.cancel()
-                # wait for the cancelled attempt to actually unwind so
-                # the single worker is free for the retry
+                # grace wait for the cancelled attempt to unwind; if it
+                # is STILL stuck, abandon the task immediately — a
+                # retry could otherwise run concurrently with the stuck
+                # attempt's side effects (the thread itself cannot be
+                # killed; its executor is already abandoned, so nothing
+                # else ever queues behind it)
                 try:
                     fut.result(timeout=30)
+                except _fut.TimeoutError:
+                    last_err = (
+                        f"timeout after {t.timeout}s; attempt thread "
+                        f"still running after 30s grace — abandoned "
+                        f"(no retry: it could race the stuck attempt)"
+                    )
+                    break
                 except Exception:  # noqa: BLE001 — already recorded
                     pass
             except Exception as e:  # noqa: BLE001 — retry loop records it
@@ -203,7 +219,7 @@ class Dag:
         return TaskRun(
             t.name,
             "timeout" if timed_out else "failed",
-            t.retries + 1,
+            attempts,
             round(time.monotonic() - t0, 3),
             error=last_err,
         )
@@ -215,25 +231,36 @@ class Dag:
 _FIELD_RANGES = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 6))
 
 
-def _parse_field(spec: str, lo: int, hi: int) -> frozenset[int]:
+def _parse_field(
+    spec: str, lo: int, hi: int, dow: bool = False
+) -> frozenset[int]:
+    """One cron field → the set of matching values.  Vixie-compatible
+    (r8 ADVICE): in the day-of-week field 7 is the Sunday alias (``7``
+    and ``0-7`` both include Sunday), and a bare value with a step
+    (``5/15``) means the range from that value to the field max
+    (``5-59/15`` in the minute field), not the single value."""
     out: set[int] = set()
+    top = 7 if dow else hi  # dow accepts 7 = Sunday
     for part in spec.split(","):
         step = 1
-        if "/" in part:
+        has_step = "/" in part
+        if has_step:
             part, step_s = part.split("/", 1)
             step = int(step_s)
             if step < 1:
                 raise ValueError(f"bad step in {spec!r}")
         if part == "*":
-            a, b = lo, hi
+            a, b = lo, top
         elif "-" in part:
             a_s, b_s = part.split("-", 1)
             a, b = int(a_s), int(b_s)
         else:
-            a = b = int(part)
-        if not (lo <= a <= hi and lo <= b <= hi and a <= b):
-            raise ValueError(f"field {spec!r} outside [{lo},{hi}]")
-        out.update(range(a, b + 1, step))
+            a = int(part)
+            # Vixie: 'x/step' == 'x-max/step'; bare 'x' is just {x}
+            b = top if has_step else a
+        if not (lo <= a <= top and lo <= b <= top and a <= b):
+            raise ValueError(f"field {spec!r} outside [{lo},{top}]")
+        out.update(v % 7 if dow else v for v in range(a, b + 1, step))
     return frozenset(out)
 
 
@@ -247,8 +274,8 @@ def cron_next(expr: str, after: datetime) -> datetime:
     if len(fields) != 5:
         raise ValueError(f"need 5 cron fields, got {expr!r}")
     mins, hrs, dom, mon, dow = (
-        _parse_field(f, lo, hi)
-        for f, (lo, hi) in zip(fields, _FIELD_RANGES)
+        _parse_field(f, lo, hi, dow=(i == 4))
+        for i, (f, (lo, hi)) in enumerate(zip(fields, _FIELD_RANGES))
     )
     dom_star = fields[2] == "*"
     dow_star = fields[4] == "*"

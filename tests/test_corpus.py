@@ -1087,3 +1087,27 @@ def test_prefix_filtered_pairs_match_bruteforce(spark):
     }
     assert got_j == want_j and len(want_j) > 5
     assert got_c == want_c and len(want_c) > len(want_j)
+
+    # r9: the BETWEEN form (benchmark-side prefix index, corpus token
+    # stream probe) must be lossless on the same corpus — split it into
+    # corpus (id % 3 != 0) vs benchmark (id % 3 == 0), brute force the
+    # cross pairs at a boundary-exercising threshold
+    corpus = df.filter(F.col("doc_id") % 3 != 0)
+    bench = df.filter(F.col("doc_id") % 3 == 0)
+    want_b = set()
+    for x, y in itertools.product(sorted(docs), sorted(docs)):
+        if x % 3 == 0 or y % 3 != 0:
+            continue
+        (lx, tx), (ly, ty) = docs[x], docs[y]
+        if lx != ly:
+            continue
+        j = round(len(tx & ty) / len(tx | ty), 6)
+        if j >= 0.8:
+            want_b.add((x, y))
+    got_b = {
+        (r["id_a"], r["id_b"])
+        for r in dd.token_jaccard_pairs_between(
+            corpus, bench, "doc_id", "text", ["lang"], threshold=0.8
+        ).collect()
+    }
+    assert got_b == want_b and len(want_b) > 0

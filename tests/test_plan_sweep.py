@@ -240,6 +240,88 @@ def test_plan_sweep_catches_per_entity_global_window(spark):
     )
 
 
+# ---------------------------------------------------------------------------
+# r9 invariant (VERDICT r8 ask #7): a join that carries a per-pair SET
+# VERIFY (array_intersect / array_union / arrays_overlap in its
+# condition) is a nested-loop verify in disguise — every pair meeting on
+# the equi-keys pays the O(|A|+|B|) set operation.  That is only sound
+# when the equi-keys are candidate-level (doc ids, tokens, hashes —
+# cardinality grows with the corpus, so pairs meeting is O(candidates)),
+# NEVER when they are all bounded block keys (lang, nation: the pair
+# count inside a block grows quadratically, the exact shape that made
+# fuzzy_decontamination 647 s at gen-sf10 before its prefix-filter
+# rework).
+# ---------------------------------------------------------------------------
+SET_VERIFY_FNS = ("array_intersect(", "array_union(", "arrays_overlap(")
+
+_EQ_RE = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_]*)#\d+L? = ([A-Za-z_][A-Za-z0-9_]*)#\d+L?"
+)
+
+
+def _bounded_key(name: str) -> bool:
+    kl = name.lower().lstrip("_")
+    return any(w in kl for w in BOUNDED_KEY_WORDS)
+
+
+def assert_set_verify_joins_candidate_keyed(plan: str, name: str) -> None:
+    for line in plan.splitlines():
+        s = line.strip().lstrip(":+- ")
+        if not s.startswith("Join "):
+            continue
+        if not any(fn in s for fn in SET_VERIFY_FNS):
+            continue
+        eqs = _EQ_RE.findall(s)
+        ok = any(
+            not _bounded_key(a) and not _bounded_key(b) for a, b in eqs
+        )
+        assert ok, (
+            f"{name}: join condition runs a per-pair set verify "
+            f"(array_intersect/union) but every equi-key is a bounded "
+            f"block key {sorted(set(a for a, _ in eqs))} — an all-pairs "
+            f"nested loop inside each block. Prefix-filter candidates "
+            f"first (operators/dedup.py:_prefix_candidates/"
+            f"_prefix_index) and verify on id-keyed joins.\n"
+            f"{s[:300]}"
+        )
+
+
+@pytest.mark.parametrize("name", sorted(eq.QUERIES))
+def test_set_verify_joins_are_candidate_keyed(spark, name):
+    df = eq.QUERIES[name].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert_set_verify_joins_candidate_keyed(plan, name)
+
+
+def test_plan_sweep_catches_naive_set_verify_join(spark):
+    """The checker must FAIL on the planted pre-r9 fuzzy_decontamination
+    shape: a lang-blocked join whose condition computes the Jaccard via
+    array_intersect for EVERY same-lang pair."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    a = docs.filter(F.col("doc_id") % 97 != 0).alias("a")
+    b = docs.filter(F.col("doc_id") % 97 == 0).alias("b")
+    naive = (
+        a.join(F.broadcast(b), F.col("a.lang") == F.col("b.lang"))
+        .filter(
+            F.size(F.array_intersect("a.toks", "b.toks"))
+            >= F.size(F.array_union("a.toks", "b.toks")) * 0.9
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id").alias("bench_id"))
+    )
+    plan = naive._jdf.queryExecution().optimizedPlan().toString()
+    with pytest.raises(AssertionError, match="nested loop"):
+        assert_set_verify_joins_candidate_keyed(plan, "planted")
+
+    # and the fixed shape passes: candidates joined back on doc ids
+    fixed = eq.QUERIES["fuzzy_decontamination"].spark_fn(spark, SF)
+    assert_set_verify_joins_candidate_keyed(
+        fixed._jdf.queryExecution().optimizedPlan().toString(),
+        "fuzzy_decontamination",
+    )
+
+
 @pytest.mark.parametrize(
     "name", ["near_dup_minhash_lsh", "incremental_near_dup"]
 )

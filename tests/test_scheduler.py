@@ -152,3 +152,50 @@ def test_cron_next_pinned_cases():
         cron_next("60 * * * *", datetime(2024, 1, 1))
     with pytest.raises(ValueError):
         cron_next("* * * *", datetime(2024, 1, 1))
+
+
+def test_cron_vixie_compat():
+    """r8 ADVICE: dow 7 is the Sunday alias, and a bare value with a
+    step means 'from that value to the field max' (Vixie), so a real
+    Airflow schedule using either form ports without edits."""
+    # dow 7 == Sunday: 2024-01-07 is a Sunday
+    assert cron_next("0 12 * * 7", datetime(2024, 1, 1, 0, 0)) == datetime(
+        2024, 1, 7, 12, 0
+    )
+    # '5-7' spans Fri, Sat, Sun-alias: from Thursday Jan 4, next is Fri
+    assert cron_next("0 0 * * 5-7", datetime(2024, 1, 4, 12, 0)) == datetime(
+        2024, 1, 5, 0, 0
+    )
+    # '5/15' == '5-59/15': after 00:06 the next fire is 00:20, not 01:05
+    assert cron_next("5/15 * * * *", datetime(2024, 1, 1, 0, 6)) == datetime(
+        2024, 1, 1, 0, 20
+    )
+    # hour '20/2' == '20-23/2'
+    assert cron_next("0 20/2 * * *", datetime(2024, 1, 1, 20, 30)) == datetime(
+        2024, 1, 1, 22, 0
+    )
+    # 8 is still out of range for dow
+    with pytest.raises(ValueError):
+        cron_next("* * * * 8", datetime(2024, 1, 1))
+
+
+def test_stuck_attempt_does_not_block_later_tasks():
+    """r8 ADVICE: a timed-out attempt whose thread never unwinds (a
+    pure-Python sleep the job-group cancel cannot stop) must not queue
+    later tasks behind it — they run on fresh executors — and the stuck
+    task is abandoned without a racing retry."""
+    t0 = time.monotonic()
+
+    dag = Dag("t")
+
+    def semi_stuck():
+        time.sleep(2.0)  # outlives the 0.2s timeout, unwinds in grace
+
+    dag.add("stuck", semi_stuck, retries=1, timeout=0.2)
+    dag.add("independent", lambda: "ran")
+    runs = {r.name: r for r in dag.run()}
+    assert runs["stuck"].status == "timeout"
+    assert runs["independent"].status == "success"
+    # both attempts happened (thread unwound within grace => retry ran)
+    assert runs["stuck"].attempts == 2
+    assert time.monotonic() - t0 < 30

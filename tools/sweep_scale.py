@@ -54,10 +54,28 @@ def main() -> None:
     ap.add_argument(
         "--log", default=os.path.join(ROOT, ".scaledata/sweep_sf10.jsonl")
     )
-    ap.add_argument("--skip", nargs="+", default=[])
+    ap.add_argument(
+        "--skip",
+        nargs="+",
+        default=[],
+        help="name=reason pairs; a reason is REQUIRED so the artifact of "
+        "record is self-describing (r8 verdict hygiene ask)",
+    )
     ap.add_argument("--only", nargs="+", default=None)
     ap.add_argument("--after", default=None)
+    ap.add_argument(
+        "--no-funnel",
+        action="store_true",
+        help="skip the per-run minhash band->verify funnel counters",
+    )
     args = ap.parse_args()
+
+    skips: dict[str, str] = {}
+    for s in args.skip:
+        if "=" not in s:
+            ap.error(f"--skip {s!r}: use name=reason (reason is required)")
+        n, r = s.split("=", 1)
+        skips[n] = r
 
     done: set[str] = set()
     if os.path.exists(args.log):
@@ -85,12 +103,31 @@ def main() -> None:
         log.write(json.dumps(rec) + "\n")
         log.flush()
 
+    if not args.no_funnel:
+        # candidate-explosion telemetry in the artifact of record: the
+        # minhash band-join -> estimate-funnel -> exact-verify counters
+        # at THIS sweep's scale point (same stats bench.py publishes at
+        # sf0.1), so a blown-up candidate stage is visible in the jsonl
+        # even when the query still finishes
+        try:
+            import bench as _bench
+
+            emit(
+                {
+                    "status": "funnel",
+                    "sf_dir": args.sf_dir,
+                    **_bench._funnel_stats(spark, args.sf_dir),
+                }
+            )
+        except Exception as e:  # noqa: BLE001 — telemetry, not a gate
+            emit({"status": "funnel", "err": f"{type(e).__name__}: {e}"})
+
     n_ok = n_exc = 0
     for name in names:
         if name in done:
             continue
-        if name in args.skip:
-            emit({"q": name, "status": "skip"})
+        if name in skips:
+            emit({"q": name, "status": "skip", "reason": skips[name]})
             continue
         emit({"q": name, "status": "start"})
         t = time.time()
