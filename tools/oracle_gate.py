@@ -92,6 +92,24 @@ SCALE_SENSITIVE: list[tuple[str, str | None]] = [
     ("embedding_covariance", None),
 ]
 
+# Additional reasoned skips applied only in --all mode: queries whose
+# SPARK side is quadratic by contract/data at generator scale (their
+# scale-path siblings are the gated forms; the exact forms are
+# hash-proven at sf0.01/0.1).
+ALL_MODE_SKIPS: dict[str, str] = {
+    "fuzzy_name_matches": (
+        "quadratic by contract on BOTH engines at gen-sf1 (~9e8 in-block "
+        "banded levenshtein DPs); lossless sibling "
+        "fuzzy_name_matches_blocked carries the family (same oracle SQL, "
+        "hash-proven at sf0.01/0.1, sf10-swept)"
+    ),
+    "embedding_near_dup": (
+        "output-quadratic BY DATA at generator scale (tight synthetic "
+        "clusters; documented r8 sweep skip) — embedding_near_dup_lsh is "
+        "the scale path and is gated rows-only here"
+    ),
+}
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -100,6 +118,12 @@ def main() -> int:
         "--out", default=os.path.join(ROOT, "artifacts/oracle_gen_sf1.jsonl")
     )
     ap.add_argument("--queries", nargs="+", default=None)
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="gate the WHOLE registry (not just the scale-sensitive "
+        "set); known-infeasible oracles keep their reasoned skips",
+    )
     ap.add_argument("--oracle-timeout", type=float, default=900.0)
     ap.add_argument("--max-rows", type=int, default=3_000_000)
     args = ap.parse_args()
@@ -126,11 +150,13 @@ def main() -> int:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
 
-    todo = (
-        [(n, None) for n in args.queries]
-        if args.queries
-        else SCALE_SENSITIVE
-    )
+    if args.queries:
+        todo = [(n, None) for n in args.queries]
+    elif args.all:
+        reasons = dict(SCALE_SENSITIVE) | ALL_MODE_SKIPS
+        todo = [(n, reasons.get(n)) for n in sorted(queries)]
+    else:
+        todo = SCALE_SENSITIVE
     # resumable like sweep_scale: rows already carrying a final status
     # for this sf_dir are not re-run
     done: set[str] = set()
@@ -165,6 +191,22 @@ def main() -> int:
         try:
             sdf = queries[name](spark, args.sf_dir)
             scols = sdf.columns
+            # count BEFORE collect: an output-quadratic result must be
+            # skipped without ever materializing on the driver
+            n_rows = sdf.count()
+            if n_rows > args.max_rows:
+                rec.update(
+                    status="skip",
+                    spark_rows=n_rows,
+                    spark_secs=round(time.time() - t0, 1),
+                    reason=f"result {n_rows} rows > --max-rows "
+                    f"{args.max_rows}: too large for an in-driver "
+                    f"compare",
+                )
+                emit(rec)
+                n_skip += 1
+                print(f"GATE SKIP {name}: {n_rows} rows", flush=True)
+                continue
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001 — gate records, not raises
             rec.update(
@@ -178,15 +220,6 @@ def main() -> int:
             continue
         rec["spark_rows"] = len(srows)
         rec["spark_secs"] = round(time.time() - t0, 1)
-        if len(srows) > args.max_rows:
-            rec.update(
-                status="skip",
-                reason=f"result {len(srows)} rows > --max-rows "
-                f"{args.max_rows}: too large for an in-driver compare",
-            )
-            emit(rec)
-            n_skip += 1
-            continue
         if name not in oracles or oracles[name] is None:
             rec.update(status="ok", check="rows-only")
             emit(rec)
