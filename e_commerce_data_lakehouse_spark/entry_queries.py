@@ -1673,21 +1673,39 @@ def status_revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-integer quality score, shared by doc_quality_filter and
+# training_corpus_build (r9 rework — mirror of functions/text.py
+# quality_score: ROUND(double, 6) is not engine-portable within 1 ulp of
+# a decimal boundary; the gen-sf1 oracle gate caught 0.833437 vs
+# 0.833438.  All BIGINT: min(len,500)·(P*−p)·(2T−s)·10^6 half-up-divided
+# by 500·P*·2T, then ONE exact /1e6 at the end).
+_Q_T = "substr(text, 1, 2000)"
+_Q_NS = f"greatest(length(regexp_replace({_Q_T}, '\\s', '', 'g')), 1)"
+_Q_P = f"length(regexp_replace({_Q_T}, '[A-Za-z0-9\\s]', '', 'g'))"
+_Q_TOKS = f"string_split(trim(lower({_Q_T})), ' ')"
+_Q_NT = f"len({_Q_TOKS})"
+_Q_STOP = (
+    f"len(list_filter({_Q_TOKS}, "
+    "t -> t IN ('the','a','and','of','to','in','is','it')))"
+)
+_Q_NUM = (
+    f"(CAST(least(length({_Q_T}), 500) AS BIGINT)"
+    f" * ({_Q_NS} - {_Q_P})"
+    f" * (2 * {_Q_NT} - {_Q_STOP}) * 1000000)"
+)
+_Q_DEN = f"(CAST(500 AS BIGINT) * {_Q_NS} * 2 * {_Q_NT})"
+_QUALITY_SQL = (
+    f"(CAST(((2 * {_Q_NUM} + {_Q_DEN}) // (2 * {_Q_DEN}))"
+    f" AS DOUBLE) / 1000000)"
+)
+
+
 @register(
     "doc_quality_filter",
-    """
+    f"""
 WITH scored AS (
     SELECT doc_id,
-           ROUND(
-               least(length(text) / 500.0, 1.0)
-               * (1 - COALESCE(ROUND(
-                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 /
-                     NULLIF(length(regexp_replace(text, '\\s', '', 'g')), 0), 9), 0.0))
-               * (1 - COALESCE(ROUND(
-                     len(list_filter(string_split(trim(lower(text)), ' '),
-                         t -> t IN ('the','a','and','of','to','in','is','it'))) * 1.0 /
-                     NULLIF(len(string_split(trim(lower(text)), ' ')), 0), 9), 0.0) / 2),
-               6) AS quality,
+           {_QUALITY_SQL} AS quality,
            lang
     FROM documents
 )
@@ -2284,20 +2302,6 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # language ID -> curated-corpus stats, end to end, fully oracle-checked
 # ---------------------------------------------------------------------------
 
-_QUALITY_SQL = """
-           ROUND(
-               least(length(text) / 500.0, 1.0)
-               * (1 - COALESCE(ROUND(
-                     length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 /
-                     NULLIF(length(regexp_replace(text, '\\s', '', 'g')), 0), 9), 0.0))
-               * (1 - COALESCE(ROUND(
-                     len(list_filter(string_split(trim(lower(text)), ' '),
-                         t -> t IN ('the','a','and','of','to','in','is','it'))) * 1.0 /
-                     NULLIF(len(string_split(trim(lower(text)), ' ')), 0), 9), 0.0) / 2),
-               6)
-"""
-
-
 @register(
     "training_corpus_build",
     f"""
@@ -2328,7 +2332,9 @@ scores AS (
 )
 SELECT predicted_lang,
        COUNT(*) AS n_docs,
-       ROUND(CAST(SUM(CAST(quality AS DECIMAL(19,6))) AS DOUBLE) / COUNT(*), 6)
+       -- quality is k/1e6 exactly; average in integer micros, half-up
+       CAST((2 * CAST(SUM(CAST(ROUND(quality * 1000000) AS BIGINT)) AS BIGINT)
+             + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE) / 1000000
            AS avg_quality,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM curated c JOIN pred USING (doc_id)
@@ -2368,12 +2374,20 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("predicted_lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(
-                F.sum(F.col("quality").cast("decimal(19,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("avg_quality"),
+            # quality is k/1e6 exactly: average in integer micros with a
+            # half-up integral division (ROUND(double/count) is not
+            # engine-portable at ulp boundaries — r9 gen-sf1 gate class)
+            F.sum(F.round(F.col("quality") * 1_000_000).cast("long")).alias(
+                "__qs"
+            ),
             F.sum("n_tok").alias("n_tokens"),
+        )
+        .selectExpr(
+            "predicted_lang",
+            "n_docs",
+            "cast((2 * __qs + n_docs) div (2 * n_docs) as double)"
+            " / 1000000 as avg_quality",
+            "n_tokens",
         )
     )
 
@@ -3936,24 +3950,34 @@ WITH feats AS (
 src AS (SELECT feature, COUNT(*) AS s_cnt FROM feats GROUP BY feature),
 tgt AS (SELECT feature, COUNT(*) AS t_cnt FROM feats
         WHERE is_target GROUP BY feature),
-ratio AS (
+-- exact-integer ratio (r9): round_half_up(num/den * 1e6) in BIGINT,
+-- the 1e6 decomposed into two 1e3 steps to stay inside int64
+base AS (
   SELECT s.feature,
-         ROUND(CAST((COALESCE(t.t_cnt, 0) + 1) *
-                    ((SELECT SUM(s_cnt) FROM src) + 256) AS DOUBLE) /
-               CAST((s.s_cnt + 1) *
-                    ((SELECT SUM(t_cnt) FROM tgt) + 256) AS DOUBLE),
-               6) AS ratio
+         CAST((COALESCE(t.t_cnt, 0) + 1) *
+              ((SELECT SUM(s_cnt) FROM src) + 256) AS BIGINT) AS num,
+         CAST((s.s_cnt + 1) *
+              ((SELECT SUM(t_cnt) FROM tgt) + 256) AS BIGINT) AS den
   FROM src s LEFT JOIN tgt t USING (feature)
+),
+ratio AS (
+  SELECT feature,
+         ((2 * num * 1000) // (2 * den)) * 1000
+         + (((2 * num * 1000) % (2 * den)) * 1000 + den) // (2 * den)
+           AS ratio_micros
+  FROM base
 ),
 scored AS (
   SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
-         CAST(SUM(CAST(r.ratio AS DECIMAL(30,6))) AS DOUBLE) AS ratio_sum
+         CAST(SUM(r.ratio_micros) AS BIGINT) AS rsum
   FROM feats f JOIN ratio r USING (feature)
   GROUP BY f.doc_id
 ),
 weighted AS (
   SELECT doc_id, n_tok,
-         LEAST(1.0, ROUND(ratio_sum / n_tok, 6)) AS weight
+         CAST(LEAST(CAST(1000000 AS BIGINT),
+                    (2 * rsum + n_tok) // (2 * n_tok)) AS DOUBLE) / 1000000
+           AS weight
   FROM scored
 )
 SELECT doc_id, n_tok, weight FROM weighted

@@ -49,6 +49,27 @@ def avg_money(col: Column | str, scale: int = 6) -> Column:
     return F.round(dec_sum / F.count(c), scale)
 
 
+def idiv(num: Column, den: Column) -> Column:
+    """Exact integral division of NON-NEGATIVE longs in the Column API
+    (which has no ``div`` operator): ``(num - pmod(num, den)) / den``.
+    The adjusted numerator is exactly divisible, so the double division
+    is exact — valid while ``num < 2^53`` (callers document their bound).
+    For wider operands build the expression with ``F.expr('a div b')``.
+    """
+    return ((num - F.pmod(num, den)) / den).cast("long")
+
+
+def idiv_half_up(num: Column, den: Column) -> Column:
+    """round_half_up(num/den) for non-negative longs, exactly:
+    ``(2·num + den) div (2·den)``.  Same ``2·num < 2^53`` bound as
+    :func:`idiv`.  This is the engine-portable replacement for
+    ``ROUND(double, k)`` on a rational value: rounding a DOUBLE is not
+    portable within 1 ulp of a decimal boundary (the r9 gen-sf1 oracle
+    gate caught Spark 0.833437 vs DuckDB 0.833438), while integer
+    arithmetic is bit-identical everywhere."""
+    return idiv(2 * num + den, 2 * den)
+
+
 def sql_sum_money(expr: str) -> str:
     """Oracle-side (DuckDB) rendering of :func:`sum_money`."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL(30,2))) AS DOUBLE)"

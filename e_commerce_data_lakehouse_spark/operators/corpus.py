@@ -265,17 +265,33 @@ def dsir_importance(
     s_total = tot[0] or 0
     t_total = tot[1] or 0
 
-    ratio = by_feat.select(
-        "feature",
-        F.round(
-            (
-                (F.col("t_cnt") + 1) * F.lit(int(s_total) + n_features)
-            ).cast("double")
-            / ((F.col("s_cnt") + 1) * F.lit(int(t_total) + n_features)).cast(
-                "double"
-            ),
-            6,
-        ).alias("ratio"),
+    # r9 exactness rework: the ratio and the per-doc mean used to go
+    # through ROUND(double, 6), which is NOT engine-portable within 1 ulp
+    # of a decimal boundary (the gen-sf1 oracle gate caught 0.999706 vs
+    # 0.999707).  Both are now pure-BIGINT half-up divisions.  The
+    # ratio's 10^6 scaling is decomposed into two 10^3 steps so no
+    # intermediate exceeds int64 even at gen-sf10 token totals (~2.5e7:
+    # 2·num·10^3 ≈ 1.2e18 < 2^63); beyond ~1e9-token shards the feature
+    # counts would need DECIMAL(38) — noted, not reachable in-sandbox.
+    ratio = (
+        by_feat.selectExpr(
+            "feature",
+            f"(t_cnt + 1) * cast({int(s_total) + n_features} as bigint)"
+            " as __num",
+            f"(s_cnt + 1) * cast({int(t_total) + n_features} as bigint)"
+            " as __den",
+        )
+        .selectExpr(
+            "feature",
+            "__den",
+            "(2 * __num * 1000) div (2 * __den) as __a",
+            "(2 * __num * 1000) % (2 * __den) as __rem",
+        )
+        .selectExpr(
+            "feature",
+            "__a * 1000 + ((__rem * 1000 + __den) div (2 * __den))"
+            " as ratio_micros",
+        )
     )
 
     return (
@@ -283,16 +299,14 @@ def dsir_importance(
         .groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_tok"),
-            F.sum(F.col("ratio").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("ratio_sum"),
+            F.sum("ratio_micros").cast("long").alias("__rsum"),
         )
-        .select(
+        .selectExpr(
             id_col,
             "n_tok",
-            F.least(
-                F.lit(1.0), F.round(F.col("ratio_sum") / F.col("n_tok"), 6)
-            ).alias("weight"),
+            "cast(least(cast(1000000 as bigint),"
+            " (2 * __rsum + n_tok) div (2 * n_tok)) as double)"
+            " / 1000000 as weight",
         )
     )
 
