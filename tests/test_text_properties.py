@@ -268,3 +268,92 @@ def test_canonical_url_rules(spark):
     assert got[7] == ("https://h.example?q=1", "h.example")
     # a query value ending in '/' keeps it (no trailing-slash strip)
     assert got[8] == ("http://h.example/p?a=1/", "h.example")
+
+
+# ---------------------------------------------------------------------------
+# r9 exact-arithmetic properties (defect class #7: ROUND(double) is not
+# engine-portable at ulp boundaries — quality/dsir now round in BIGINT)
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4_000_000_000_000),
+            st.integers(min_value=1, max_value=2_000_000_000),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_idiv_half_up_matches_python_exact(spark, pairs):
+    """idiv / idiv_half_up must equal Python's exact integer arithmetic
+    for every (num, den) inside the documented 2^53 bound."""
+    from e_commerce_data_lakehouse_spark.functions.exact import (
+        idiv,
+        idiv_half_up,
+    )
+
+    df = spark.createDataFrame(pairs, ["n", "d"])
+    got = (
+        df.select(
+            "n",
+            "d",
+            idiv(F.col("n"), F.col("d")).alias("q"),
+            idiv_half_up(F.col("n"), F.col("d")).alias("h"),
+        )
+        .collect()
+    )
+    for r in got:
+        assert r["q"] == r["n"] // r["d"], (r["n"], r["d"])
+        assert r["h"] == (2 * r["n"] + r["d"]) // (2 * r["d"]), (
+            r["n"],
+            r["d"],
+        )
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab the of.!?  ",  # letters, stopword chars, punct, ws
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_quality_score_matches_exact_rational_model(spark, texts):
+    """quality_score must equal the exact-Fraction reference model —
+    including half-up ties, the boundary case the gen-sf1 oracle gate
+    caught (Spark 0.833437 vs DuckDB 0.833438 under the old
+    ROUND(double) form)."""
+    from fractions import Fraction
+
+    STOP = set(tx.STOPWORDS)
+
+    def model(text):
+        t = text[:2000]
+        L = min(len(t), 500)
+        nonspace = re.sub(r"\s", "", t)
+        P = max(len(nonspace), 1)
+        p = len(re.sub(r"[A-Za-z0-9\s]", "", t))
+        toks = re.split(r"\s+", t.lower().strip())
+        T = len(toks)
+        s = sum(1 for x in toks if x in STOP)
+        q = Fraction(L * (P - p) * (2 * T - s) * 10**6, 500 * P * 2 * T)
+        num, den = q.numerator, q.denominator
+        return ((2 * num + den) // (2 * den)) / 1e6  # half-up micros
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r["i"]: r["q"]
+        for r in df.select(
+            "i", tx.quality_score(F.col("t")).alias("q")
+        ).collect()
+    }
+    for i, t in rows:
+        assert got[i] == model(t), (t, got[i], model(t))
