@@ -124,6 +124,8 @@ HEADLINE = [
     "rolling_active_users",
     "leakage_safe_split_counts",
     "winsorized_priority_prices",
+    "order_percentiles",
+    "order_percentiles_by_status",
     "classifier_decile_lift",
     "streaming_running_totals",
     "event_transition_matrix",

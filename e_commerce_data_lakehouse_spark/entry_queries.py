@@ -1631,15 +1631,25 @@ FROM orders
 )
 def order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated percentiles (DuckDB ``quantile_cont``
-    semantics, bit-matched).  At 100 TB swap to ``percentile_approx`` with a
-    bounded sketch — exact percentile requires a sort of the full column;
-    both are single-expression changes."""
+    semantics, bit-matched) — computed DISTRIBUTED via
+    ``ranking.exact_quantiles_cont`` (value histogram + range-sharded
+    cumulative counts + driver interpolation of the two bracket rows),
+    not ``F.percentile``, whose exact aggregate ships every value into
+    one final merge buffer (174.5 s at gen-sf10; OOM-scale at 100 TB).
+    The oracle is unchanged, so the hash proves the rewrite; gen-sf10
+    drops to the histogram family's seconds class."""
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
+
     o = load(spark, sf_dir, "orders")["orders"]
-    return o.agg(
-        F.round(F.percentile("o_totalprice", 0.25), 6).alias("p25"),
-        F.round(F.percentile("o_totalprice", 0.50), 6).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
-        F.round(F.percentile("o_totalprice", 0.99), 6).alias("p99"),
+    probs = [0.25, 0.50, 0.75, 0.99]
+    qs, _ = rk.exact_quantiles_cont(o, "o_totalprice", probs)
+    g = qs.get((), {})
+    row = tuple(g.get(p) for p in probs)
+    out = spark.createDataFrame(
+        [row], "p25 double, p50 double, p75 double, p99 double"
+    )
+    return out.select(
+        *[F.round(F.col(c), 6).alias(c) for c in ("p25", "p50", "p75", "p99")]
     )
 
 
@@ -2260,11 +2270,14 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     which Spark executes as a single-partition global sort of O(customers)
     rows — the one 'WindowExec: No Partition Defined' scale hazard the
     round-1 audit flagged.  Percentile thresholds give deterministic,
-    oracle-matchable buckets (ties share a bucket) from one aggregate: the
-    three boundaries are exact ``F.percentile`` scalars (bit-matching
-    DuckDB ``quantile_cont``, cf. order_percentiles), fetched in a bounded
-    driver action and folded into a codegen when-chain — every stage stays
-    fully parallel."""
+    oracle-matchable buckets (ties share a bucket): the three boundaries
+    are exact quantile scalars bit-matching DuckDB ``quantile_cont``,
+    computed DISTRIBUTED by ``ranking.exact_quantiles_cont`` (histogram +
+    sharded cumulative counts — ``F.percentile``'s exact aggregate would
+    buffer every per-customer spend in one reduce task) and folded into a
+    codegen when-chain — every stage stays fully parallel."""
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
+
     o = load(spark, sf_dir, "orders")["orders"]
     s = (
         o.groupBy("o_custkey")
@@ -2274,16 +2287,13 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = tracked_persist(s)
-    b = s.agg(
-        F.percentile("spend", 0.25).alias("p25"),
-        F.percentile("spend", 0.50).alias("p50"),
-        F.percentile("spend", 0.75).alias("p75"),
-    ).first()
+    qs, _ = rk.exact_quantiles_cont(s, "spend", [0.25, 0.50, 0.75])
+    b = qs.get((), {})
     spend = F.col("spend")
     quartile = (
-        F.when(spend >= b["p75"], 1)
-        .when(spend >= b["p50"], 2)
-        .when(spend >= b["p25"], 3)
+        F.when(spend >= b[0.75], 1)
+        .when(spend >= b[0.50], 2)
+        .when(spend >= b[0.25], 3)
         .otherwise(4)
     )
     return (
@@ -3307,16 +3317,39 @@ FROM orders GROUP BY 1
 """,
 )
 def order_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group percentiles: GROUP BY percentile is one hash
-    aggregate (per-group sorted-buffer), parallel across groups — unlike a
-    global percentile there is no single-node concentration; swap to
-    percentile_approx at extreme per-group cardinalities."""
+    """Exact per-group percentiles, distributed: GROUP BY ``percentile``
+    buffers each group's FULL value list in its one reduce task (3 status
+    groups = 3 tasks each sorting ~n/3 values; 53.8 s at gen-sf10, and a
+    memory ceiling at 100 TB).  ``ranking.exact_quantiles_cont`` shards
+    each group's value HISTOGRAM across the cluster instead — groups may
+    span partitions; only the (partition × group) offset table and the
+    2·|probs|·|groups| bracket rows ever reach the driver.  ``n_orders``
+    is COUNT(*) (null-inclusive), collected as its own bounded 3-row
+    aggregate since the quantile path ignores nulls."""
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
+
     o = load(spark, sf_dir, "orders")["orders"]
-    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
-        F.round(F.percentile("o_totalprice", 0.25), 6).alias("p25"),
-        F.round(F.percentile("o_totalprice", 0.50), 6).alias("p50"),
-        F.round(F.percentile("o_totalprice", 0.75), 6).alias("p75"),
-        F.count("*").alias("n_orders"),
+    probs = [0.25, 0.50, 0.75]
+    qs, _ = rk.exact_quantiles_cont(
+        o, "o_totalprice", probs, group_cols=["o_orderstatus"]
+    )
+    n_all = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        .collect()
+    }  # bounded: one row per status
+    rows = [
+        (status, *[qs.get((status,), {}).get(p) for p in probs], int(n))
+        for status, n in sorted(n_all.items())
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "status string, p25 double, p50 double, p75 double, n_orders long",
+    )
+    return out.select(
+        "status",
+        *[F.round(F.col(c), 6).alias(c) for c in ("p25", "p50", "p75")],
+        "n_orders",
     )
 
 
@@ -8066,38 +8099,46 @@ def winsorized_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines agree bit-for-bit; engines' built-in percentile
     interpolation rules differ, which is why the rank arithmetic is
     explicit).  Complements the MAD-based ``robust_price_outliers``
-    (detect) with the winsorize (repair) form.  Scale: exact per-group
-    quantiles need one sort per group (the window); the approximate path
-    at 100 TB is ``order_percentiles_approx``.  The quantile table is one
-    row per group, broadcast back for the clamp pass."""
-    from pyspark.sql import Window
+    (detect) with the winsorize (repair) form.  Scale: the rank-th
+    values come from ``ranking.exact_values_at`` (value histogram +
+    range-sharded cumulative counts) — the previous per-group
+    ``ROW_NUMBER`` window sorted each priority's FULL order set in one
+    task (5 tasks × n/5 rows; a memory ceiling at 100 TB).  The rank is
+    over the price multiset, so the (price, orderkey) tiebreaker the
+    window needed is irrelevant to the picked PRICE — tied prices
+    permute, the rank-th price doesn't.  The quantile table is one row
+    per group, broadcast back for the clamp pass."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
 
     o = load(spark, sf_dir, "orders")["orders"]
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+
+    def ranks(n: int) -> set[int]:  # 1-based ceil(q*n) -> 0-based
+        return {(n * 5 + 99) // 100 - 1, (n * 95 + 99) // 100 - 1}
+
+    vals, totals = rk.exact_values_at(
+        o, "o_totalprice", ranks, group_cols=["o_orderpriority"]
     )
-    ranked = o.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*")
-        .over(Window.partitionBy("o_orderpriority"))
-        .alias("n"),
-    )
-    q = ranked.groupBy("o_orderpriority").agg(
-        F.max(
-            F.when(
-                F.col("rn") == F.expr("(n * 5 + 99) div 100"),
-                F.col("o_totalprice"),
+    price_t = o.schema["o_totalprice"].dataType
+    q = spark.createDataFrame(
+        [
+            (
+                prio,
+                vals[(prio,)][(n * 5 + 99) // 100 - 1],
+                vals[(prio,)][(n * 95 + 99) // 100 - 1],
+                int(n),
             )
-        ).alias("p05"),
-        F.max(
-            F.when(
-                F.col("rn") == F.expr("(n * 95 + 99) div 100"),
-                F.col("o_totalprice"),
-            )
-        ).alias("p95"),
-        F.max("n").cast("long").alias("n_orders"),
+            for (prio,), n in sorted(totals.items())
+        ],
+        StructType(
+            [
+                o.schema["o_orderpriority"],
+                StructField("p05", price_t),
+                StructField("p95", price_t),
+                StructField("n_orders", LongType()),
+            ]
+        ),
     )
     clamped = o.join(F.broadcast(q), "o_orderpriority").select(
         F.col("o_orderpriority").alias("priority"),

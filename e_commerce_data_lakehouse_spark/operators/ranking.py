@@ -26,7 +26,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructType
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from e_commerce_data_lakehouse_spark.caching import tracked_persist
 
@@ -171,6 +176,246 @@ def global_cumsum(
     if total_col is not None:
         out = out.withColumn(total_col, F.lit(acc).cast("long"))
     return out
+
+
+def exact_values_at(
+    df: DataFrame,
+    value_col: str,
+    index_fn,
+    group_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    weight_col: str | None = None,
+) -> tuple[dict, dict]:
+    """Exact order statistics at arbitrary 0-based positions WITHOUT the
+    single-reducer value buffer — the shared engine under
+    :func:`exact_quantiles_cont` and the rank-based winsorize/MAD family.
+
+    Spark's exact ``percentile`` aggregate (and the equivalent
+    per-group ``ROW_NUMBER`` window) ships every value of a group into
+    ONE task and sorts it there — at 100 TB that is a memory-scale
+    concentration (174.5 s for one 15M-value global percentile at
+    gen-sf10 on this host; OOM long before a real cluster's data size).
+    This computes the same order statistics fully distributed:
+
+    1. ``groupBy(value).count()`` — one parallel hash aggregate (the
+       only pass over the data);
+    2. range-shuffle the DISTINCT values (groups freely SPAN
+       partitions), sort within partitions, persist — then ONE JVM-side
+       aggregate over ``spark_partition_id()`` yields the bounded
+       per-(partition, group) count table, from which the driver knows
+       exactly which partition holds each requested position and at
+       what partition-local offset;
+    3. a pick pass (Arrow ``mapInPandas`` over the persisted sorted
+       histogram) runs a partition-local weighted cumsum and emits ONLY
+       the ≤ ``|indices|·|groups|`` hit rows — partitions with no
+       targets return before consuming a batch, nothing histogram-sized
+       is ever serialized back, joined, or re-persisted.
+
+    ``index_fn(n)`` receives each group's non-null row count and returns
+    the 0-based positions needed for that group (indices outside
+    ``[0, n-1]`` are ignored).  NULL values are ignored (SQL percentile
+    semantics).  Returns ``(values, totals)``: ``values[group_tuple]``
+    maps index → RAW column value (decimal stays decimal — no cast), and
+    ``totals[group_tuple]`` → non-null row count; the global case uses
+    ``()`` as the group tuple.  Contract: ``group_cols`` (if any) are
+    bounded-cardinality (the plan sweep's window-whitelist contract);
+    the VALUE column's distinct count may be arbitrarily large — it
+    stays distributed throughout.
+
+    ``weight_col``: when given, ``df`` is a PRE-AGGREGATED histogram —
+    each row is a (value, multiplicity) pair and positions index the
+    expanded multiset.  Callers that need several statistics of the same
+    column (median + MAD + flag counts) build the histogram once, keep
+    it persisted, and every subsequent pass runs in histogram domain —
+    one scan of the base data total.
+    """
+    import numpy as np
+
+    keys = list(group_cols or [])
+    cnt_expr = (
+        F.sum(F.col(weight_col)).cast("long")
+        if weight_col
+        else F.count("*")
+    )
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(cnt_expr.alias("__cnt"))
+    )
+    if weight_col:
+        # a zero-total value would make an empty [c, c) position range
+        # that searchsorted could land on; weights must be >= 0
+        hist = hist.filter(F.col("__cnt") > 0)
+    order_cols = keys + [value_col]
+    sdf = tracked_persist(
+        (
+            hist.repartitionByRange(num_partitions, *order_cols)
+            if num_partitions
+            else hist.repartitionByRange(*order_cols)
+        ).sortWithinPartitions(*order_cols)
+    )
+
+    # bounded driver metadata, computed ENTIRELY JVM-side: one row per
+    # (partition, group).  spark_partition_id() is evaluated before the
+    # aggregate's shuffle, so it tags the persisted sorted layout — the
+    # same physical partition ids the pick pass's TaskContext sees.
+    sum_rows = (
+        sdf.groupBy(F.spark_partition_id().alias("__pid"), *keys)
+        .agg(F.sum("__cnt").cast("long").alias("__s"))
+        .collect()
+    )
+    totals: dict[tuple, int] = {}
+    part_span: list[tuple[int, tuple, int, int]] = []  # pid, g, off, cnt
+    for r in sorted(sum_rows, key=lambda r: r["__pid"]):
+        g = tuple(r[k] for k in keys)
+        part_span.append((r["__pid"], g, totals.get(g, 0), int(r["__s"])))
+        totals[g] = totals.get(g, 0) + int(r["__s"])
+
+    if not totals:
+        sdf.unpersist()
+        return {}, {}
+
+    needed: dict[tuple, set[int]] = {
+        g: {int(i) for i in index_fn(n) if 0 <= int(i) < n}
+        for g, n in totals.items()
+    }
+    # pick lists: pid -> group -> {partition-local position: global idx}
+    targets: dict[int, dict[tuple, dict[int, int]]] = {}
+    for pid, g, off, cnt in part_span:
+        hits = {
+            i - off: i for i in needed.get(g, ()) if off <= i < off + cnt
+        }
+        if hits:
+            targets.setdefault(pid, {})[g] = hits
+
+    key_fields = [f for f in sdf.schema.fields if f.name in keys]
+    out_schema = StructType(
+        list(key_fields)
+        + [sdf.schema[value_col], StructField("__idx", LongType())]
+    )
+    out_cols = keys + [value_col, "__idx"]
+
+    def pick(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        mine = targets.get(TaskContext.get().partitionId())
+        if not mine:
+            return  # nothing wanted here: don't even consume a batch
+        remaining = {g: dict(ix) for g, ix in mine.items()}
+        carries: dict[tuple, int] = {}
+        for pdf in batches:
+            if not remaining:
+                return
+            if not len(pdf):
+                continue
+            runs = (
+                # dropna=False: the JVM count table keeps null group
+                # keys, so the pick pass must see them too
+                pdf.groupby(keys, sort=False, dropna=False)
+                if keys
+                else ((None, pdf),)
+            )
+            for gval, sub in runs:
+                if keys:
+                    raw = gval if isinstance(gval, tuple) else (gval,)
+                    # NaN is not equal to itself — normalize null keys
+                    # to None so dict lookups match the driver's keys
+                    g = tuple(None if pd.isna(x) else x for x in raw)
+                else:
+                    g = ()
+                base = carries.get(g, 0)
+                cnt = sub["__cnt"].to_numpy(dtype=np.int64)
+                c = cnt.cumsum() + np.int64(base)
+                carries[g] = int(c[-1])
+                want = remaining.get(g)
+                if not want:
+                    continue
+                rows = []
+                for li, gi in list(want.items()):
+                    if base <= li < int(c[-1]):
+                        j = int(np.searchsorted(c, li, side="right"))
+                        rows.append(
+                            [*(sub.iloc[j][k] for k in keys),
+                             sub.iloc[j][value_col], gi]
+                        )
+                        del want[li]
+                if not want:
+                    del remaining[g]
+                if rows:
+                    yield pd.DataFrame(rows, columns=out_cols)
+
+    hit_rows = sdf.mapInPandas(pick, out_schema).collect()
+    by_group: dict[tuple, dict[int, object]] = {}
+    for r in hit_rows:
+        g = tuple(r[k] for k in keys)
+        by_group.setdefault(g, {})[int(r["__idx"])] = r[value_col]
+    sdf.unpersist()
+    return by_group, totals
+
+
+def exact_quantiles_cont(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+    weight_col: str | None = None,
+) -> tuple[dict, dict]:
+    """Exact linear-interpolated quantiles (``percentile`` /
+    ``quantile_cont`` semantics, bit-matched) WITHOUT the single-reducer
+    value buffer — :func:`exact_values_at` fetches the two order
+    statistics bracketing each target position, and the interpolation
+    happens driver-side on those ≤ ``2·|probs|·|groups|`` rows,
+    reproducing ``Percentile.getPercentile`` exactly: ``position =
+    p·(n−1)``; if ``ceil == floor`` or the two bracketing values are
+    equal, the lower value; else ``(ceil−pos)·lo + (pos−floor)·hi`` —
+    the same IEEE-double ops the JVM runs, so results are bit-identical
+    to ``F.percentile`` (and to the DuckDB ``quantile_cont`` oracles
+    that already match it).
+
+    Returns ``(quantiles, totals)``: ``quantiles[group_tuple][p]`` →
+    float (the global case uses ``()`` as the group tuple) and
+    ``totals[group_tuple]`` → non-null row count.
+    """
+    import math
+
+    def brackets(n: int) -> set[int]:
+        idxs: set[int] = set()
+        for p in probs:
+            pos = p * (n - 1)
+            idxs.add(math.floor(pos))
+            idxs.add(math.ceil(pos))
+        return idxs
+
+    by_group, totals = exact_values_at(
+        df,
+        value_col,
+        brackets,
+        group_cols=group_cols,
+        num_partitions=num_partitions,
+        weight_col=weight_col,
+    )
+    quantiles: dict[tuple, dict[float, float]] = {}
+    for g, n in totals.items():
+        vals = by_group.get(g, {})
+        out: dict[float, float] = {}
+        for p in probs:
+            pos = p * (n - 1)
+            lo_i, hi_i = math.floor(pos), math.ceil(pos)
+            lo_v = float(vals[lo_i])
+            if hi_i == lo_i:
+                out[p] = lo_v
+                continue
+            hi_v = float(vals[hi_i])
+            # equal-key early return, then the JVM's exact expression
+            out[p] = (
+                lo_v
+                if hi_v == lo_v
+                else (hi_i - pos) * lo_v + (pos - lo_i) * hi_v
+            )
+        quantiles[g] = out
+    return quantiles, totals
 
 
 def ntile_from_rank(rank_col: str, n_rows: int | str, k: int) -> Column:

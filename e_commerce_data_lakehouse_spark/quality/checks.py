@@ -19,6 +19,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 
 from e_commerce_data_lakehouse_spark.caching import tracked_persist
 
@@ -199,40 +200,82 @@ def robust_outlier_stats(
     through: ``2 * 10000 * d > k_x10000 * mad4`` — pure BIGINT compares,
     bit-identical in Spark and DuckDB.
 
-    Scale shape: two grouped EXACT percentile aggregates (each buffers
-    one group's values on its reducer — right for audit-sized groups and
-    for the driver oracle; swap ``percentile`` for ``approx_percentile``
-    at web scale, same plan otherwise) with the 5-row stats table
-    broadcast back between passes, then one conditional-count aggregate.
+    Scale shape: ONE scan of the base data, then pure histogram domain.
+    The (group, value) histogram is built once and persisted; the group
+    medians, the deviation histogram (``d = |2v − med2|`` maps DISTINCT
+    values, then re-aggregates — never touches base rows again), the MAD
+    medians, and the weighted flag counts all run over it via
+    ``ranking.exact_quantiles_cont(weight_col=...)`` (range-sharded
+    cumulative counts; a grouped ``percentile`` aggregate would buffer
+    each group's FULL value list in its one reduce task — a memory
+    ceiling at 100 TB).  ``2·median`` of BIGINTs is an
+    exactly-representable double (int or half-int below 2^52), so the
+    BIGINT cast is lossless and bit-matches the SQL
+    ``CAST(2 * quantile_cont(...) AS BIGINT)`` oracle.  Contract:
+    ``group_col`` is bounded-cardinality (an audit dimension —
+    priority/status/segment), the plan-sweep window whitelist's
+    contract; per-group value counts are unbounded.  The 5-row stats
+    tables broadcast back between passes.
     """
+    from e_commerce_data_lakehouse_spark.operators import ranking as rk
+
     g = F.col("__g")
+    spark = df.sparkSession
     vals = df.select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     )
-    med = vals.groupBy("__g").agg(
-        F.expr("CAST(2 * percentile(__v, 0.5D) AS BIGINT)").alias("med2")
+    g_field = vals.schema["__g"]
+    # the ONLY pass over the base data
+    hist = tracked_persist(
+        vals.filter(F.col("__v").isNotNull())
+        .groupBy("__g", "__v")
+        .agg(F.count("*").cast("long").alias("__w"))
     )
-    # persisted: consumed by the MAD aggregate AND the flag count — without
-    # it the median percentile pass replays per consumer
-    dev = tracked_persist(
-        vals.join(F.broadcast(med), "__g").select(
+    med_q, _ = rk.exact_quantiles_cont(
+        hist, "__v", [0.5], group_cols=["__g"], weight_col="__w"
+    )
+    med = spark.createDataFrame(
+        [(gk[0], int(2 * q[0.5])) for gk, q in med_q.items()],
+        StructType([g_field, StructField("med2", LongType())]),
+    )
+    # deviation HISTOGRAM: distinct values map to d and re-aggregate
+    # (two values can fold onto one d) — histogram-sized, not base-sized
+    dev_hist = tracked_persist(
+        hist.join(F.broadcast(med), "__g")
+        .select(
             g,
-            "med2",
             F.abs(2 * F.col("__v") - F.col("med2")).alias("__d"),
+            "__w",
         )
+        .groupBy("__g", "__d")
+        .agg(F.sum("__w").alias("__w"))
     )
-    mad = dev.groupBy("__g", "med2").agg(
-        F.expr("CAST(2 * percentile(__d, 0.5D) AS BIGINT)").alias("mad4")
+    mad_q, _ = rk.exact_quantiles_cont(
+        dev_hist, "__d", [0.5], group_cols=["__g"], weight_col="__w"
     )
-    flagged = dev.drop("med2").join(F.broadcast(mad), "__g")
+    mad = spark.createDataFrame(
+        [
+            (gk[0], int(2 * med_q[gk][0.5]), int(2 * q[0.5]))
+            for gk, q in mad_q.items()
+        ],
+        StructType(
+            [
+                g_field,
+                StructField("med2", LongType()),
+                StructField("mad4", LongType()),
+            ]
+        ),
+    )
+    flagged = dev_hist.join(F.broadcast(mad), "__g")
     return (
         flagged.groupBy("__g", "med2", "mad4")
         .agg(
-            F.count("*").cast("long").alias("n_rows"),
+            F.sum("__w").cast("long").alias("n_rows"),
             F.sum(
                 F.when(
-                    2 * 10000 * F.col("__d") > k_x10000 * F.col("mad4"), 1
-                ).otherwise(0)
+                    2 * 10000 * F.col("__d") > k_x10000 * F.col("mad4"),
+                    F.col("__w"),
+                ).otherwise(F.lit(0))
             )
             .cast("long")
             .alias("n_outliers"),
