@@ -2667,6 +2667,89 @@ _BUCKET32_SQL = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 4))::INT % 32)"
 
 
 @register(
+    "dag_corpus_pipeline",
+    f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           {_QUALITY_SQL} AS quality,
+           md5({NORM_SQL.format(c='text')}) AS fp,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+    FROM documents
+), curated AS (
+    SELECT doc_id, text, n_tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.5 AND doc_id % 97 <> 0)
+    WHERE rn = 1
+), bench AS (
+    SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS gram
+    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i
+          FROM (SELECT string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents WHERE doc_id % 97 = 0)
+          WHERE len(ws) >= 4)
+), contaminated AS (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws) - 3)) AS i
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS ws
+                      FROM curated)
+                WHERE len(ws) >= 4))
+    WHERE gram IN (SELECT gram FROM bench)
+), clean AS (
+    SELECT doc_id, n_tok FROM curated
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), splits AS (
+    SELECT n_tok,
+           CASE WHEN {_BUCKET_SQL.format(c='doc_id')} < 10 THEN 'val'
+                WHEN {_BUCKET_SQL.format(c='doc_id')} < 20 THEN 'test'
+                ELSE 'train' END AS split
+    FROM clean
+)
+SELECT 'bronze' AS stage, COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM scored
+UNION ALL SELECT 'silver_curated', COUNT(*),
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM curated
+UNION ALL SELECT 'silver_clean', COUNT(*),
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM clean
+UNION ALL SELECT 'gold_train', COUNT(*),
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM splits
+       WHERE split = 'train'
+UNION ALL SELECT 'gold_val', COUNT(*),
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM splits
+       WHERE split = 'val'
+UNION ALL SELECT 'gold_test', COUNT(*),
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM splits
+       WHERE split = 'test'
+""",
+)
+def dag_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus medallion run END TO END through the DAG
+    scheduler (``plans/corpus_medallion.py``): bronze ingest+annotate →
+    benchmark holdout + quality gate + exact fp-dedup → 4-gram
+    decontamination → content-hash train/val/test gold — each stage an
+    idempotent ManagedTable snapshot, orchestrated with retries/
+    timeouts/upstream-failed propagation exactly like the orders chain
+    (``dag_orders_pipeline``).  Returns the stage CATALOG (per-stage
+    doc + token counts); unlike the orders DAG's status-contract
+    oracle, this oracle RECOMPUTES the whole curation in SQL, so a
+    wrong row anywhere in the four-stage pipeline breaks the hash —
+    the strongest end-to-end answer check in the registry."""
+    import tempfile
+
+    from e_commerce_data_lakehouse_spark.plans.corpus_medallion import (
+        corpus_dag,
+    )
+
+    dag, tables = corpus_dag(spark, sf_dir, tempfile.mkdtemp(prefix="cdag_"))
+    runs = dag.run(spark)
+    bad = [r.name for r in runs if r.status != "success"]
+    if bad:
+        raise RuntimeError(f"corpus DAG stages failed: {bad}")
+    return tables["catalog"].read().select("stage", "n_docs", "n_tokens")
+
+
+@register(
     "sequence_packing",
     f"""
 WITH toks AS (
