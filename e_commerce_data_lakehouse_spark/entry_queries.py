@@ -2666,9 +2666,10 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET32_SQL = "(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 4))::INT % 32)"
 
 
-@register(
-    "dag_corpus_pipeline",
-    f"""
+# the corpus-medallion stage catalog, recomputed end to end in SQL —
+# shared VERBATIM by the batch and incremental pipeline queries, so the
+# incremental run's hash-match proves it converges to the full rebuild
+_CORPUS_CATALOG_SQL = f"""
 WITH scored AS (
     SELECT doc_id, lang, text,
            {_QUALITY_SQL} AS quality,
@@ -2721,8 +2722,10 @@ UNION ALL SELECT 'gold_val', COUNT(*),
 UNION ALL SELECT 'gold_test', COUNT(*),
        CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM splits
        WHERE split = 'test'
-""",
-)
+"""
+
+
+@register("dag_corpus_pipeline", _CORPUS_CATALOG_SQL)
 def dag_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-corpus medallion run END TO END through the DAG
     scheduler (``plans/corpus_medallion.py``): bronze ingest+annotate →
@@ -2746,6 +2749,46 @@ def dag_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = [r.name for r in runs if r.status != "success"]
     if bad:
         raise RuntimeError(f"corpus DAG stages failed: {bad}")
+    return tables["catalog"].read().select("stage", "n_docs", "n_tokens")
+
+
+@register("dag_corpus_pipeline_incremental", _CORPUS_CATALOG_SQL)
+def dag_corpus_pipeline_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The corpus medallion run INCREMENTALLY — the corpus arrives as
+    two doc_id-ordered batches (an append-only ingest log), and each
+    batch flows through with O(delta) compute: exactly-once bronze
+    appends (txn markers), stored-fingerprint anti-join dedup, and
+    two delta-bounded decontamination gram joins (new docs × all
+    benchmark grams, old docs × new benchmark grams — a late-arriving
+    benchmark retroactively evicts stored docs).  The oracle is the
+    FULL-REBUILD catalog SQL verbatim (`dag_corpus_pipeline`), so the
+    hash-match proves the incremental maintenance converges to the
+    batch answer — the `incremental_dup_clusters` fixpoint pattern
+    applied to the whole pipeline."""
+    import tempfile
+
+    from e_commerce_data_lakehouse_spark.plans.corpus_medallion import (
+        run_incremental,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()  # bounded
+    mid = (int(lo) + int(hi)) // 2
+    all_runs, tables = run_incremental(
+        spark,
+        tempfile.mkdtemp(prefix="cdagi_"),
+        [
+            docs.filter(F.col("doc_id") <= mid),
+            docs.filter(F.col("doc_id") > mid),
+        ],
+    )
+    bad = [
+        r.name for runs in all_runs for r in runs if r.status != "success"
+    ]
+    if bad:
+        raise RuntimeError(f"incremental corpus DAG stages failed: {bad}")
     return tables["catalog"].read().select("stage", "n_docs", "n_tokens")
 
 

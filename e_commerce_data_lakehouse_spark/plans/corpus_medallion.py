@@ -160,6 +160,200 @@ def build_catalog(
     return _stage("catalog", catalog, t0)
 
 
+def run_incremental(
+    spark: SparkSession,
+    workdir: str,
+    batches: list[DataFrame],
+    txn_ids: list[str] | None = None,
+) -> tuple[list[list], dict[str, ManagedTable]]:
+    """Incremental corpus curation: each batch flows through the same
+    bronze→silver→gold lifecycle with O(delta) COMPUTE — the operating
+    mode of a 100 TB pipeline, where re-curating the full corpus per
+    arrival is not an option.
+
+    Per batch (each stage a task in a per-batch scheduler DAG):
+
+    - **ingest** — ``append_once`` with a batch transaction id: a
+      re-delivered batch is a recorded no-op (exactly-once, the S12
+      txn-marker machinery), and every downstream stage sees an empty
+      delta;
+    - **curate** — quality gate + benchmark holdout on the DELTA only;
+      within-batch fp-dedup (keep lowest doc_id), then an anti-join
+      against the STORED silver fingerprints (the
+      ``incremental_near_dup_stored`` pattern: new data joins state,
+      state is never rebuilt);
+    - **decontaminate** — two delta-bounded gram joins: new curated
+      docs × ALL benchmark grams, plus previously-stored curated docs ×
+      grams of the NEWLY-ARRIVED benchmark docs (a new benchmark can
+      retroactively contaminate an old doc — the union of the two is
+      exactly the full-rebuild contaminated set).  Newly found ids
+      append to a stored ``contaminated`` ledger; ``silver_clean`` is
+      rewritten as one anti-join (at 100 TB: a Delta MERGE DELETE —
+      compute stays delta-bounded, only the rewrite is O(table));
+    - **gold/catalog** — stateless recompute over silver_clean.
+
+    CONVERGENCE CONTRACT: when batches arrive in doc_id-monotone order
+    (an append-only log with increasing ids — production ingest), the
+    final tables are BIT-IDENTICAL to the single-batch
+    :func:`corpus_dag` rebuild, because first-arrival-wins dedup
+    coincides with keep-lowest-doc_id; the registered
+    ``dag_corpus_pipeline_incremental`` query reuses the full-rebuild
+    oracle VERBATIM, so the driver hash proves the incremental
+    maintenance converges.  Out-of-order batches degrade gracefully to
+    deterministic first-arrival-wins.
+
+    Returns (per-batch TaskRun lists, tables).
+    """
+    tables = {
+        name: ManagedTable(spark, os.path.join(workdir, name))
+        for name in (
+            "bronze",
+            "silver_curated",
+            "silver_clean",
+            "contaminated",
+            "gold",
+            "catalog",
+        )
+    }
+    if txn_ids is None:
+        txn_ids = [f"batch_{i}" for i in range(len(batches))]
+    all_runs: list[list] = []
+    for i, batch in enumerate(batches):
+        txn = txn_ids[i]
+        state: dict[str, object] = {}
+        text = F.col("text")
+        annotated = batch.select(
+            "doc_id",
+            "lang",
+            "text",
+            tx.quality_score(text).alias("quality"),
+            tx.fingerprint(text).alias("fp"),
+            tx.whitespace_token_count(text).alias("n_tok"),
+        )
+
+        def ingest() -> StageResult:
+            t0 = time.monotonic()
+            fresh = tables["bronze"].append_once(annotated, txn)
+            state["delta"] = annotated if fresh else annotated.limit(0)
+            return StageResult(
+                "ingest_bronze",
+                tables["bronze"].read().count() if fresh else 0,
+                round(time.monotonic() - t0, 3),
+            )
+
+        def curate() -> StageResult:
+            t0 = time.monotonic()
+            delta = state["delta"]
+            gated = delta.filter(
+                (F.col("doc_id") % BENCH_MOD != 0)
+                & (F.col("quality") >= QUALITY_FLOOR)
+            )
+            w = Window.partitionBy("fp").orderBy("doc_id")
+            in_batch = (
+                gated.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            sc_t = tables["silver_curated"]
+            # localCheckpoint (eager), NOT persist: the append below
+            # writes INTO the directory these plans read, and Spark's
+            # path-refresh invalidates + re-lists caches on that path —
+            # a cached `prev` would silently re-include the rows we are
+            # appending and the anti-join would erase the whole batch.
+            # Checkpointing severs the plan from the file source.
+            if sc_t.exists():
+                prev = sc_t.read().localCheckpoint(eager=True)
+                state["prev_curated"] = prev
+                survivors = in_batch.join(
+                    prev.select("fp"), "fp", "left_anti"
+                )
+            else:
+                state["prev_curated"] = None
+                survivors = in_batch
+            survivors = survivors.localCheckpoint(eager=True)
+            state["new_curated"] = survivors
+            if survivors.count() > 0:
+                sc_t.append(survivors)
+            return StageResult(
+                "curate_silver",
+                survivors.count(),  # delta rows, not table size
+                round(time.monotonic() - t0, 3),
+            )
+
+        def decontaminate() -> StageResult:
+            t0 = time.monotonic()
+            new_curated = state["new_curated"]
+            prev = state["prev_curated"]
+            bench_all = tables["bronze"].read().filter(
+                F.col("doc_id") % BENCH_MOD == 0
+            )
+            bench_new = state["delta"].filter(
+                F.col("doc_id") % BENCH_MOD == 0
+            )
+            found = cp.ngram_overlap(
+                new_curated, bench_all, n=DECON_NGRAM
+            ).select("doc_id")
+            if prev is not None:
+                found = found.unionByName(
+                    cp.ngram_overlap(
+                        prev, bench_new, n=DECON_NGRAM
+                    ).select("doc_id")
+                )
+            ct = tables["contaminated"]
+            if ct.exists():
+                # detach before appending into the directory the plan
+                # reads (the ManagedTable.append caveat)
+                new_ids = found.join(
+                    ct.read(), "doc_id", "left_anti"
+                ).localCheckpoint(eager=True)
+                ct.append(new_ids)
+            else:
+                ct.overwrite(found)
+            tables["silver_clean"].overwrite(
+                tables["silver_curated"].read().join(
+                    ct.read(), "doc_id", "left_anti"
+                )
+            )
+            return _stage("decontaminate", tables["silver_clean"], t0)
+
+        dag = Dag(f"corpus_incremental_b{i}", schedule="0 2 * * *")
+        dag.add("ingest_bronze", ingest, retries=0, timeout=1800)
+        dag.add(
+            "curate_silver",
+            curate,
+            deps=["ingest_bronze"],
+            retries=0,
+            timeout=1800,
+        )
+        dag.add(
+            "decontaminate",
+            decontaminate,
+            deps=["curate_silver"],
+            retries=0,
+            timeout=1800,
+        )
+        dag.add(
+            "publish_gold",
+            lambda: publish_gold(tables["silver_clean"], tables["gold"]),
+            deps=["decontaminate"],
+            retries=0,
+            timeout=1800,
+        )
+        dag.add(
+            "catalog",
+            lambda: build_catalog(
+                {k: tables[k] for k in
+                 ("bronze", "silver_curated", "silver_clean", "gold")},
+                tables["catalog"],
+            ),
+            deps=["publish_gold"],
+            retries=0,
+            timeout=1800,
+        )
+        all_runs.append(dag.run(spark))
+    return all_runs, tables
+
+
 def corpus_dag(
     spark: SparkSession, sf_dir: str, workdir: str
 ) -> tuple[Dag, dict[str, ManagedTable]]:

@@ -204,7 +204,18 @@ class ManagedTable:
         never a table rewrite (at 100 TB an append must be O(new data)).
         Time-travel granularity for appends therefore comes from the next
         snapshot-producing op (merge/overwrite/compact), matching how one
-        would checkpoint batches; Delta versions every append."""
+        would checkpoint batches; Delta versions every append.
+
+        CAVEAT (because append writes into the CURRENT version dir): if
+        ``df`` — or any frame you will evaluate after this call — derives
+        from ``self.read()``, detach it first with an eager
+        ``localCheckpoint()``.  Spark's post-write path refresh
+        invalidates and re-lists caches on the written path, so a merely
+        ``persist()``-ed dependent frame silently re-includes the rows
+        this call appends (found the hard way by the incremental corpus
+        DAG: a cached stored-fingerprint frame swallowed the whole batch
+        it was being appended from).  Snapshot ops (overwrite / merge)
+        don't have this hazard — they commit to a NEW version directory."""
         if not self.exists():
             self._commit(df)
             return

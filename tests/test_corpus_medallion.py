@@ -95,6 +95,103 @@ def test_rerun_is_idempotent(spark, tmp_path):
     assert len(tables2["catalog"].history()) >= 2
 
 
+def _split_batches(spark):
+    from e_commerce_data_lakehouse_spark.entry_queries import load
+
+    docs = load(spark, SF, "documents")["documents"]
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mid = (int(lo) + int(hi)) // 2
+    return [
+        docs.filter(F.col("doc_id") <= mid),
+        docs.filter(F.col("doc_id") > mid),
+    ]
+
+
+def test_incremental_converges_to_full_rebuild(spark, tmp_path):
+    """doc_id-monotone batches -> bit-identical tables to the one-shot
+    rebuild (the convergence contract the driver oracle hash also pins).
+    Regression guard for the append-path cache-refresh bug: appending
+    survivors into silver_curated invalidated the cached stored-
+    fingerprint frame, which re-listed the directory, saw its own
+    output, and erased the batch — localCheckpoint detachment fixes it.
+    """
+    from e_commerce_data_lakehouse_spark.plans.corpus_medallion import (
+        run_incremental,
+    )
+
+    dag, full = corpus_dag(spark, SF, str(tmp_path / "full"))
+    assert [r.status for r in dag.run(spark)] == ["success"] * 5
+    runs, incr = run_incremental(
+        spark, str(tmp_path / "incr"), _split_batches(spark)
+    )
+    assert all(r.status == "success" for batch in runs for r in batch)
+    for name in ("bronze", "silver_curated", "silver_clean", "catalog"):
+        a, b = full[name].read(), incr[name].read()
+        assert a.count() == b.count(), name
+        # symmetric difference empty on the full row content
+        cols = sorted(a.columns)
+        assert (
+            a.select(cols).exceptAll(b.select(cols)).count() == 0
+            and b.select(cols).exceptAll(a.select(cols)).count() == 0
+        ), name
+
+
+def test_incremental_redelivery_is_noop(spark, tmp_path):
+    """Re-delivering a committed batch (same txn id) must change
+    nothing: the append_once marker makes every downstream stage see an
+    empty delta."""
+    from e_commerce_data_lakehouse_spark.plans.corpus_medallion import (
+        run_incremental,
+    )
+
+    b1, b2 = _split_batches(spark)
+    runs, t = run_incremental(
+        spark, str(tmp_path), [b1, b2, b2], txn_ids=["b1", "b2", "b2"]
+    )
+    assert all(r.status == "success" for batch in runs for r in batch)
+    # third (re-delivered) batch ingested nothing
+    assert runs[2][0].result.rows_written == 0
+    cat_after_2 = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in t["catalog"].read(version_as_of=t["catalog"].history()[-2])
+        .collect()
+    }
+    cat_after_3 = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in t["catalog"].read().collect()
+    }
+    assert cat_after_2 == cat_after_3
+
+
+def test_late_benchmark_retroactively_evicts(spark):
+    """A benchmark doc arriving in batch 2 must evict an already-stored
+    clean doc that shares a gram with it — the old-docs x new-bench-gram
+    delta join."""
+    import tempfile
+
+    from e_commerce_data_lakehouse_spark.plans.corpus_medallion import (
+        BENCH_MOD,
+        run_incremental,
+    )
+
+    # long, punctuation-free, stopword-free texts so the quality gate
+    # (length_cap/500 factor) passes
+    good = "alpha beta gamma delta epsilon zeta eta theta " * 15
+    other = "zebra yak xylophone walrus vulture toucan stork " * 15
+    # doc 1: clean in batch 1; doc 2*97: benchmark arriving in batch 2
+    # sharing doc 1's exact 4-gram prefix
+    rows1 = [(1, "en", good), (2, "en", other)]
+    rows2 = [(2 * BENCH_MOD, "en", "alpha beta gamma delta unrelated")]
+    schema = "doc_id long, lang string, text string"
+    b1 = spark.createDataFrame(rows1, schema)
+    b2 = spark.createDataFrame(rows2, schema)
+    runs, t = run_incremental(spark, tempfile.mkdtemp(), [b1, b2])
+    assert all(r.status == "success" for batch in runs for r in batch)
+    clean_ids = {r["doc_id"] for r in t["silver_clean"].read().collect()}
+    assert 1 not in clean_ids  # retroactively contaminated
+    assert 2 in clean_ids
+
+
 def test_stage_failure_propagates(spark, tmp_path):
     dag, tables = corpus_dag(spark, SF, str(tmp_path))
 
