@@ -2288,7 +2288,9 @@ def customer_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = tracked_persist(s)
     qs, _ = rk.exact_quantiles_cont(s, "spend", [0.25, 0.50, 0.75])
-    b = qs.get((), {})
+    # empty orders -> no quantiles; any literal works because the final
+    # aggregate over the empty `s` yields zero rows regardless
+    b = qs.get((), {0.25: 0.0, 0.50: 0.0, 0.75: 0.0})
     spend = F.col("spend")
     quartile = (
         F.when(spend >= b[0.75], 1)
@@ -8240,19 +8242,22 @@ def winsorized_priority_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")["orders"]
 
-    def ranks(n: int) -> set[int]:  # 1-based ceil(q*n) -> 0-based
-        return {(n * 5 + 99) // 100 - 1, (n * 95 + 99) // 100 - 1}
+    def rank_idx(n: int) -> tuple[int, int]:  # 1-based ceil(q*n) -> 0-based
+        return (n * 5 + 99) // 100 - 1, (n * 95 + 99) // 100 - 1
 
     vals, totals = rk.exact_values_at(
-        o, "o_totalprice", ranks, group_cols=["o_orderpriority"]
+        o,
+        "o_totalprice",
+        lambda n: set(rank_idx(n)),
+        group_cols=["o_orderpriority"],
     )
     price_t = o.schema["o_totalprice"].dataType
     q = spark.createDataFrame(
         [
             (
                 prio,
-                vals[(prio,)][(n * 5 + 99) // 100 - 1],
-                vals[(prio,)][(n * 95 + 99) // 100 - 1],
+                vals[(prio,)][rank_idx(n)[0]],
+                vals[(prio,)][rank_idx(n)[1]],
                 int(n),
             )
             for (prio,), n in sorted(totals.items())

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StructField,
@@ -232,6 +234,19 @@ def exact_values_at(
     import numpy as np
 
     keys = list(group_cols or [])
+    for k in keys:
+        # NaN group keys are unsupported: Spark groups NaN separately
+        # from NULL, but NaN != NaN breaks every driver-side dict this
+        # machinery keys by group (and pandas groupby folds NaN into
+        # NULL).  Fail loudly instead of silently losing the NaN group.
+        if isinstance(
+            df.schema[k].dataType, (FloatType, DoubleType)
+        ):
+            raise ValueError(
+                f"exact_values_at: float group column {k!r} is "
+                "unsupported (NaN keys break group identity) — cast "
+                "to string or a fixed-point integer first"
+            )
     cnt_expr = (
         F.sum(F.col(weight_col)).cast("long")
         if weight_col

@@ -147,14 +147,33 @@ def build_catalog(
             ),
         )
 
-    gold_df = tables["gold"].read()
+    # ONE scan of gold for all three splits (bounded: <= 3 rows back);
+    # empty splits still get their catalog row
+    gold_stats = {
+        r["split"]: (int(r["n_docs"]), int(r["n_tokens"]))
+        for r in tables["gold"].read()
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+        .collect()
+    }
+    spark = catalog.spark
+    gold_rows = spark.createDataFrame(
+        [
+            (f"gold_{s}", *gold_stats.get(s, (0, 0)))
+            for s in ("train", "val", "test")
+        ],
+        "stage string, n_docs long, n_tokens long",
+    )
     out = (
         stat("bronze", tables["bronze"].read())
         .unionByName(stat("silver_curated", tables["silver_curated"].read()))
         .unionByName(stat("silver_clean", tables["silver_clean"].read()))
-        .unionByName(stat("gold_train", gold_df.filter(F.col("split") == "train")))
-        .unionByName(stat("gold_val", gold_df.filter(F.col("split") == "val")))
-        .unionByName(stat("gold_test", gold_df.filter(F.col("split") == "test")))
+        .unionByName(gold_rows)
     )
     catalog.overwrite(out)
     return _stage("catalog", catalog, t0)
@@ -234,15 +253,21 @@ def run_incremental(
         def ingest() -> StageResult:
             t0 = time.monotonic()
             fresh = tables["bronze"].append_once(annotated, txn)
-            state["delta"] = annotated if fresh else annotated.limit(0)
+            # a re-delivered batch short-circuits the whole chain: no
+            # stored-table reads, checkpoints, or rewrites for an empty
+            # delta (the O(delta) contract includes delta = 0)
+            state["skip"] = not fresh
+            state["delta"] = annotated if fresh else None
             return StageResult(
                 "ingest_bronze",
-                tables["bronze"].read().count() if fresh else 0,
+                annotated.count() if fresh else 0,  # BATCH rows, not table
                 round(time.monotonic() - t0, 3),
             )
 
         def curate() -> StageResult:
             t0 = time.monotonic()
+            if state["skip"]:
+                return StageResult("curate_silver", 0, 0.0)
             delta = state["delta"]
             gated = delta.filter(
                 (F.col("doc_id") % BENCH_MOD != 0)
@@ -272,7 +297,9 @@ def run_incremental(
                 survivors = in_batch
             survivors = survivors.localCheckpoint(eager=True)
             state["new_curated"] = survivors
-            if survivors.count() > 0:
+            # commit even an EMPTY first batch: downstream stages read
+            # this table, and a never-created table fails them all
+            if survivors.count() > 0 or not sc_t.exists():
                 sc_t.append(survivors)
             return StageResult(
                 "curate_silver",
@@ -282,6 +309,8 @@ def run_incremental(
 
         def decontaminate() -> StageResult:
             t0 = time.monotonic()
+            if state["skip"]:
+                return StageResult("decontaminate", 0, 0.0)
             new_curated = state["new_curated"]
             prev = state["prev_curated"]
             bench_all = tables["bronze"].read().filter(
@@ -316,6 +345,27 @@ def run_incremental(
             )
             return _stage("decontaminate", tables["silver_clean"], t0)
 
+        def gold_task(state=state) -> StageResult:
+            if state["skip"]:
+                return StageResult("publish_gold", 0, 0.0)
+            return publish_gold(tables["silver_clean"], tables["gold"])
+
+        def catalog_task(state=state) -> StageResult:
+            if state["skip"]:
+                return StageResult("catalog", 0, 0.0)
+            return build_catalog(
+                {
+                    k: tables[k]
+                    for k in (
+                        "bronze",
+                        "silver_curated",
+                        "silver_clean",
+                        "gold",
+                    )
+                },
+                tables["catalog"],
+            )
+
         dag = Dag(f"corpus_incremental_b{i}", schedule="0 2 * * *")
         dag.add("ingest_bronze", ingest, retries=0, timeout=1800)
         dag.add(
@@ -334,18 +384,14 @@ def run_incremental(
         )
         dag.add(
             "publish_gold",
-            lambda: publish_gold(tables["silver_clean"], tables["gold"]),
+            gold_task,
             deps=["decontaminate"],
             retries=0,
             timeout=1800,
         )
         dag.add(
             "catalog",
-            lambda: build_catalog(
-                {k: tables[k] for k in
-                 ("bronze", "silver_curated", "silver_clean", "gold")},
-                tables["catalog"],
-            ),
+            catalog_task,
             deps=["publish_gold"],
             retries=0,
             timeout=1800,

@@ -219,13 +219,21 @@ def robust_outlier_stats(
     """
     from e_commerce_data_lakehouse_spark.operators import ranking as rk
 
-    g = F.col("__g")
     spark = df.sparkSession
     vals = df.select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     )
     g_field = vals.schema["__g"]
-    # the ONLY pass over the base data
+    # COUNT(*) per group incl. NULL-value rows (SQL count semantics: the
+    # medians ignore NULLs, the row count does not, and an all-NULL
+    # group still gets an output row with NULL statistics) — bounded:
+    # one row per audit group
+    counts_all = {
+        r["__g"]: int(r["__n"])
+        for r in vals.groupBy("__g").agg(F.count("*").alias("__n"))
+        .collect()
+    }
+    # the ONLY pass over the base data for the statistics
     hist = tracked_persist(
         vals.filter(F.col("__v").isNotNull())
         .groupBy("__g", "__v")
@@ -243,7 +251,7 @@ def robust_outlier_stats(
     dev_hist = tracked_persist(
         hist.join(F.broadcast(med), "__g")
         .select(
-            g,
+            "__g",
             F.abs(2 * F.col("__v") - F.col("med2")).alias("__d"),
             "__w",
         )
@@ -253,41 +261,53 @@ def robust_outlier_stats(
     mad_q, _ = rk.exact_quantiles_cont(
         dev_hist, "__d", [0.5], group_cols=["__g"], weight_col="__w"
     )
-    mad = spark.createDataFrame(
-        [
-            (gk[0], int(2 * med_q[gk][0.5]), int(2 * q[0.5]))
-            for gk, q in mad_q.items()
-        ],
+    stats = {
+        gk[0]: (int(2 * med_q[gk][0.5]), int(2 * q[0.5]))
+        for gk, q in mad_q.items()
+    }
+    out_counts: dict = {}
+    if stats:
+        mad = spark.createDataFrame(
+            [(gv, m4) for gv, (_m2, m4) in stats.items()],
+            StructType([g_field, StructField("mad4", LongType())]),
+        )
+        # weighted outlier counts over the deviation histogram — one
+        # bounded row per group
+        out_counts = {
+            r["__g"]: int(r["__n"] or 0)
+            for r in dev_hist.join(F.broadcast(mad), "__g")
+            .groupBy("__g")
+            .agg(
+                F.sum(
+                    F.when(
+                        2 * 10000 * F.col("__d")
+                        > k_x10000 * F.col("mad4"),
+                        F.col("__w"),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("__n")
+            )
+            .collect()
+        }
+    rows = []
+    for gv in sorted(counts_all, key=repr):
+        n_all = counts_all[gv]
+        med2, mad4 = stats.get(gv, (None, None))
+        n_out = out_counts.get(gv, 0)
+        rows.append(
+            (gv, med2, mad4, n_all, n_out, (n_out * 1_000_000) // n_all)
+        )
+    return spark.createDataFrame(
+        rows,
         StructType(
             [
-                g_field,
-                StructField("med2", LongType()),
-                StructField("mad4", LongType()),
+                StructField(group_col, g_field.dataType),
+                StructField("med2_" + value_col, LongType()),
+                StructField("mad4_" + value_col, LongType()),
+                StructField("n_rows", LongType()),
+                StructField("n_outliers", LongType()),
+                StructField("outlier_share_ppm", LongType()),
             ]
         ),
-    )
-    flagged = dev_hist.join(F.broadcast(mad), "__g")
-    return (
-        flagged.groupBy("__g", "med2", "mad4")
-        .agg(
-            F.sum("__w").cast("long").alias("n_rows"),
-            F.sum(
-                F.when(
-                    2 * 10000 * F.col("__d") > k_x10000 * F.col("mad4"),
-                    F.col("__w"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("long")
-            .alias("n_outliers"),
-        )
-        .select(
-            g.alias(group_col),
-            F.col("med2").alias("med2_" + value_col),
-            F.col("mad4").alias("mad4_" + value_col),
-            "n_rows",
-            "n_outliers",
-            F.expr("(n_outliers * 1000000L) div n_rows").alias(
-                "outlier_share_ppm"
-            ),
-        )
     )

@@ -149,18 +149,43 @@ def test_incremental_redelivery_is_noop(spark, tmp_path):
         spark, str(tmp_path), [b1, b2, b2], txn_ids=["b1", "b2", "b2"]
     )
     assert all(r.status == "success" for batch in runs for r in batch)
-    # third (re-delivered) batch ingested nothing
-    assert runs[2][0].result.rows_written == 0
-    cat_after_2 = {
-        r["stage"]: (r["n_docs"], r["n_tokens"])
-        for r in t["catalog"].read(version_as_of=t["catalog"].history()[-2])
-        .collect()
-    }
-    cat_after_3 = {
-        r["stage"]: (r["n_docs"], r["n_tokens"])
-        for r in t["catalog"].read().collect()
-    }
-    assert cat_after_2 == cat_after_3
+    # third (re-delivered) batch: every stage a recorded no-op
+    assert all(r.result.rows_written == 0 for r in runs[2])
+    # ...and no table was rewritten: the catalog has exactly the two
+    # snapshot versions the two real batches committed
+    assert len(t["catalog"].history()) == 2
+    n_clean = {
+        r["stage"]: r["n_docs"] for r in t["catalog"].read().collect()
+    }["silver_clean"]
+    assert n_clean == t["silver_clean"].read().count()
+
+
+def test_incremental_empty_first_batch(spark):
+    """A first batch containing only benchmark docs must not wedge the
+    pipeline: silver tables commit empty and the next batch proceeds."""
+    import tempfile
+
+    from e_commerce_data_lakehouse_spark.plans.corpus_medallion import (
+        BENCH_MOD,
+        run_incremental,
+    )
+
+    long_txt = "kappa lambda mu nu xi omicron pi rho " * 15
+    b1 = spark.createDataFrame(
+        [(BENCH_MOD, "en", long_txt)], "doc_id long, lang string, text string"
+    )  # single benchmark doc -> zero curate survivors
+    b2 = spark.createDataFrame(
+        [(
+            2 * BENCH_MOD + 1,
+            "en",
+            "sigma tau upsilon phi chi psi omega digamma " * 15,
+        )],
+        "doc_id long, lang string, text string",
+    )  # gram-disjoint from the benchmark doc -> survives decontamination
+    runs, t = run_incremental(spark, tempfile.mkdtemp(), [b1, b2])
+    assert all(r.status == "success" for batch in runs for r in batch)
+    assert t["silver_curated"].read().count() == 1  # only the b2 doc
+    assert t["silver_clean"].read().count() == 1
 
 
 def test_late_benchmark_retroactively_evicts(spark):

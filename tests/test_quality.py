@@ -132,3 +132,23 @@ def test_robust_outliers_zero_mad_group(spark):
     out = qc.robust_outlier_stats(df, "g", "v").collect()[0]
     assert out["mad4_v"] == 0
     assert out["n_outliers"] == 1
+
+
+def test_robust_outliers_null_semantics(spark):
+    """SQL count semantics pinned: n_rows is COUNT(*) including
+    NULL-value rows, the medians ignore NULLs, and an all-NULL group
+    still gets an output row with NULL statistics (the pre-histogram
+    behavior a grouped percentile aggregate had)."""
+    from e_commerce_data_lakehouse_spark.quality import checks as qc
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), ("a", 12), ("x", None), ("x", None)],
+        "g string, v long",
+    )
+    out = {r["g"]: r for r in qc.robust_outlier_stats(df, "g", "v").collect()}
+    assert set(out) == {"a", "x"}
+    assert out["a"]["n_rows"] == 3  # NULL row counted
+    assert out["a"]["med2_v"] == 22  # median of {10, 12} -> 2x11
+    assert out["x"]["n_rows"] == 2
+    assert out["x"]["med2_v"] is None and out["x"]["mad4_v"] is None
+    assert out["x"]["n_outliers"] == 0 and out["x"]["outlier_share_ppm"] == 0
