@@ -335,3 +335,47 @@ def test_jaccard_verify_udf_evaluated_once(spark, name):
     assert plan.count("ArrowEvalPython") == 1, (
         f"{name}: expected exactly one ArrowEvalPython, plan:\n{plan}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-percentile aggregates are the one remaining single-reducer shape:
+# Spark's `percentile` buffers every (value, count) pair of a group in its
+# one reduce task (the global form concentrates the whole column).  The r9
+# distributed rewrite (ranking.exact_values_at) removed every use; this
+# sweep keeps the class closed — approx_percentile (bounded sketch) stays
+# allowed.
+# ---------------------------------------------------------------------------
+_EXACT_PCTL_RE = re.compile(r"(?<!approx_)\bpercentile\(")
+
+
+def assert_no_exact_percentile_aggregate(plan: str, name: str) -> None:
+    hits = _EXACT_PCTL_RE.findall(plan)
+    assert not hits, (
+        f"{name}: exact `percentile` aggregate in the plan — a "
+        f"single-reducer value buffer; use ranking.exact_quantiles_cont "
+        f"/ exact_values_at (or approx_percentile for a sketch)"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(eq.QUERIES))
+def test_no_exact_percentile_aggregates(spark, name):
+    df = eq.QUERIES[name].spark_fn(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert_no_exact_percentile_aggregate(plan, name)
+
+
+def test_plan_sweep_catches_exact_percentile(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet(f"{SF}/orders.parquet")
+    planted = docs.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("med")
+    )
+    plan = planted._jdf.queryExecution().optimizedPlan().toString()
+    with pytest.raises(AssertionError, match="single-reducer"):
+        assert_no_exact_percentile_aggregate(plan, "planted")
+    # the sketch path stays allowed
+    ok = docs.agg(F.percentile_approx("o_totalprice", 0.5).alias("m"))
+    assert_no_exact_percentile_aggregate(
+        ok._jdf.queryExecution().optimizedPlan().toString(), "approx"
+    )
