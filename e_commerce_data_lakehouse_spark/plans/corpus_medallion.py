@@ -32,9 +32,11 @@ Scale notes: every stage is one codegen scan + at most one shuffle on a
 high-cardinality key (fp, gram, doc_id); the benchmark gram side is
 ~1/97 of the corpus, deduplicated before the broadcast join; the
 catalog is built from six 1-row aggregates — no data rows ever reach
-the driver.  At 100 TB the gold write gains ``partitionBy(split,
-lang)`` and the ManagedTable snapshots swap for Delta/Iceberg commits
-(SCALING.md §6).
+the driver.  The gold write IS laid out ``partitionBy(split, lang)``
+(``GOLD_PARTITION``) so a training reader's ``split='train' AND
+lang='en'`` filter prunes at the DIRECTORY level before any file is
+opened; at 100 TB the ManagedTable snapshots swap for Delta/Iceberg
+commits (SCALING.md §6).
 """
 
 from __future__ import annotations
@@ -53,6 +55,9 @@ from e_commerce_data_lakehouse_spark.plans.scheduler import Dag
 from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
 
 BENCH_MOD = 97  # doc_id % 97 == 0 -> held-out benchmark (repo convention)
+# Gold's physical layout: training readers filter on (split, lang), so
+# those are the hive-partition directories — partition pruning, no scan.
+GOLD_PARTITION = ("split", "lang")
 QUALITY_FLOOR = 0.5
 DECON_NGRAM = 4  # word n-gram size (synthetic corpus: 4, prod default 8)
 
@@ -121,8 +126,10 @@ def decontaminate_silver(
 def publish_gold(
     silver_clean: ManagedTable, gold: ManagedTable
 ) -> StageResult:
-    """silver_clean → gold: deterministic content-hash split column.
-    (At 100 TB: ``partitionBy(split, lang)`` on the write.)"""
+    """silver_clean → gold: deterministic content-hash split column,
+    written ``partitionBy(split, lang)`` (the table is constructed with
+    ``GOLD_PARTITION``) so downstream training readers prune to their
+    split/language without touching the rest of the corpus."""
     t0 = time.monotonic()
     gold.overwrite(
         cp.dataset_split(silver_clean.read(), "doc_id", val_pct=10,
@@ -224,7 +231,11 @@ def run_incremental(
     Returns (per-batch TaskRun lists, tables).
     """
     tables = {
-        name: ManagedTable(spark, os.path.join(workdir, name))
+        name: ManagedTable(
+            spark,
+            os.path.join(workdir, name),
+            partition_by=GOLD_PARTITION if name == "gold" else (),
+        )
         for name in (
             "bronze",
             "silver_curated",
@@ -238,165 +249,247 @@ def run_incremental(
         txn_ids = [f"batch_{i}" for i in range(len(batches))]
     all_runs: list[list] = []
     for i, batch in enumerate(batches):
-        txn = txn_ids[i]
-        state: dict[str, object] = {}
-        text = F.col("text")
-        annotated = batch.select(
-            "doc_id",
-            "lang",
-            "text",
-            tx.quality_score(text).alias("quality"),
-            tx.fingerprint(text).alias("fp"),
-            tx.whitespace_token_count(text).alias("n_tok"),
+        all_runs.append(
+            ingest_corpus_batch(spark, tables, batch, txn_ids[i], label=str(i))
+        )
+    return all_runs, tables
+
+
+def ingest_corpus_batch(
+    spark: SparkSession,
+    tables: dict[str, ManagedTable],
+    batch: DataFrame,
+    txn: str,
+    label: str = "0",
+) -> list:
+    """One corpus delta through the incremental lifecycle (the per-batch
+    body shared by :func:`run_incremental` and the streaming
+    :func:`run_streaming` foreachBatch sink).  Exactly-once via
+    ``append_once(txn)``: a re-delivered ``txn`` short-circuits every
+    stage to a no-op.  Returns the batch's TaskRun list."""
+    state: dict[str, object] = {}
+    text = F.col("text")
+    annotated = batch.select(
+        "doc_id",
+        "lang",
+        "text",
+        tx.quality_score(text).alias("quality"),
+        tx.fingerprint(text).alias("fp"),
+        tx.whitespace_token_count(text).alias("n_tok"),
+    )
+
+    def ingest() -> StageResult:
+        t0 = time.monotonic()
+        fresh = tables["bronze"].append_once(annotated, txn)
+        # a re-delivered batch short-circuits the whole chain: no
+        # stored-table reads, checkpoints, or rewrites for an empty
+        # delta (the O(delta) contract includes delta = 0)
+        state["skip"] = not fresh
+        state["delta"] = annotated if fresh else None
+        return StageResult(
+            "ingest_bronze",
+            annotated.count() if fresh else 0,  # BATCH rows, not table
+            round(time.monotonic() - t0, 3),
         )
 
-        def ingest() -> StageResult:
-            t0 = time.monotonic()
-            fresh = tables["bronze"].append_once(annotated, txn)
-            # a re-delivered batch short-circuits the whole chain: no
-            # stored-table reads, checkpoints, or rewrites for an empty
-            # delta (the O(delta) contract includes delta = 0)
-            state["skip"] = not fresh
-            state["delta"] = annotated if fresh else None
-            return StageResult(
-                "ingest_bronze",
-                annotated.count() if fresh else 0,  # BATCH rows, not table
-                round(time.monotonic() - t0, 3),
+    def curate() -> StageResult:
+        t0 = time.monotonic()
+        if state["skip"]:
+            return StageResult("curate_silver", 0, 0.0)
+        delta = state["delta"]
+        gated = delta.filter(
+            (F.col("doc_id") % BENCH_MOD != 0)
+            & (F.col("quality") >= QUALITY_FLOOR)
+        )
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        in_batch = (
+            gated.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        sc_t = tables["silver_curated"]
+        # localCheckpoint (eager), NOT persist: the append below
+        # writes INTO the directory these plans read, and Spark's
+        # path-refresh invalidates + re-lists caches on that path —
+        # a cached `prev` would silently re-include the rows we are
+        # appending and the anti-join would erase the whole batch.
+        # Checkpointing severs the plan from the file source.
+        if sc_t.exists():
+            prev = sc_t.read().localCheckpoint(eager=True)
+            state["prev_curated"] = prev
+            survivors = in_batch.join(
+                prev.select("fp"), "fp", "left_anti"
             )
-
-        def curate() -> StageResult:
-            t0 = time.monotonic()
-            if state["skip"]:
-                return StageResult("curate_silver", 0, 0.0)
-            delta = state["delta"]
-            gated = delta.filter(
-                (F.col("doc_id") % BENCH_MOD != 0)
-                & (F.col("quality") >= QUALITY_FLOOR)
-            )
-            w = Window.partitionBy("fp").orderBy("doc_id")
-            in_batch = (
-                gated.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-            sc_t = tables["silver_curated"]
-            # localCheckpoint (eager), NOT persist: the append below
-            # writes INTO the directory these plans read, and Spark's
-            # path-refresh invalidates + re-lists caches on that path —
-            # a cached `prev` would silently re-include the rows we are
-            # appending and the anti-join would erase the whole batch.
-            # Checkpointing severs the plan from the file source.
-            if sc_t.exists():
-                prev = sc_t.read().localCheckpoint(eager=True)
-                state["prev_curated"] = prev
-                survivors = in_batch.join(
-                    prev.select("fp"), "fp", "left_anti"
-                )
-            else:
-                state["prev_curated"] = None
-                survivors = in_batch
-            survivors = survivors.localCheckpoint(eager=True)
-            state["new_curated"] = survivors
-            # commit even an EMPTY first batch: downstream stages read
-            # this table, and a never-created table fails them all
-            if survivors.count() > 0 or not sc_t.exists():
-                sc_t.append(survivors)
-            return StageResult(
-                "curate_silver",
-                survivors.count(),  # delta rows, not table size
-                round(time.monotonic() - t0, 3),
-            )
-
-        def decontaminate() -> StageResult:
-            t0 = time.monotonic()
-            if state["skip"]:
-                return StageResult("decontaminate", 0, 0.0)
-            new_curated = state["new_curated"]
-            prev = state["prev_curated"]
-            bench_all = tables["bronze"].read().filter(
-                F.col("doc_id") % BENCH_MOD == 0
-            )
-            bench_new = state["delta"].filter(
-                F.col("doc_id") % BENCH_MOD == 0
-            )
-            found = cp.ngram_overlap(
-                new_curated, bench_all, n=DECON_NGRAM
-            ).select("doc_id")
-            if prev is not None:
-                found = found.unionByName(
-                    cp.ngram_overlap(
-                        prev, bench_new, n=DECON_NGRAM
-                    ).select("doc_id")
-                )
-            ct = tables["contaminated"]
-            if ct.exists():
-                # detach before appending into the directory the plan
-                # reads (the ManagedTable.append caveat)
-                new_ids = found.join(
-                    ct.read(), "doc_id", "left_anti"
-                ).localCheckpoint(eager=True)
-                ct.append(new_ids)
-            else:
-                ct.overwrite(found)
-            tables["silver_clean"].overwrite(
-                tables["silver_curated"].read().join(
-                    ct.read(), "doc_id", "left_anti"
-                )
-            )
-            return _stage("decontaminate", tables["silver_clean"], t0)
-
-        def gold_task(state=state) -> StageResult:
-            if state["skip"]:
-                return StageResult("publish_gold", 0, 0.0)
-            return publish_gold(tables["silver_clean"], tables["gold"])
-
-        def catalog_task(state=state) -> StageResult:
-            if state["skip"]:
-                return StageResult("catalog", 0, 0.0)
-            return build_catalog(
-                {
-                    k: tables[k]
-                    for k in (
-                        "bronze",
-                        "silver_curated",
-                        "silver_clean",
-                        "gold",
-                    )
-                },
-                tables["catalog"],
-            )
-
-        dag = Dag(f"corpus_incremental_b{i}", schedule="0 2 * * *")
-        dag.add("ingest_bronze", ingest, retries=0, timeout=1800)
-        dag.add(
+        else:
+            state["prev_curated"] = None
+            survivors = in_batch
+        survivors = survivors.localCheckpoint(eager=True)
+        state["new_curated"] = survivors
+        # commit even an EMPTY first batch: downstream stages read
+        # this table, and a never-created table fails them all
+        if survivors.count() > 0 or not sc_t.exists():
+            sc_t.append(survivors)
+        return StageResult(
             "curate_silver",
-            curate,
-            deps=["ingest_bronze"],
-            retries=0,
-            timeout=1800,
+            survivors.count(),  # delta rows, not table size
+            round(time.monotonic() - t0, 3),
         )
-        dag.add(
-            "decontaminate",
-            decontaminate,
-            deps=["curate_silver"],
-            retries=0,
-            timeout=1800,
+
+    def decontaminate() -> StageResult:
+        t0 = time.monotonic()
+        if state["skip"]:
+            return StageResult("decontaminate", 0, 0.0)
+        new_curated = state["new_curated"]
+        prev = state["prev_curated"]
+        bench_all = tables["bronze"].read().filter(
+            F.col("doc_id") % BENCH_MOD == 0
         )
-        dag.add(
-            "publish_gold",
-            gold_task,
-            deps=["decontaminate"],
-            retries=0,
-            timeout=1800,
+        bench_new = state["delta"].filter(
+            F.col("doc_id") % BENCH_MOD == 0
         )
-        dag.add(
+        found = cp.ngram_overlap(
+            new_curated, bench_all, n=DECON_NGRAM
+        ).select("doc_id")
+        if prev is not None:
+            found = found.unionByName(
+                cp.ngram_overlap(
+                    prev, bench_new, n=DECON_NGRAM
+                ).select("doc_id")
+            )
+        ct = tables["contaminated"]
+        if ct.exists():
+            # detach before appending into the directory the plan
+            # reads (the ManagedTable.append caveat)
+            new_ids = found.join(
+                ct.read(), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+            ct.append(new_ids)
+        else:
+            ct.overwrite(found)
+        tables["silver_clean"].overwrite(
+            tables["silver_curated"].read().join(
+                ct.read(), "doc_id", "left_anti"
+            )
+        )
+        return _stage("decontaminate", tables["silver_clean"], t0)
+
+    def gold_task(state=state) -> StageResult:
+        if state["skip"]:
+            return StageResult("publish_gold", 0, 0.0)
+        return publish_gold(tables["silver_clean"], tables["gold"])
+
+    def catalog_task(state=state) -> StageResult:
+        if state["skip"]:
+            return StageResult("catalog", 0, 0.0)
+        return build_catalog(
+            {
+                k: tables[k]
+                for k in (
+                    "bronze",
+                    "silver_curated",
+                    "silver_clean",
+                    "gold",
+                )
+            },
+            tables["catalog"],
+        )
+
+    dag = Dag(f"corpus_incremental_b{label}", schedule="0 2 * * *")
+    dag.add("ingest_bronze", ingest, retries=0, timeout=1800)
+    dag.add(
+        "curate_silver",
+        curate,
+        deps=["ingest_bronze"],
+        retries=0,
+        timeout=1800,
+    )
+    dag.add(
+        "decontaminate",
+        decontaminate,
+        deps=["curate_silver"],
+        retries=0,
+        timeout=1800,
+    )
+    dag.add(
+        "publish_gold",
+        gold_task,
+        deps=["decontaminate"],
+        retries=0,
+        timeout=1800,
+    )
+    dag.add(
+        "catalog",
+        catalog_task,
+        deps=["publish_gold"],
+        retries=0,
+        timeout=1800,
+    )
+    return dag.run(spark)
+
+
+def run_streaming(
+    spark: SparkSession,
+    workdir: str,
+    docs_stream: DataFrame,
+    checkpoint_dir: str,
+) -> tuple[list[list], dict[str, ManagedTable]]:
+    """Streaming corpus ingestion: the T1 exactly-once story the orders
+    side has (``streaming/stateful.py``), applied to the corpus — a
+    ``readStream`` of raw documents drains through
+    ``foreachBatch(ingest_corpus_batch)`` with AvailableNow, so each
+    micro-batch flows bronze→silver→gold with O(delta) compute under TWO
+    independent exactly-once layers:
+
+    1. the engine's ``checkpointLocation`` (a restarted query never
+       re-plans a committed micro-batch), and
+    2. ``append_once(f"b{batch_id}")`` txn markers (a batch REPLAYED
+       after a crash between sink execution and checkpoint commit — the
+       at-least-once window of foreachBatch — is a recorded no-op, the
+       Delta ``txnAppId``/``txnVersion`` contract).
+
+    Convergence inherits :func:`run_incremental`'s contract: micro-batch
+    file order is doc_id-monotone in the tests and the registered query,
+    so the drained tables are bit-identical to the single-batch
+    :func:`corpus_dag` rebuild and the FULL-REBUILD oracle hash applies
+    verbatim.  Returns (per-micro-batch TaskRun lists, tables).
+    """
+    tables = {
+        name: ManagedTable(
+            spark,
+            os.path.join(workdir, name),
+            partition_by=GOLD_PARTITION if name == "gold" else (),
+        )
+        for name in (
+            "bronze",
+            "silver_curated",
+            "silver_clean",
+            "contaminated",
+            "gold",
             "catalog",
-            catalog_task,
-            deps=["publish_gold"],
-            retries=0,
-            timeout=1800,
         )
-        all_runs.append(dag.run(spark))
+    }
+    all_runs: list[list] = []
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        runs = ingest_corpus_batch(
+            spark, tables, batch, f"b{batch_id}", label=f"s{batch_id}"
+        )
+        all_runs.append(runs)
+        bad = [r.name for r in runs if r.status != "success"]
+        if bad:
+            # fail the streaming query (so the checkpoint does NOT
+            # commit this batch) instead of silently dropping a stage
+            raise RuntimeError(
+                f"corpus streaming batch {batch_id} stages failed: {bad}"
+            )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return all_runs, tables
 
 
@@ -409,7 +502,11 @@ def corpus_dag(
     from e_commerce_data_lakehouse_spark.entry_queries import load
 
     tables = {
-        name: ManagedTable(spark, os.path.join(workdir, name))
+        name: ManagedTable(
+            spark,
+            os.path.join(workdir, name),
+            partition_by=GOLD_PARTITION if name == "gold" else (),
+        )
         for name in (
             "bronze",
             "silver_curated",

@@ -111,11 +111,12 @@ class ManagedTable:
         there — field metadata included).  Passing it to the reader skips
         the per-read schema-inference job (~0.1 s per ``read()`` call — the
         tax that made the stored-signature incremental dedup lose to plain
-        recompute warm at sf0.1, VERDICT r3 #1).  Partitioned tables fall
-        back to inference: partition columns live in directory names, not
-        file footers."""
-        if self.partition_by:
-            return None
+        recompute warm at sf0.1, VERDICT r3 #1).  Partitioned tables read
+        the ``_schema.json`` sidecar ``_commit`` writes (Delta keeps the
+        schema in its txn log for the same reason): partition columns live
+        in directory names, not file footers, and an all-empty commit has
+        NO files to infer from — the sidecar keeps empty partitioned
+        tables readable and pins the original column order."""
         import glob
         import json
 
@@ -123,6 +124,12 @@ class ManagedTable:
 
         from pyspark.sql.types import StructType
 
+        if self.partition_by:
+            try:
+                with open(f"{vpath}/_schema.json") as fh:
+                    return StructType.fromJson(json.load(fh))
+            except Exception:
+                return None
         files = glob.glob(f"{vpath}/*.parquet")
         if not files:
             return None
@@ -183,6 +190,13 @@ class ManagedTable:
         vs = self._versions()
         nxt = (vs[-1] + 1) if vs else 0
         self._writer(df, "overwrite").parquet(self._vpath(nxt))
+        if self.partition_by:
+            # schema sidecar (Delta: txn-log schema): partitioned reads
+            # can't rely on footers — an empty commit writes no files
+            import json
+
+            with open(f"{self._vpath(nxt)}/_schema.json", "w") as fh:
+                json.dump(df.schema.jsonValue(), fh)
         self._prune(keep_from=nxt)
 
     def _prune(self, keep_from: int) -> None:

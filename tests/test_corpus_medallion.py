@@ -232,3 +232,38 @@ def test_stage_failure_propagates(spark, tmp_path):
     assert runs["publish_gold"].status == "upstream_failed"
     assert runs["catalog"].status == "upstream_failed"
     assert not tables["silver_clean"].exists()
+
+
+def test_gold_layout_partitioned_and_pruned(spark, tmp_path):
+    """r9 VERDICT #2: gold is physically laid out partitionBy(split,
+    lang), and a split+lang-filtered read prunes to those directories
+    (PartitionFilters in the scan — no data file outside the requested
+    partition is planned)."""
+    import contextlib
+    import glob
+    import io
+
+    runs, tables = _run(spark, tmp_path)
+    assert all(r.status == "success" for r in runs)
+    gold = tables["gold"]
+    vdir = gold._vpath(gold._versions()[-1])
+    # hive layout on disk: split=*/lang=* directories hold the files
+    part_files = glob.glob(f"{vdir}/split=*/lang=*/*.parquet")
+    assert part_files, "gold files not under split=/lang= directories"
+    assert glob.glob(f"{vdir}/split=train/lang=en/*.parquet")
+
+    df = gold.read().filter(
+        (F.col("split") == "train") & (F.col("lang") == "en")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "split" in pf and "lang" in pf, pf
+    # and the filtered read matches the unpartitioned semantics
+    n = df.count()
+    assert n > 0
+    assert n == gold.read().filter(
+        "split = 'train' and lang = 'en'"
+    ).count()
