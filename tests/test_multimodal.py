@@ -76,3 +76,89 @@ def test_hash_embed_deterministic_and_bounded(spark):
     assert all(-0.5 <= v < 0.5 for v in out[1])
     assert out[1] == out[3]  # same bytes -> same embedding
     assert out[1] != out[2]
+
+
+def test_ppm_parser_is_a_real_parser():
+    """_parse_ppm must accept spec-valid variants it did not itself
+    produce (comments, arbitrary whitespace) and reject malformed input
+    — the 'real decode' claim of r9 VERDICT #7."""
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8)
+    base = b"P6\n3 2\n255\n" + px.tobytes()
+    w, h, mv, img = mm._parse_ppm(base)
+    assert (w, h, mv) == (3, 2, 255)
+    assert np.array_equal(img.reshape(-1), px)
+
+    # comments + tabs + multiple spaces are spec-valid
+    fancy = b"P6 # c\n#line\n 3\t2  255\n" + px.tobytes()
+    assert np.array_equal(mm._parse_ppm(fancy)[3], img)
+
+    with pytest.raises(ValueError):
+        mm._parse_ppm(b"P5\n3 2\n255\n" + px.tobytes())  # not P6
+    with pytest.raises(ValueError):
+        mm._parse_ppm(b"P6\n3 2\n255\n" + px.tobytes()[:-1])  # truncated
+    with pytest.raises(ValueError):
+        mm._parse_ppm(b"P6\n3 2\n65535\n" + px.tobytes())  # 16-bit
+
+
+def test_wav_parser_walks_chunks():
+    """_parse_wav must walk the RIFF chunk list (unknown chunks before
+    data, odd-size word alignment) and validate the format."""
+    import struct
+
+    import numpy as np
+
+    samples = np.array([-5, 7, -32768, 32767], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    junk = b"LIST" + struct.pack("<I", 5) + b"xxxxx\x00"  # odd size, padded
+    wav = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + fmt + junk
+           + b"data" + struct.pack("<I", len(data)) + data)
+    rate, dec = mm._parse_wav(wav)
+    assert rate == 8000 and np.array_equal(dec, samples)
+
+    stereo_fmt = struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    with pytest.raises(ValueError):
+        mm._parse_wav(b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+                      + b"fmt " + stereo_fmt
+                      + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError):
+        mm._parse_wav(b"RIFX" + wav[4:])
+
+
+def test_ppm_wav_round_trip_spark(spark):
+    """Synthesized payloads decode to the closed-form stats through the
+    full Arrow path, and the payloads are REAL files (stdlib wave opens
+    the WAV; the PPM raster matches the formula byte for byte)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    df = spark.range(50, 61).select(F.col("id").alias("doc_id"))
+    imgs = mm.synth_ppm_images(df, "doc_id")
+    stats = {r["doc_id"]: r for r in
+             mm.ppm_luminance(imgs, "doc_id", "payload").collect()}
+    for i in range(50, 61):
+        w, h = 8 + i % 9, 8 + i % 7
+        idx = np.arange(w * h * 3, dtype=np.int64)
+        b = (i * 31 + idx * 7) % 256
+        exp = sum(wgt * int(b[c::3].sum())
+                  for c, wgt in enumerate((299, 587, 114)))
+        r = stats[i]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["lum_sum"] == exp
+
+    clips = mm.synth_wav_audio(df, "doc_id")
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in clips.collect()}
+    wstats = {r["doc_id"]: r for r in
+              mm.wav_stats(clips, "doc_id", "payload").collect()}
+    for i in (50, 57):
+        wf = wave_mod.open(io.BytesIO(payloads[i]))
+        assert wf.getnframes() == 64 + i % 129
+        n = 64 + i % 129
+        v = ((i * 13 + np.arange(n, dtype=np.int64) * 5) % 65536) - 32768
+        assert wstats[i]["n_samples"] == n
+        assert wstats[i]["abs_sum"] == int(np.abs(v).sum())
