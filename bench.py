@@ -146,12 +146,33 @@ HEADLINE = [
     "session_paths_topk",
     "dq_expectations_report",
     "customer_global_spend_rank",
+    # round 10
+    "multimodal_ppm_luminance",
+    "multimodal_wav_stats",
+    "streaming_corpus_ingest",
 ]
+
+
+def _host_snapshot() -> dict:
+    """1-min load average + live process count at a point in time, so a
+    contaminated bench vintage is self-describing (r9 VERDICT #1: the
+    1.27× warm drift sat in untouched code and could only be attributed
+    to host contention by forensics — record the evidence up front)."""
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    try:
+        nproc = sum(1 for d in os.listdir("/proc") if d.isdigit())
+    except OSError:
+        nproc = None
+    return {"load1": load1, "nproc": nproc}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    host_start = _host_snapshot()
     spark = get_spark(app_name="bench")
 
     # warm the JVM/session so the first measured query isn't paying startup:
@@ -224,6 +245,14 @@ def main() -> None:
         # production path, vs its 1800 s/stage Airflow budget (VERDICT r3 #6)
         "medallion": medallion,
         "value_cold": round(sum(cold_timings.values()), 3),
+        # host-contention evidence: 1-min load + process count at
+        # start/end (+ cpu count); a vintage where load1 >> cpus at
+        # either endpoint cannot adjudicate a regression
+        "host": {
+            "cpus": os.cpu_count(),
+            "start": host_start,
+            "end": _host_snapshot(),
+        },
     }
     full = dict(
         out,

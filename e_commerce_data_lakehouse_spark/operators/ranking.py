@@ -27,10 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ByteType,
     DoubleType,
     FloatType,
     IntegerType,
     LongType,
+    ShortType,
     StructField,
     StructType,
 )
@@ -187,6 +189,7 @@ def exact_values_at(
     group_cols: list[str] | None = None,
     num_partitions: int | None = None,
     weight_col: str | None = None,
+    max_groups: int | None = 10_000,
 ) -> tuple[dict, dict]:
     """Exact order statistics at arbitrary 0-based positions WITHOUT the
     single-reducer value buffer — the shared engine under
@@ -230,6 +233,13 @@ def exact_values_at(
     column (median + MAD + flag counts) build the histogram once, keep
     it persisted, and every subsequent pass runs in histogram domain —
     one scan of the base data total.
+
+    ``max_groups``: the bounded-``group_cols`` contract, enforced — a
+    cheap distinct-count probe over the (already persisted) histogram
+    raises BEFORE the driver materializes a per-group dict, so a caller
+    outside the registry (where the plan sweep polices cardinality)
+    can't silently build an unbounded driver-side structure.  ``None``
+    disables the guard.
     """
     import numpy as np
 
@@ -270,6 +280,20 @@ def exact_values_at(
         ).sortWithinPartitions(*order_cols)
     )
 
+    if keys and max_groups is not None:
+        # runaway-group guard: limit(max_groups+1).count() stops the scan
+        # as soon as the cap is exceeded — never a full distinct count.
+        n_g = sdf.select(*keys).distinct().limit(max_groups + 1).count()
+        if n_g > max_groups:
+            sdf.unpersist()
+            raise ValueError(
+                f"exact_values_at: group_cols {keys!r} exceed "
+                f"max_groups={max_groups} distinct groups — this engine "
+                "keys bounded driver-side dicts by group; raise "
+                "max_groups only if the driver can hold that many "
+                "(or pre-bucket the keys)"
+            )
+
     # bounded driver metadata, computed ENTIRELY JVM-side: one row per
     # (partition, group).  spark_partition_id() is evaluated before the
     # aggregate's shuffle, so it tags the persisted sorted layout — the
@@ -309,10 +333,27 @@ def exact_values_at(
         + [sdf.schema[value_col], StructField("__idx", LongType())]
     )
     out_cols = keys + [value_col, "__idx"]
+    # Arrow->pandas coerces an integral column CONTAINING nulls to
+    # float64 (NaN) — a nullable int key would then flow float cell
+    # values into the Long-typed output schema and drift key identity.
+    # Pre-compute which keys need an int round-trip so the pick pass
+    # restores schema-typed cells before yielding.
+    int_key = {
+        f.name
+        for f in key_fields
+        if isinstance(
+            f.dataType, (ByteType, ShortType, IntegerType, LongType)
+        )
+    }
 
     def pick(batches):
         import pandas as pd
         from pyspark import TaskContext
+
+        def norm_cell(k, x):
+            if pd.isna(x):
+                return None
+            return int(x) if k in int_key else x
 
         mine = targets.get(TaskContext.get().partitionId())
         if not mine:
@@ -335,8 +376,11 @@ def exact_values_at(
                 if keys:
                     raw = gval if isinstance(gval, tuple) else (gval,)
                     # NaN is not equal to itself — normalize null keys
-                    # to None so dict lookups match the driver's keys
-                    g = tuple(None if pd.isna(x) else x for x in raw)
+                    # to None (and float-ified int keys back to int) so
+                    # dict lookups match the driver's keys exactly
+                    g = tuple(
+                        norm_cell(k, x) for k, x in zip(keys, raw)
+                    )
                 else:
                     g = ()
                 base = carries.get(g, 0)
@@ -351,7 +395,8 @@ def exact_values_at(
                     if base <= li < int(c[-1]):
                         j = int(np.searchsorted(c, li, side="right"))
                         rows.append(
-                            [*(sub.iloc[j][k] for k in keys),
+                            [*(norm_cell(k, sub.iloc[j][k])
+                               for k in keys),
                              sub.iloc[j][value_col], gi]
                         )
                         del want[li]

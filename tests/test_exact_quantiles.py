@@ -247,3 +247,53 @@ def test_fractional_position_bit_match(spark):
     _check_global(
         spark, rows, probs=[1 / 3, 2 / 3, 0.123456789, 0.9876543210123]
     )
+
+
+def test_nullable_int_group_key_stays_integral(spark):
+    """An integral group column CONTAINING nulls degrades to float64 in
+    the Arrow->pandas pick pass (NaN has no int64 home); the operator
+    must restore schema-typed int keys in both the emitted rows and the
+    driver-side group dicts (r9 ADVICE)."""
+    from e_commerce_data_lakehouse_spark.operators.ranking import (
+        exact_values_at,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (None if i % 5 == 0 else i % 3, float(rng.randint(0, 999)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g long, v double")
+    vals, totals = exact_values_at(
+        df, "v", lambda n: {0, n - 1}, group_cols=["g"], num_partitions=4
+    )
+    assert set(totals) == {(None,), (0,), (1,), (2,)}
+    for g in totals:
+        assert g[0] is None or type(g[0]) is int
+        exp = sorted(v for gg, v in rows if gg == g[0])
+        assert vals[g][0] == exp[0]
+        assert vals[g][len(exp) - 1] == exp[-1]
+
+
+def test_runaway_group_guard_raises(spark):
+    """The bounded-group_cols contract is enforced by the operator
+    itself (r9 VERDICT #6): exceeding max_groups raises before any
+    driver-side per-group dict materializes."""
+    import pytest
+
+    from e_commerce_data_lakehouse_spark.operators.ranking import (
+        exact_values_at,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(ValueError, match="max_groups"):
+        exact_values_at(
+            df, "v", lambda n: {0}, group_cols=["g"], max_groups=100
+        )
+    # raising the cap (or disabling) restores normal operation
+    vals, totals = exact_values_at(
+        df, "v", lambda n: {0}, group_cols=["g"], max_groups=None
+    )
+    assert len(totals) == 500
