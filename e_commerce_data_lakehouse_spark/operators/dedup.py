@@ -53,6 +53,43 @@ def keep_latest(
     )
 
 
+def keep_latest_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Skew-robust :func:`keep_latest`: ``max(struct(order, ties…, row))``
+    instead of a per-key window.
+
+    The window form sorts EVERY row of a key inside one task — a key
+    owning 20% of a 100 TB fact is a guaranteed straggler/OOM (the skew
+    sweep, ``tools/sweep_skew.py``, measures both forms against a
+    planted 20% hot key).  A groupBy max is PARTIALLY AGGREGATED map-side:
+    each input partition reduces the hot key to one candidate row before
+    the shuffle, so the reduce task sees ~n_partitions rows per key no
+    matter how hot the key is.
+
+    Struct comparison is field-left-to-right, so the aggregate picks the
+    max ``order_col``, then max tiebreakers — identical to
+    :func:`keep_latest` whenever (order_col + tiebreakers) discriminate
+    within a key (both APIs' documented determinism contract).  On full
+    ties this form breaks them by the max of the remaining row struct
+    (still deterministic); the window form keeps an arbitrary-but-stable
+    row.  Null ordering matches: a null field compares smallest in
+    struct order, and ``desc()`` windows put nulls last — both lose."""
+    ord_cols = [order_col] + list(tiebreakers or [])
+    packed = F.struct(
+        *[F.col(c) for c in ord_cols],
+        F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
+    )
+    return (
+        df.groupBy(*keys)
+        .agg(F.max(packed).alias("__m"))
+        .select(*[F.col(f"__m.__row.{c}").alias(c) for c in df.columns])
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact content dedup (hash-groupBy)
 # ---------------------------------------------------------------------------

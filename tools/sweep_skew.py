@@ -1,0 +1,210 @@
+"""Proactive skew-robustness sweep (r9 VERDICT #8).
+
+Runs the join/groupBy operator family against the deliberately skewed
+tables from ``tools/gen_skew_data.py`` (one key = 20% of all rows) and
+measures REAL per-task durations from Spark's status REST API: for every
+stage a swept op executes, the max/median executorRunTime ratio.  The
+pass bar is the verdict's: no task > ``--bar`` (default 8)× the median
+task time of its stage — i.e. AQE's skew split, broadcast planning, map-
+side partial aggregation, or explicit salting must be absorbing the hot
+key.  Ops expected to straggle (the window keep-latest) are swept
+anyway, labeled ``expect_skew``: the artifact shows the failure AND the
+repaired sibling side by side.
+
+Stage filter: ≥ 8 tasks and median run time ≥ 50 ms (tiny-stage jitter
+is not skew evidence).
+
+Usage: python tools/sweep_skew.py [--skew-dir .scaledata/skew1]
+           [--dim-dir .scaledata/sf1] [--out artifacts/sweep_skew.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from e_commerce_data_lakehouse_spark.operators import dedup  # noqa: E402
+from e_commerce_data_lakehouse_spark.operators.joins import (  # noqa: E402
+    salted_join,
+)
+from e_commerce_data_lakehouse_spark.session import get_spark  # noqa: E402
+
+
+def _rest(base: str, path: str):
+    with urllib.request.urlopen(f"{base}/api/v1{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def _stage_ratios(base: str, app_id: str, seen: set) -> list[dict]:
+    """max/median executorRunTime for every newly-completed stage with
+    >= 8 tasks and median >= 50 ms."""
+    out = []
+    for st in _rest(base, f"/applications/{app_id}/stages?status=complete"):
+        sid, att = st["stageId"], st["attemptId"]
+        if (sid, att) in seen:
+            continue
+        seen.add((sid, att))
+        if st.get("numCompleteTasks", 0) < 8:
+            continue
+        try:
+            summ = _rest(
+                base,
+                f"/applications/{app_id}/stages/{sid}/{att}/taskSummary"
+                "?quantiles=0.5,1.0",
+            )
+        except Exception:
+            continue
+        med, mx = summ["executorRunTime"]
+        if med < 50.0:
+            continue
+        out.append(
+            {
+                "stage": sid,
+                "tasks": st["numCompleteTasks"],
+                "median_ms": round(med, 1),
+                "max_ms": round(mx, 1),
+                "ratio": round(mx / med, 2) if med else None,
+            }
+        )
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ap.add_argument("--skew-dir", default=f"{root}/.scaledata/skew1")
+    ap.add_argument("--dim-dir", default=f"{root}/.scaledata/sf1")
+    ap.add_argument("--out", default=f"{root}/artifacts/sweep_skew.jsonl")
+    ap.add_argument("--bar", type=float, default=8.0)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="skew_sweep",
+        extra_conf={"spark.ui.enabled": "true"},  # REST task metrics
+    )
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    events = spark.read.parquet(f"{args.skew_dir}/events_skew.parquet")
+    orders = spark.read.parquet(f"{args.skew_dir}/orders_skew.parquet")
+    customer = spark.read.parquet(f"{args.dim_dir}/customer.parquet")
+
+    smj_customer = customer.hint("merge")  # force sort-merge (no broadcast)
+
+    OPS = [
+        # name, build-fn, expect_skew (straggler by construction — kept in
+        # the sweep so the artifact shows the bite next to the repair)
+        (
+            "groupby_user_agg",
+            lambda: events.groupBy("user_id").agg(
+                F.count("*").alias("n"), F.sum("value").alias("v")
+            ),
+            False,  # partial agg combines the hot key map-side
+        ),
+        (
+            "groupby_type_distinct_users",
+            lambda: events.groupBy("event_type").agg(
+                F.countDistinct("user_id").alias("u")
+            ),
+            False,  # two-phase expansion on (type, user)
+        ),
+        (
+            "keep_latest_window",
+            lambda: dedup.keep_latest(
+                events, ["user_id"], "ts", ["event_id"]
+            ),
+            True,  # per-key window: hot key sorts in ONE task
+        ),
+        (
+            "keep_latest_agg",
+            lambda: dedup.keep_latest_agg(
+                events, ["user_id"], "ts", ["event_id"]
+            ),
+            False,  # the skew-robust repair (map-side max(struct))
+        ),
+        (
+            "join_smj_orders_customer",
+            lambda: orders.join(
+                smj_customer, orders.o_custkey == smj_customer.c_custkey
+            ).select("o_orderkey", "o_totalprice", "c_mktsegment"),
+            False,  # AQE skewJoin must split the hot partition
+        ),
+        (
+            "join_broadcast_orders_customer",
+            lambda: orders.join(
+                F.broadcast(customer),
+                orders.o_custkey == customer.c_custkey,
+            ).select("o_orderkey", "o_totalprice", "c_mktsegment"),
+            False,  # broadcast: no shuffle on the hot key at all
+        ),
+        (
+            "join_salted_orders_customer",
+            lambda: salted_join(
+                orders,
+                customer.withColumnRenamed("c_custkey", "o_custkey"),
+                ["o_custkey"],
+                n_salts=16,
+            ).select("o_orderkey", "o_totalprice", "c_mktsegment"),
+            False,  # explicit salting (the beyond-AQE defense)
+        ),
+        (
+            "hot_filter_topn",
+            lambda: events.filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("v"))
+            .orderBy(F.desc("v"))
+            .limit(100),
+            False,
+        ),
+    ]
+
+    seen: set = set()
+    _stage_ratios(base, app_id, seen)  # absorb warmup stages
+    rows, failed = [], []
+    for name, build, expect_skew in OPS:
+        spark.catalog.clearCache()
+        t0 = time.monotonic()
+        build().write.format("noop").mode("overwrite").save()
+        wall = round(time.monotonic() - t0, 2)
+        stages = _stage_ratios(base, app_id, seen)
+        worst = max((s["ratio"] or 0) for s in stages) if stages else None
+        ok = worst is None or worst <= args.bar or expect_skew
+        if not ok:
+            failed.append(name)
+        row = {
+            "query": name,
+            "skew_dir": os.path.basename(args.skew_dir.rstrip("/")),
+            "wall_sec": wall,
+            "worst_task_ratio": worst,
+            "bar": args.bar,
+            "expect_skew": expect_skew,
+            "status": "ok" if ok else "skewed",
+            "stages": stages,
+        }
+        rows.append(row)
+        print(json.dumps({k: row[k] for k in
+                          ("query", "wall_sec", "worst_task_ratio",
+                           "expect_skew", "status")}))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    n_skew = len(failed)
+    print(f"swept {len(rows)} ops, {n_skew} unexpected-skew: {failed}")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
