@@ -150,6 +150,8 @@ HEADLINE = [
     "multimodal_ppm_luminance",
     "multimodal_wav_stats",
     "streaming_corpus_ingest",
+    "dedup_latest_events_agg",
+    "corpus_gold_train_by_lang",
 ]
 
 

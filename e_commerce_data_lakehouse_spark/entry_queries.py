@@ -270,6 +270,31 @@ def dedup_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_latest_events_agg",
+    """
+SELECT user_id, event_type, event_id, ts, value
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts DESC, event_id DESC) = 1
+""",
+)
+def dedup_latest_events_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-ROBUST sibling of ``dedup_latest_events`` — same oracle
+    VERBATIM, so the hash proves ``dedup.keep_latest_agg``'s
+    ``max(struct(ts, event_id, row))`` form picks the identical
+    survivors.  The window form sorts every row of a key in ONE task
+    (a 20%-hot key is a straggler/OOM at 100 TB — measured in
+    ``artifacts/sweep_skew_r10.jsonl``); the aggregate form partial-
+    combines map-side, so the reduce task sees ~n_partitions candidate
+    rows per key no matter how hot the key is."""
+    ev = load(spark, sf_dir, "events")["events"]
+    return dd.keep_latest_agg(
+        ev, ["user_id", "event_type"], "ts", tiebreakers=["event_id"]
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+
+
+@register(
     "hourly_device_health",
     """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -2915,6 +2940,82 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bad:
         raise RuntimeError(f"streaming corpus stages failed: {bad}")
     return tables["catalog"].read().select("stage", "n_docs", "n_tokens")
+
+
+@register(
+    "corpus_gold_train_by_lang",
+    f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           {_QUALITY_SQL} AS quality,
+           md5({NORM_SQL.format(c='text')}) AS fp,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+    FROM documents
+), curated AS (
+    SELECT doc_id, lang, text, n_tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.5 AND doc_id % 97 <> 0)
+    WHERE rn = 1
+), bench AS (
+    SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS gram
+    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 3)) AS i
+          FROM (SELECT string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents WHERE doc_id % 97 = 0)
+          WHERE len(ws) >= 4)
+), contaminated AS (
+    SELECT DISTINCT doc_id
+    FROM (SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+          FROM (SELECT doc_id, ws,
+                       unnest(generate_series(1, len(ws) - 3)) AS i
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS ws
+                      FROM curated)
+                WHERE len(ws) >= 4))
+    WHERE gram IN (SELECT gram FROM bench)
+), clean AS (
+    SELECT doc_id, lang, n_tok FROM curated
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens
+FROM clean
+WHERE {_BUCKET_SQL.format(c='doc_id')} >= 20
+GROUP BY lang
+""",
+)
+def corpus_gold_train_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRUNED gold read path a training job actually takes: run the
+    corpus medallion, then read the PHYSICAL gold table (hive-laid-out
+    ``partitionBy(split, lang)``) with a ``split = 'train'`` filter —
+    partition pruning eliminates the val/test directories before any
+    file opens — and aggregate per language.  The oracle recomputes the
+    whole curation chain in SQL and filters to the train hash-bucket
+    range, so the hash proves the partitioned write + pruned read
+    round-trips every row and value exactly (a lost partition directory,
+    a mistyped partition value, or a pruning bug all break it)."""
+    import tempfile
+
+    from e_commerce_data_lakehouse_spark.plans.corpus_medallion import (
+        corpus_dag,
+    )
+
+    dag, tables = corpus_dag(spark, sf_dir, tempfile.mkdtemp(prefix="cgtr_"))
+    runs = dag.run(spark)
+    bad = [r.name for r in runs if r.status != "success"]
+    if bad:
+        raise RuntimeError(f"corpus DAG stages failed: {bad}")
+    return (
+        tables["gold"].read()
+        .filter(F.col("split") == "train")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+    )
 
 
 @register(
