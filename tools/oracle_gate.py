@@ -135,6 +135,15 @@ def main() -> int:
         .appName("oracle-gate")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
+        # NOT part of the driver contract (driver_sim stays vanilla):
+        # this tool runs the whole registry at 100x the gate data in one
+        # JVM, and the pyspark default 1g heap is marginal there — the
+        # r10 full gate OOM'd mid-registry in an ObjectHashAggregate
+        # spill under concurrent host load with the default heap.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "12g"),
+        )
         .getOrCreate()
     )
     import __spark_entry__ as mod
