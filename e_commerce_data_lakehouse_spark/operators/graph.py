@@ -240,7 +240,7 @@ def pagerank_fixed(
     damping_pct: int = 85,
     iterations: int = 5,
     unit: int = 10**12,
-    broadcast_threshold: int = 1_000_000,
+    broadcast_threshold: int = 4_000_000,
 ) -> DataFrame:
     """PageRank with EXACT integer fixed-point arithmetic — the
     link-graph centrality web-corpus pipelines use for crawl
@@ -272,8 +272,12 @@ def pagerank_fixed(
     cannot discover this itself — the CC operator documents the same
     blind spot), which keeps the checkpointed edge list scan-only: the
     per-round shuffle is then just the O(|E|)→O(|V|) partial-aggregated
-    inflow sum.  Above the threshold (a billion-host web graph) the same
-    loop runs with shuffle joins, unchanged.  ``localCheckpoint`` (lazy)
+    inflow sum.  The 4M default is ~200 MB of (id, deg, rank_fp) rows —
+    a large but routine broadcast, and measured worth it well before
+    the cap: at a 2M-vertex / 240M-edge co-purchase graph (gen-sf10)
+    broadcasting beats the shuffle-join loop 137.8 s vs 160.8 s
+    (A/B'd r10, same host/heap).  Above the threshold (a billion-host
+    web graph) the same loop runs with shuffle joins, unchanged.  ``localCheckpoint`` (lazy)
     truncates lineage so the plan stays O(1) across iterations instead of
     growing three joins per round.  No convergence action: the iteration
     count is part of the operator's deterministic contract (an oracle
