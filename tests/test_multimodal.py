@@ -162,3 +162,64 @@ def test_ppm_wav_round_trip_spark(spark):
         v = ((i * 13 + np.arange(n, dtype=np.int64) * 5) % 65536) - 32768
         assert wstats[i]["n_samples"] == n
         assert wstats[i]["abs_sum"] == int(np.abs(v).sum())
+
+
+def test_ppm_round_trip_property():
+    """Property fuzz (hypothesis): any (w, h, pixels) encodes to a P6
+    payload that _parse_ppm round-trips exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+        header_ws=st.sampled_from(["\n", " ", "\t", "\n# c\n"]),
+    )
+    def check(w, h, seed, header_ws):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+        payload = (
+            f"P6{header_ws}{w} {h}{header_ws}255\n".encode() + px.tobytes()
+        )
+        pw, ph, mv, img = mm._parse_ppm(payload)
+        assert (pw, ph, mv) == (w, h, 255)
+        assert np.array_equal(img.reshape(-1), px)
+
+    check()
+
+
+def test_wav_round_trip_property():
+    """Property fuzz: arbitrary PCM16 sample arrays (including empty and
+    odd lengths, which force word-aligned chunk padding in containers
+    with trailing chunks) round-trip through _parse_wav."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(0, 500),
+        seed=st.integers(0, 2**31 - 1),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        trailing_junk=st.booleans(),
+    )
+    def check(n, seed, rate, trailing_junk):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n).astype("<i2")
+        data = samples.tobytes()
+        fmt = struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        body = b"WAVEfmt " + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        if trailing_junk:
+            body += b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        wav = b"RIFF" + struct.pack("<I", len(body)) + body
+        got_rate, dec = mm._parse_wav(wav)
+        assert got_rate == rate
+        assert np.array_equal(dec, samples)
+
+    check()
