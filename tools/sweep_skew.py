@@ -166,6 +166,26 @@ def main() -> None:
             .limit(100),
             False,
         ),
+        (
+            "session_window_hot_user",
+            lambda: events.groupBy(
+                "user_id", F.session_window("ts", "30 minutes")
+            ).agg(F.count("*").alias("n")),
+            True,  # per-key merging sort: the hot user's rows land in one
+            # task (measured 3.9x at skew10 — under the bar HERE, but the
+            # ratio grows with data; tracked so the trend is visible)
+        ),
+        (
+            "seq_number_hot_user",
+            lambda: events.withColumn(
+                "rn",
+                F.expr(
+                    "row_number() OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id)"
+                ),
+            ).filter("rn <= 5"),
+            True,  # same structural shape; scan-dominated at this scale
+        ),
     ]
 
     seen: set = set()
