@@ -152,6 +152,7 @@ HEADLINE = [
     "streaming_corpus_ingest",
     "dedup_latest_events_agg",
     "corpus_gold_train_by_lang",
+    "user_sessions_bucketed",
 ]
 
 

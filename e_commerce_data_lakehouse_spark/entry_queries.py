@@ -1899,7 +1899,7 @@ def asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
     SELECT user_id, ts, value, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1935,6 +1935,65 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             dsum("value").alias("sum_value"),
         ],
+    )
+
+
+@register(
+    "user_sessions_bucketed",
+    """
+WITH marked AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+    SELECT user_id, ts, value, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def user_sessions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-ROBUST sessionization sibling — ``user_sessions``'s
+    oracle VERBATIM, so the hash proves the bucket-and-stitch plan
+    (``aggregates.sessionize_bucketed``) assigns identical sessions.
+    ``session_window`` merges every row of a key in ONE task (the r10
+    skew sweep measures the planted 20%-hot user at 4.8× median task
+    time, growing with data); here the key's rows split across 1-day
+    buckets for the local gaps-and-islands pass, and only each bucket's
+    two edge sessions (≤ 2 rows per key·bucket, independent of row
+    count) enter the cross-boundary stitch.  The decimal sum stays a
+    SUM-combinable partial through the stitch and casts to double only
+    at the end — bit-identical to the one-pass ``dsum``."""
+    ev = load(spark, sf_dir, "events")["events"]
+    out = agg.sessionize_bucketed(
+        ev,
+        "user_id",
+        "ts",
+        gap="30 minutes",
+        bucket="1 day",
+        partial_aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("__sv"),
+        ],
+        tiebreakers=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.col("__sv").cast("double").alias("sum_value"),
     )
 
 
@@ -9533,7 +9592,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
     SELECT user_id, ts, value, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -9611,7 +9670,7 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
     SELECT user_id, ts, value, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -10253,7 +10312,7 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
     SELECT user_id, ts, event_id, event_type,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -202,9 +202,13 @@ def sessionize(
     aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Session assignment by inactivity gap (``F.session_window``): events of
-    one key closer than ``gap`` merge into one session; a session's end is
-    ``last_event + gap`` (half-open — an event at exactly that instant opens
-    a new session).
+    one key within ``gap`` of each other merge into one session; a session's
+    end is reported as ``last_event + gap``.  The merge is INCLUSIVE: an
+    event at exactly ``last_event + gap`` still joins the session (probed
+    r10 — Spark merges the tie; the repo's gaps-and-islands oracles use
+    ``> gap`` accordingly, defect class #9: the old ``>=`` oracles agreed
+    with the engine only because no exact-tie pair existed in any data
+    vintage).
 
     One shuffle on the key; session merging is Spark's native session-window
     state logic, streaming-capable with a watermark (the same expression
@@ -218,6 +222,139 @@ def sessionize(
         F.col("__sw.start").alias("session_start"),
         F.col("__sw.end").alias("session_end"),
         *[c for c in out.columns if c not in (key_col, "__sw")],
+    )
+
+
+_MICROS_PER = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _duration_micros(s: str) -> int:
+    """'30 minutes' / '1 day' → micros (the subset session ops use)."""
+    n, unit = s.split()
+    return int(n) * _MICROS_PER[unit.rstrip("s")]
+
+
+def sessionize_bucketed(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    bucket: str = "1 day",
+    partial_aggs: list[Column] | None = None,
+    tiebreakers: list[str] | None = None,
+) -> DataFrame:
+    """Skew-robust :func:`sessionize`: bucket-and-stitch instead of one
+    per-key merging sort.
+
+    ``session_window`` (and the gaps-and-islands window) concentrates
+    EVERY row of a key into one task — the r10 skew sweep measures the
+    planted 20%-hot user at 4.8× the median task time at skew10, and the
+    ratio grows linearly with data.  This splits the work by coarse time
+    bucket first:
+
+    1. **local pass** — gaps-and-islands windowed by ``(key, bucket)``
+       (the hot key now spreads across #buckets tasks; rows per task are
+       bounded by the key's per-bucket activity, not its total);
+    2. **stitch pass** — only a bucket's temporally FIRST and LAST local
+       session can merge across the boundary (any middle session is
+       separated from both by ≥ gap inside its own bucket), so the
+       boundary frame is ≤ 2 rows per (key, bucket) — bounded by
+       time-range/bucket, independent of row count.  A second
+       gaps-and-islands over that small frame chains multi-bucket
+       sessions, and SUM-combinable partials merge per chain.
+
+    ``partial_aggs``: phase-1 aggregate Columns whose phase-2 combine is
+    SUM (count → sum, decimal sum → sum) — the caller casts/rounds AFTER.
+    Semantics equal :func:`sessionize` exactly — including the INCLUSIVE
+    merge at an exactly-``gap`` tie (defect class #9; see
+    :func:`sessionize`) — for any ``bucket ≥ gap``; equivalence is
+    pytest-pinned on boundary-crossing and exact-tie data and the
+    registered ``user_sessions_bucketed`` carries the window query's
+    oracle verbatim.
+    """
+    gap_us = _duration_micros(gap)
+    bkt_us = _duration_micros(bucket)
+    if bkt_us < gap_us:
+        raise ValueError(
+            f"bucket ({bucket}) must be >= gap ({gap}): a session can "
+            "span at most one boundary per bucket only when buckets are "
+            "at least gap-sized"
+        )
+    ties = [F.col(t) for t in (tiebreakers or [])]
+    # NTZ timestamps go through a cast (the engine pins the session to
+    # UTC, so the instant equals the NTZ value and the mapping is
+    # monotone — same contract as streaming/pipeline.stream_events)
+    base = df.withColumn(
+        "__tm", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).withColumn("__bkt", F.expr(f"__tm div {bkt_us}"))
+    w = Window.partitionBy(key_col, "__bkt").orderBy(F.col("__tm"), *ties)
+    flagged = base.withColumn(
+        "__new",
+        F.when(
+            F.lag("__tm").over(w).isNull()
+            | (F.col("__tm") - F.lag("__tm").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__sid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    partials = list(partial_aggs or [F.count("*").alias("n_events")])
+    local = flagged.groupBy(key_col, "__bkt", "__sid").agg(
+        F.min("__tm").alias("__smin"),
+        F.max("__tm").alias("__smax"),
+        *partials,
+    )
+    reserved = {key_col, "__bkt", "__sid", "__smin", "__smax"}
+    names = [c for c in local.columns if c not in reserved]
+    pb = Window.partitionBy(key_col, "__bkt")
+    local = local.withColumn(
+        "__is_edge",
+        (F.col("__sid") == F.min("__sid").over(pb))
+        | (F.col("__sid") == F.max("__sid").over(pb)),
+    )
+    middle = local.filter(~F.col("__is_edge"))
+    boundary = local.filter(F.col("__is_edge"))
+    # chain-merge over the bounded boundary frame: ≤2 rows per (key,
+    # bucket); distinct sessions of one key never share __smin
+    wc = Window.partitionBy(key_col).orderBy("__smin")
+    chained = boundary.withColumn(
+        "__chain",
+        F.sum(
+            F.when(
+                F.lag("__smax").over(wc).isNull()
+                | (F.col("__smin") - F.lag("__smax").over(wc) > gap_us),
+                1,
+            ).otherwise(0)
+        ).over(wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    merged = chained.groupBy(key_col, "__chain").agg(
+        F.min("__smin").alias("__smin"),
+        F.max("__smax").alias("__smax"),
+        *[F.sum(n).alias(n) for n in names],
+    )
+    out_cols = [key_col, "__smin", "__smax", *names]
+    out = middle.select(*out_cols).unionByName(merged.select(*out_cols))
+    # return the INPUT column's timestamp flavor (an NTZ input yields NTZ
+    # session bounds, matching what session_window does — and what the
+    # driver's collect-side tz conversion expects)
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    return out.select(
+        key_col,
+        F.timestamp_micros(F.col("__smin")).cast(ts_type).alias(
+            "session_start"
+        ),
+        F.timestamp_micros(F.col("__smax") + gap_us).cast(ts_type).alias(
+            "session_end"
+        ),
+        *names,
     )
 
 

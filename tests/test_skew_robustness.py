@@ -92,3 +92,88 @@ def test_skew_generator_plants_hot_key(tmp_path):
         f"{tmp_path}/skew0.01/orders_skew.parquet", columns=["o_custkey"]
     )["o_custkey"].to_pylist()
     assert abs(sum(1 for c in od if c == 7) / len(od) - 0.20) < 0.005
+
+
+def _session_rows(seed: int, n: int, hot_frac: float = 0.4):
+    """Events engineered to cross 1-day bucket boundaries: bursts around
+    midnight, exact-gap ties, multi-day marathon sessions."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1)
+    out = []
+    for i in range(n):
+        key = 7 if rng.random() < hot_frac else rng.randrange(5)
+        day = rng.randrange(6)
+        if rng.random() < 0.3:  # midnight-straddling burst
+            minute = rng.randrange(-40, 40)
+        else:
+            minute = rng.randrange(0, 24 * 60)
+        ts = base + dt.timedelta(days=day, minutes=minute,
+                                 seconds=rng.randrange(60))
+        out.append((key, ts, float(rng.randrange(100)), i))
+    # one marathon session spanning 3 days: events every 20 minutes
+    t = base + dt.timedelta(days=10)
+    for j in range(3 * 72):
+        out.append((3, t, 1.0, 10_000 + j))
+        t += dt.timedelta(minutes=20)
+    # exact-gap edge: session_window MERGES an event at exactly +30min
+    # (probed r10, defect class #9) — both forms must agree on the tie
+    edge = base + dt.timedelta(days=20)
+    out.append((4, edge, 5.0, 20_000))
+    out.append((4, edge + dt.timedelta(minutes=30), 6.0, 20_001))
+    return out
+
+
+def test_sessionize_bucketed_equals_session_window(spark):
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        _session_rows(23, 800),
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    one_pass = agg.sessionize(
+        df, "user_id", "ts", gap="30 minutes",
+        aggs=[F.count("*").alias("n_events"),
+              F.sum(F.col("value").cast("decimal(30,6)"))
+              .cast("double").alias("sum_value")],
+    )
+    bucketed = agg.sessionize_bucketed(
+        df, "user_id", "ts", gap="30 minutes", bucket="1 day",
+        partial_aggs=[F.count("*").alias("n_events"),
+                      F.sum(F.col("value").cast("decimal(30,6)"))
+                      .alias("__sv")],
+        tiebreakers=["event_id"],
+    ).select("user_id", "session_start", "session_end", "n_events",
+             F.col("__sv").cast("double").alias("sum_value"))
+    a = sorted(map(tuple, one_pass.collect()))
+    b = sorted(map(tuple, bucketed.collect()))
+    assert a == b
+    # the marathon session (key 3, days 10-13) must have been stitched
+    # back into ONE row despite spanning three bucket boundaries
+    import datetime as dt
+
+    d10 = dt.datetime(2024, 1, 11)
+    marathon = [r for r in b if r[0] == 3 and r[1] >= d10]
+    assert len(marathon) == 1 and marathon[0][3] == 3 * 72
+    # the exact-gap tie (key 4, day 20) merged into ONE session in BOTH
+    # forms (session_window's inclusive merge, defect class #9)
+    d20 = dt.datetime(2024, 1, 21)
+    tie = [r for r in b if r[0] == 4 and r[1] >= d20]
+    assert len(tie) == 1 and tie[0][3] == 2 and tie[0][4] == 11.0
+
+
+def test_sessionize_bucketed_rejects_bucket_lt_gap(spark):
+    import pytest as pt
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [(1, None, 1.0, 1)],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    with pt.raises(ValueError, match="bucket"):
+        agg.sessionize_bucketed(df, "user_id", "ts",
+                                gap="1 day", bucket="1 hour")

@@ -33,7 +33,10 @@ sys.path.insert(
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from e_commerce_data_lakehouse_spark.operators import dedup  # noqa: E402
+from e_commerce_data_lakehouse_spark.operators import (  # noqa: E402
+    aggregates,
+    dedup,
+)
 from e_commerce_data_lakehouse_spark.operators.joins import (  # noqa: E402
     salted_join,
 )
@@ -185,6 +188,21 @@ def main() -> None:
                 ),
             ).filter("rn <= 5"),
             True,  # same structural shape; scan-dominated at this scale
+        ),
+        (
+            "session_bucketed_hot_user",
+            lambda: aggregates.sessionize_bucketed(
+                events,
+                "user_id",
+                "ts",
+                gap="30 minutes",
+                bucket="1 day",
+                partial_aggs=[F.count("*").alias("n")],
+                tiebreakers=["event_id"],
+            ),
+            False,  # the session_window repair: bucket-and-stitch splits
+            # the hot key across day buckets (hash-proven sibling:
+            # user_sessions_bucketed)
         ),
     ]
 
