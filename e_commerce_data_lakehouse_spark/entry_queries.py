@@ -8501,7 +8501,8 @@ SELECT r.o_orderpriority AS priority,
                 WHEN r.o_totalprice > q.p95 THEN q.p95
                 ELSE r.o_totalprice END AS DECIMAL(30,2))) AS DOUBLE)
              / COUNT(*), 6) AS winsorized_avg
-FROM orders r JOIN q ON r.o_orderpriority = q.o_orderpriority
+FROM orders r JOIN q
+  ON r.o_orderpriority IS NOT DISTINCT FROM q.o_orderpriority
 GROUP BY 1, 2, 3, 4
 """,
 )

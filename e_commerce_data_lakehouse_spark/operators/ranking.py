@@ -234,12 +234,15 @@ def exact_values_at(
     it persisted, and every subsequent pass runs in histogram domain —
     one scan of the base data total.
 
-    ``max_groups``: the bounded-``group_cols`` contract, enforced — a
-    cheap distinct-count probe over the (already persisted) histogram
-    raises BEFORE the driver materializes a per-group dict, so a caller
-    outside the registry (where the plan sweep polices cardinality)
-    can't silently build an unbounded driver-side structure.  ``None``
-    disables the guard.
+    ``max_groups``: the bounded-``group_cols`` contract, enforced at
+    zero extra cost — the (partition × group) offsets collect the
+    algorithm needs anyway is LIMIT-capped at ``nparts·max_groups + 1``
+    rows (under the cap the limit can never truncate, since one group
+    occupies at most every partition), and the exact distinct-group
+    check runs driver-side on that bounded result, raising BEFORE any
+    per-group dict materializes.  A caller outside the registry (where
+    the plan sweep polices cardinality) can't silently build an
+    unbounded driver-side structure.  ``None`` disables the guard.
     """
     import numpy as np
 
@@ -280,11 +283,27 @@ def exact_values_at(
         ).sortWithinPartitions(*order_cols)
     )
 
+    # bounded driver metadata, computed ENTIRELY JVM-side: one row per
+    # (partition, group).  spark_partition_id() is evaluated before the
+    # aggregate's shuffle, so it tags the persisted sorted layout — the
+    # same physical partition ids the pick pass's TaskContext sees.
+    sum_df = sdf.groupBy(F.spark_partition_id().alias("__pid"), *keys).agg(
+        F.sum("__cnt").cast("long").alias("__s")
+    )
     if keys and max_groups is not None:
-        # runaway-group guard: limit(max_groups+1).count() stops the scan
-        # as soon as the cap is exceeded — never a full distinct count.
-        n_g = sdf.select(*keys).distinct().limit(max_groups + 1).count()
-        if n_g > max_groups:
+        # runaway-group guard at ZERO extra cost: the offsets collect we
+        # were about to run anyway is capped at nparts·max_groups + 1
+        # rows (one group lives in at most every partition, so under the
+        # cap the LIMIT can never truncate), and the exact distinct-group
+        # check runs driver-side on the bounded result.  No extra job,
+        # no extra scan of the persisted histogram.
+        nparts = sdf.rdd.getNumPartitions()
+        cap_rows = nparts * max_groups + 1
+        sum_rows = sum_df.limit(cap_rows).collect()
+        over = len(sum_rows) >= cap_rows or (
+            len({tuple(r[k] for k in keys) for r in sum_rows}) > max_groups
+        )
+        if over:
             sdf.unpersist()
             raise ValueError(
                 f"exact_values_at: group_cols {keys!r} exceed "
@@ -293,16 +312,8 @@ def exact_values_at(
                 "max_groups only if the driver can hold that many "
                 "(or pre-bucket the keys)"
             )
-
-    # bounded driver metadata, computed ENTIRELY JVM-side: one row per
-    # (partition, group).  spark_partition_id() is evaluated before the
-    # aggregate's shuffle, so it tags the persisted sorted layout — the
-    # same physical partition ids the pick pass's TaskContext sees.
-    sum_rows = (
-        sdf.groupBy(F.spark_partition_id().alias("__pid"), *keys)
-        .agg(F.sum("__cnt").cast("long").alias("__s"))
-        .collect()
-    )
+    else:
+        sum_rows = sum_df.collect()
     totals: dict[tuple, int] = {}
     part_span: list[tuple[int, tuple, int, int]] = []  # pid, g, off, cnt
     for r in sorted(sum_rows, key=lambda r: r["__pid"]):

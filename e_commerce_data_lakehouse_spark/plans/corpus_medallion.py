@@ -186,6 +186,36 @@ def build_catalog(
     return _stage("catalog", catalog, t0)
 
 
+_CORPUS_TABLE_NAMES = (
+    "bronze",
+    "silver_curated",
+    "silver_clean",
+    "contaminated",
+    "gold",
+    "catalog",
+)
+
+
+def _corpus_tables(
+    spark: SparkSession,
+    workdir: str,
+    names: tuple[str, ...] = _CORPUS_TABLE_NAMES,
+) -> dict[str, ManagedTable]:
+    """The ONE table constructor every path (batch, incremental,
+    streaming) shares — gold always carries ``GOLD_PARTITION``, so a
+    layout change can never drift between the batch build and the
+    incremental/streaming maintenance whose convergence oracle assumes
+    bit-identical tables."""
+    return {
+        name: ManagedTable(
+            spark,
+            os.path.join(workdir, name),
+            partition_by=GOLD_PARTITION if name == "gold" else (),
+        )
+        for name in names
+    }
+
+
 def run_incremental(
     spark: SparkSession,
     workdir: str,
@@ -230,21 +260,7 @@ def run_incremental(
 
     Returns (per-batch TaskRun lists, tables).
     """
-    tables = {
-        name: ManagedTable(
-            spark,
-            os.path.join(workdir, name),
-            partition_by=GOLD_PARTITION if name == "gold" else (),
-        )
-        for name in (
-            "bronze",
-            "silver_curated",
-            "silver_clean",
-            "contaminated",
-            "gold",
-            "catalog",
-        )
-    }
+    tables = _corpus_tables(spark, workdir)
     if txn_ids is None:
         txn_ids = [f"batch_{i}" for i in range(len(batches))]
     all_runs: list[list] = []
@@ -453,21 +469,7 @@ def run_streaming(
     :func:`corpus_dag` rebuild and the FULL-REBUILD oracle hash applies
     verbatim.  Returns (per-micro-batch TaskRun lists, tables).
     """
-    tables = {
-        name: ManagedTable(
-            spark,
-            os.path.join(workdir, name),
-            partition_by=GOLD_PARTITION if name == "gold" else (),
-        )
-        for name in (
-            "bronze",
-            "silver_curated",
-            "silver_clean",
-            "contaminated",
-            "gold",
-            "catalog",
-        )
-    }
+    tables = _corpus_tables(spark, workdir)
     all_runs: list[list] = []
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -501,20 +503,12 @@ def corpus_dag(
     linear dependencies, every stage an idempotent overwrite commit)."""
     from e_commerce_data_lakehouse_spark.entry_queries import load
 
-    tables = {
-        name: ManagedTable(
-            spark,
-            os.path.join(workdir, name),
-            partition_by=GOLD_PARTITION if name == "gold" else (),
-        )
-        for name in (
-            "bronze",
-            "silver_curated",
-            "silver_clean",
-            "gold",
-            "catalog",
-        )
-    }
+    tables = _corpus_tables(
+        spark,
+        workdir,
+        names=("bronze", "silver_curated", "silver_clean", "gold",
+               "catalog"),
+    )
     docs = load(spark, sf_dir, "documents")["documents"]
     dag = Dag("corpus_lakehouse", schedule="0 2 * * *")
     dag.add(

@@ -65,6 +65,42 @@ def test_winsorized_priority_prices_null_group(spark, degraded_sf):
     assert r["p05"] <= r["winsorized_avg"] <= r["p95"]
 
 
+@pytest.mark.parametrize(
+    "name", ["winsorized_priority_prices", "order_percentiles_by_status"]
+)
+def test_null_group_queries_match_oracle_on_null_data(
+    name, spark, degraded_sf
+):
+    """The driver's oracle compare never sees NULL groups (the testdata
+    has none), so impl-vs-oracle NULL semantics must be pinned here: the
+    oracle SQL runs on the DEGRADED tables and must produce the same
+    multiset — this is the test that catches an inner join silently
+    dropping the NULL group on one side only (r10 review finding)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{degraded_sf}/{t}.parquet/*.parquet')"
+        )
+    res = con.execute(entry_mod.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    sdf = QUERIES[name](spark, degraded_sf)
+    assert sorted(sdf.columns) == sorted(ocols)
+    order = sorted(range(len(ocols)), key=lambda i: ocols[i])
+    sorder = sorted(range(len(sdf.columns)), key=lambda i: sdf.columns[i])
+    o = sorted(
+        (tuple(r[i] for i in order) for r in orows), key=repr
+    )
+    s = sorted(
+        (tuple(tuple(r)[i] for i in sorder) for r in sdf.collect()),
+        key=repr,
+    )
+    assert s == o
+
+
 def test_dag_corpus_pipeline_incremental_empty_corpus(spark, degraded_sf):
     rows = QUERIES["dag_corpus_pipeline_incremental"](
         spark, degraded_sf

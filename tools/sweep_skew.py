@@ -56,16 +56,31 @@ def _stage_ratios(base: str, app_id: str, seen: set) -> list[dict]:
         sid, att = st["stageId"], st["attemptId"]
         if (sid, att) in seen:
             continue
-        seen.add((sid, att))
         if st.get("numCompleteTasks", 0) < 8:
+            seen.add((sid, att))
             continue
-        try:
-            summ = _rest(
-                base,
-                f"/applications/{app_id}/stages/{sid}/{att}/taskSummary"
-                "?quantiles=0.5,1.0",
+        # the status store fills in async after a job completes, so the
+        # summary fetch is retried in-call (deferring to the next poll
+        # would attribute the stage to the WRONG op); a stage whose
+        # summary never arrives is recorded visibly rather than silently
+        # dropped — a straggler must not be reported ok by omission
+        summ = None
+        for _ in range(3):
+            try:
+                summ = _rest(
+                    base,
+                    f"/applications/{app_id}/stages/{sid}/{att}/taskSummary"
+                    "?quantiles=0.5,1.0",
+                )
+                break
+            except Exception:
+                time.sleep(1.0)
+        seen.add((sid, att))
+        if summ is None:
+            out.append(
+                {"stage": sid, "tasks": st["numCompleteTasks"],
+                 "ratio": None, "summary_error": True}
             )
-        except Exception:
             continue
         med, mx = summ["executorRunTime"]
         if med < 50.0:
