@@ -177,3 +177,64 @@ def test_sessionize_bucketed_rejects_bucket_lt_gap(spark):
     with pt.raises(ValueError, match="bucket"):
         agg.sessionize_bucketed(df, "user_id", "ts",
                                 gap="1 day", bucket="1 hour")
+
+
+def test_agg_equals_window_with_nan_order_values(spark):
+    """Spark orders NaN as GREATER than every double in both window
+    sorts and struct comparison — the two keep-latest forms must pick
+    the same survivor when the order column carries NaNs."""
+    rows = []
+    for i in range(60):
+        ts = float("nan") if i % 7 == 0 else float(i % 13)
+        rows.append((i % 4, ts, i, f"p{i}"))
+    df = spark.createDataFrame(
+        rows, "k long, ts double, uid long, payload string"
+    )
+    import math
+
+    def norm(rows):
+        return sorted(
+            (tuple("NaN" if isinstance(x, float) and math.isnan(x) else x
+                   for x in r) for r in rows),
+            key=repr,
+        )
+
+    a = keep_latest_agg(df, ["k"], "ts", ["uid"])
+    w = keep_latest(df, ["k"], "ts", ["uid"])
+    got_a = norm(map(tuple, a.collect()))
+    got_w = norm(map(tuple, w.collect()))
+    assert got_a == got_w
+    # and the survivor per key is a NaN row (NaN outranks all doubles)
+
+    assert all(r[1] == "NaN" for r in got_a)
+
+
+def test_sessionize_bucketed_equivalence_multi_seed(spark):
+    """The single-seed equivalence test, swept across seeds and
+    (gap, bucket) shapes — including bucket == gap, the tightest legal
+    configuration, where a session can span MANY consecutive buckets."""
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    for seed, gap, bucket in [
+        (101, "30 minutes", "30 minutes"),
+        (202, "30 minutes", "2 hours"),
+        (303, "1 hour", "1 day"),
+    ]:
+        df = spark.createDataFrame(
+            _session_rows(seed, 400),
+            "user_id long, ts timestamp, value double, event_id long",
+        )
+        one = agg.sessionize(
+            df, "user_id", "ts", gap=gap,
+            aggs=[F.count("*").alias("n_events")],
+        )
+        buck = agg.sessionize_bucketed(
+            df, "user_id", "ts", gap=gap, bucket=bucket,
+            partial_aggs=[F.count("*").alias("n_events")],
+            tiebreakers=["event_id"],
+        )
+        a = sorted(map(tuple, one.collect()))
+        b = sorted(map(tuple, buck.collect()))
+        assert a == b, f"seed={seed} gap={gap} bucket={bucket}"
