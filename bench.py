@@ -257,6 +257,17 @@ def main() -> None:
             "end": _host_snapshot(),
         },
     }
+    # flag a contaminated vintage at generation time, not at adjudication:
+    # a 1-min START load average above 2.0 means other work already owned
+    # the host when the run began, so the timings can't adjudicate a
+    # regression (round-close convention: compare only clean-pair
+    # vintages).  END load is recorded for forensics but not thresholded —
+    # the bench's own local[32] run legitimately drives it to ~10.
+    if host_start.get("load1") is not None and host_start["load1"] > 2.0:
+        out["host"]["warning"] = (
+            f"start load1 {host_start['load1']} (>2.0): contaminated "
+            "vintage, timings not adjudicable"
+        )
     full = dict(
         out,
         queries=timings,

@@ -475,6 +475,73 @@ def union_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "union_activity_bucketed",
+    """
+WITH unioned AS (
+  SELECT o_custkey AS actor_id, o_orderkey AS activity_id,
+         'order' AS activity_type, o_orderdate AS activity_ts,
+         o_totalprice AS amount, CAST(NULL AS VARCHAR) AS props
+  FROM orders
+  UNION ALL
+  SELECT user_id, event_id, event_type, ts, value, props FROM events
+)
+SELECT actor_id, activity_id, activity_type, activity_ts, amount, props,
+       CAST(row_number() OVER (
+            PARTITION BY actor_id
+            ORDER BY activity_ts, activity_type, activity_id) AS INT)
+           AS activity_sequence
+FROM unioned
+""",
+)
+def union_activity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-ROBUST sequence-numbering sibling (W2) —
+    ``union_activity``'s oracle VERBATIM, so the hash proves
+    ``aggregates.sequence_number_bucketed`` assigns the identical
+    per-actor sequence.  The plain ``row_number`` window sorts every row
+    of an actor in ONE task (1.24× task skew on the planted 20%-hot key
+    at skew10, growing with data — the last ``expect_skew`` shape
+    without a robust sibling, r10 VERDICT ask #3); here each actor's
+    rows split across 1-day buckets for a local ``row_number``, and
+    per-(actor, bucket) prefix-sum offsets (≤1 row per actor·bucket)
+    are added back — no task ever holds more than one bucket of one
+    actor."""
+    t = load(spark, sf_dir, "orders", "events")
+    orders_act = t["orders"].select(
+        F.col("o_custkey").alias("actor_id"),
+        F.col("o_orderkey").alias("activity_id"),
+        F.lit("order").alias("activity_type"),
+        F.col("o_orderdate").alias("activity_ts"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    events_act = t["events"].select(
+        F.col("user_id").alias("actor_id"),
+        F.col("event_id").alias("activity_id"),
+        F.col("event_type").alias("activity_type"),
+        F.col("ts").alias("activity_ts"),
+        F.col("value").alias("amount"),
+        F.col("props"),
+    )
+    unioned = union_conform([orders_act, events_act])
+    out = agg.sequence_number_bucketed(
+        unioned,
+        "actor_id",
+        "activity_ts",
+        tiebreakers=["activity_type", "activity_id"],
+        out_col="__seq",
+        bucket="1 day",
+    )
+    return out.select(
+        "actor_id",
+        "activity_id",
+        "activity_type",
+        "activity_ts",
+        "amount",
+        "props",
+        F.col("__seq").cast("int").alias("activity_sequence"),
+    )
+
+
+@register(
     "operational_daily",
     f"""
 WITH spine AS (
@@ -1919,23 +1986,17 @@ GROUP BY user_id, session_id
 """,
 )
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization by 30-minute inactivity gap via native
-    ``session_window`` (one shuffle on user_id; the identical expression is
-    streaming-capable with a watermark).  Oracle: gaps-and-islands SQL —
-    lag + cumulative sum — reproducing the same half-open gap semantics."""
-    from e_commerce_data_lakehouse_spark.functions.exact import dsum
-
-    ev = load(spark, sf_dir, "events")["events"]
-    return agg.sessionize(
-        ev,
-        "user_id",
-        "ts",
-        gap="30 minutes",
-        aggs=[
-            F.count("*").alias("n_events"),
-            dsum("value").alias("sum_value"),
-        ],
-    )
+    """Sessionization by 30-minute inactivity gap — the DEFAULT batch
+    path, running the skew-robust bucket-and-stitch plan
+    (``aggregates.sessionize_bucketed``) since r11: ``session_window``
+    concentrates every row of a key into one task (4.9× task skew on the
+    planted 20%-hot key, growing with data — r10 sweep), so the consumed
+    batch path defaults to the robust form and the native
+    ``session_window`` form stays registered as ``user_sessions_window``
+    (it is the streaming-parity form — the same expression runs under a
+    watermark).  All three session queries carry this gaps-and-islands
+    oracle VERBATIM, so the swap is hash-proven semantics-neutral."""
+    return _sessions_bucketed_impl(spark, sf_dir)
 
 
 @register(
@@ -1964,17 +2025,24 @@ GROUP BY user_id, session_id
 """,
 )
 def user_sessions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SKEW-ROBUST sessionization sibling — ``user_sessions``'s
-    oracle VERBATIM, so the hash proves the bucket-and-stitch plan
-    (``aggregates.sessionize_bucketed``) assigns identical sessions.
-    ``session_window`` merges every row of a key in ONE task (the r10
-    skew sweep measures the planted 20%-hot user at 4.8× median task
-    time, growing with data); here the key's rows split across 1-day
-    buckets for the local gaps-and-islands pass, and only each bucket's
-    two edge sessions (≤ 2 rows per key·bucket, independent of row
-    count) enter the cross-boundary stitch.  The decimal sum stays a
-    SUM-combinable partial through the stitch and casts to double only
-    at the end — bit-identical to the one-pass ``dsum``."""
+    """The skew-robust sessionization form under its explicit name —
+    the same gaps-and-islands oracle VERBATIM, so the hash proves the
+    bucket-and-stitch plan (``aggregates.sessionize_bucketed``) assigns
+    identical sessions.  Since r11 this is also what ``user_sessions``
+    (the default consumed batch path) runs — both names share
+    :func:`_sessions_bucketed_impl`.  ``session_window`` merges every
+    row of a key in ONE task (the r10 skew sweep measures the planted
+    20%-hot user at 4.8× median task time, growing with data); here the
+    key's rows split across 1-day buckets for the local
+    gaps-and-islands pass, and only each bucket's two edge sessions
+    (≤ 2 rows per key·bucket, independent of row count) enter the
+    cross-boundary stitch.  The decimal sum stays a SUM-combinable
+    partial through the stitch and casts to double only at the end —
+    bit-identical to the one-pass ``dsum``."""
+    return _sessions_bucketed_impl(spark, sf_dir)
+
+
+def _sessions_bucketed_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")["events"]
     out = agg.sessionize_bucketed(
         ev,
@@ -1994,6 +2062,55 @@ def user_sessions_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         "n_events",
         F.col("__sv").cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "user_sessions_window",
+    """
+WITH marked AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+    SELECT user_id, ts, value, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+""",
+)
+def user_sessions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native ``F.session_window`` sessionization form, kept
+    registered under its own name after ``user_sessions`` switched to
+    the skew-robust default (r11): one shuffle on user_id, Spark's
+    session-merge state logic, and the exact expression that runs under
+    ``readStream`` + watermark (``streaming/pipeline.py``) — so the
+    streaming-parity semantics (incl. the INCLUSIVE merge at an
+    exactly-``gap`` tie, defect class #9) stay hash-pinned against the
+    same verbatim gaps-and-islands oracle as the robust forms."""
+    from e_commerce_data_lakehouse_spark.functions.exact import dsum
+
+    ev = load(spark, sf_dir, "events")["events"]
+    return agg.sessionize(
+        ev,
+        "user_id",
+        "ts",
+        gap="30 minutes",
+        aggs=[
+            F.count("*").alias("n_events"),
+            dsum("value").alias("sum_value"),
+        ],
     )
 
 

@@ -412,7 +412,16 @@ def _parse_wav(payload: bytes):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # fail loudly on truncation (matching _parse_ppm's raster
+            # check) instead of silently decoding fewer samples
+            raise ValueError(
+                f"truncated chunk {cid!r}: declares {size} bytes, "
+                f"{len(body)} available"
+            )
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk too short: {len(body)} < 16")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

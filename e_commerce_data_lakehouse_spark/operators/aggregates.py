@@ -286,6 +286,12 @@ def sessionize_bucketed(
             "at least gap-sized"
         )
     ties = [F.col(t) for t in (tiebreakers or [])]
+    # session_window silently DROPS null-timestamp rows (no session to
+    # assign them to); match that here, or the bucketed form would emit
+    # an extra NULL-start/NULL-end session per key and diverge from
+    # :func:`sessionize` on exactly the NULL-degradation shapes the
+    # equivalence tests pin (r10 ADVICE)
+    df = df.filter(F.col(ts_col).isNotNull())
     # NTZ timestamps go through a cast (the engine pins the session to
     # UTC, so the instant equals the NTZ value and the mapping is
     # monotone — same contract as streaming/pipeline.stream_events)
@@ -355,6 +361,69 @@ def sessionize_bucketed(
             "session_end"
         ),
         *names,
+    )
+
+
+def sequence_number_bucketed(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreakers: list[str],
+    out_col: str = "seq",
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Skew-robust per-key sequence numbering (W2): equals
+    ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, ties…)`` without
+    sorting every row of a key inside one task.
+
+    The plain window concentrates a hot key's entire history into one
+    task (the r10 skew sweep measures ``seq_number_hot_user`` at 1.24×
+    median task time on the planted 20%-hot key, growing with data).
+    Bucketed form:
+
+    1. **local pass** — ``row_number`` windowed by ``(key, time-bucket)``:
+       the hot key spreads across #buckets tasks, each task bounded by
+       the key's per-bucket activity;
+    2. **offset pass** — per-(key, bucket) row counts (≤1 row per
+       key·bucket — bounded by time-range/bucket, independent of row
+       count), prefix-summed per key ordered by bucket;
+    3. **combine** — join the offsets back on ``(key, bucket)`` (both
+       sides already hash-partitioned on those keys; AQE broadcasts the
+       offsets frame when it is small) and add: ``seq = local + offset``.
+
+    Bucketing is a pure function of the LEADING order column, so bucket
+    order respects ``ts`` order and ordering within a bucket by
+    ``(ts, ties…)`` equals the global window order — equivalence is
+    hash-proven (``union_activity_bucketed`` carries ``union_activity``'s
+    oracle verbatim).  Rows with NULL ``ts`` land in a sentinel first
+    bucket, matching the window form's ASC NULLS FIRST placement."""
+    bkt_us = _duration_micros(bucket)
+    ties = [F.col(t) for t in tiebreakers]
+    # sentinel keeps the null-ts bucket joinable (plain equi-join drops
+    # null keys) and first in bucket order (= NULLS FIRST of the window)
+    sentinel = -(1 << 62)
+    base = df.withColumn(
+        "__tm", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).withColumn(
+        "__bkt", F.coalesce(F.expr(f"__tm div {bkt_us}"), F.lit(sentinel))
+    )
+    wl = Window.partitionBy(key_col, "__bkt").orderBy(
+        F.col("__tm").asc_nulls_first(), *ties
+    )
+    local = base.withColumn("__lrn", F.row_number().over(wl))
+    counts = local.groupBy(key_col, "__bkt").agg(F.count("*").alias("__cnt"))
+    wo = (
+        Window.partitionBy(key_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(wo), F.lit(0))
+    ).select(key_col, "__bkt", "__off")
+    return (
+        local.join(offsets, [key_col, "__bkt"], "inner")
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__tm", "__bkt", "__lrn", "__off")
     )
 
 

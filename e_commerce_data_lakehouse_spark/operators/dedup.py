@@ -77,7 +77,13 @@ def keep_latest_agg(
     ties this form breaks them by the max of the remaining row struct
     (still deterministic); the window form keeps an arbitrary-but-stable
     row.  Null ordering matches: a null field compares smallest in
-    struct order, and ``desc()`` windows put nulls last — both lose."""
+    struct order, and ``desc()`` windows put nulls last — both lose.
+
+    Type restriction: every payload column rides inside the ``max(struct)``
+    comparator, so ALL columns must be orderable — a map-typed (or other
+    non-orderable) column raises ``AnalysisException`` here where
+    :func:`keep_latest` works (the window only orders by
+    order_col+tiebreakers).  Use the window form for such schemas."""
     ord_cols = [order_col] + list(tiebreakers or [])
     packed = F.struct(
         *[F.col(c) for c in ord_cols],

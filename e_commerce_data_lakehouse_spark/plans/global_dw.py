@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e_commerce_data_lakehouse_spark.functions.exact import dsum, sum_money
@@ -46,7 +46,18 @@ class GlobalDW:
 
 def _activity_union(orders: DataFrame, events: DataFrame) -> DataFrame:
     """U1: schema-conformed union of the order and event activity streams,
-    with the per-actor activity_sequence window (W2)."""
+    with the per-actor activity_sequence (W2) and the
+    ``activity_date_key`` partition column the fact is physically laid
+    out by (the reference's layout: ``create_global_dw.py:263``
+    partitions the activity fact by ``activity_date_key``).
+
+    The sequence runs the SKEW-ROBUST bucketed form since r11
+    (``aggregates.sequence_number_bucketed``): the plain per-actor
+    ``row_number`` window sorts an actor's whole history in one task —
+    a hot actor at 100 TB is a guaranteed straggler; the bucketed form
+    splits it across 1-day buckets and adds prefix-sum offsets back.
+    Equivalence is hash-proven: ``union_activity_bucketed`` carries the
+    window query's oracle verbatim."""
     orders_act = orders.select(
         F.col("o_custkey").alias("actor_id"),
         F.col("o_orderkey").alias("activity_id"),
@@ -61,11 +72,21 @@ def _activity_union(orders: DataFrame, events: DataFrame) -> DataFrame:
         F.col("ts").alias("activity_ts"),
         F.col("value").alias("amount"),
     )
-    w = Window.partitionBy("actor_id").orderBy(
-        "activity_ts", "activity_type", "activity_id"
-    )
-    return union_conform([orders_act, events_act]).withColumn(
-        "activity_sequence", F.row_number().over(w).cast("int")
+    return (
+        agg.sequence_number_bucketed(
+            union_conform([orders_act, events_act]),
+            "actor_id",
+            "activity_ts",
+            tiebreakers=["activity_type", "activity_id"],
+            out_col="__seq",
+            bucket="1 day",
+        )
+        .withColumn("activity_sequence", F.col("__seq").cast("int"))
+        .drop("__seq")
+        .withColumn(
+            "activity_date_key",
+            F.date_format(F.to_date("activity_ts"), "yyyyMMdd").cast("int"),
+        )
     )
 
 
@@ -84,8 +105,23 @@ def build_global_dw(
     domains: orders/customer/part stand in for the transactions star,
     events for the IoT/social activity streams.
     """
+    # the two facts are physically partitioned by their date keys — the
+    # reference's universal fact layout (``create_global_dw.py:263`` the
+    # activity fact by activity_date_key, ``:345`` the daily fact by
+    # date_key), so date-ranged downstream reads prune at the scan.  The
+    # daily fact is one row per day, so its partition count equals its row
+    # count — trivial physically (the table is tiny by construction at any
+    # scale), kept for layout parity with the reference.
+    fact_partitioning = {
+        "global_fact_customer_activity": ("activity_date_key",),
+        "global_fact_operational_daily": ("activity_date",),
+    }
     t = {
-        name: ManagedTable(spark, f"{base_path}/{name}")
+        name: ManagedTable(
+            spark,
+            f"{base_path}/{name}",
+            partition_by=fact_partitioning.get(name, ()),
+        )
         for name in [
             "global_dim_date",
             "global_dim_customer",

@@ -76,24 +76,32 @@ class ManagedTable:
     """
 
     def __init__(self, spark: SparkSession, path: str,
-                 partition_by: tuple[str, ...] = (), keep_versions: int = 3):
+                 partition_by: tuple[str, ...] = (), keep_versions: int = 3,
+                 backend: str = "parquet"):
+        from e_commerce_data_lakehouse_spark.sources.backends import (
+            make_backend,
+        )
+
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = partition_by
         self.keep_versions = keep_versions
+        # the storage seam (r10 VERDICT ask #5): everything physical —
+        # version listing, snapshot commit, file append, versioned read,
+        # metadata row count — goes through the backend; everything
+        # relational (MERGE variants, delete/update, idempotent append,
+        # compaction policy) stays here on top of it.  backend="delta"
+        # flips to real Delta on a cluster (import-gated in-sandbox);
+        # the contract suite (tests/test_table_backends.py) runs the
+        # same assertions against every available backend.
+        self._backend = make_backend(
+            backend, spark, self.path,
+            partition_by=partition_by, keep_versions=keep_versions,
+        )
 
     # -- version bookkeeping ------------------------------------------------
     def _versions(self) -> list[int]:
-        import glob
-        import re
-
-        out = []
-        for d in glob.glob(f"{self.path}/v=*"):
-            m = re.search(r"v=(\d+)$", d)
-            ok = glob.glob(f"{d}/_SUCCESS")
-            if m and ok:
-                out.append(int(m.group(1)))
-        return sorted(out)
+        return self._backend.versions()
 
     def history(self) -> list[int]:
         """S17: ``DeltaTable.history()`` equivalent — committed versions."""
@@ -103,108 +111,37 @@ class ManagedTable:
         return bool(self._versions())
 
     def _vpath(self, version: int) -> str:
-        return f"{self.path}/v={version}"
+        return self._backend.vpath(version)
 
-    def _footer_schema(self, vpath: str):
-        """Spark schema recovered driver-side from one parquet footer (the
-        ``org.apache.spark.sql.parquet.row.metadata`` key-value Spark writes
-        there — field metadata included).  Passing it to the reader skips
-        the per-read schema-inference job (~0.1 s per ``read()`` call — the
-        tax that made the stored-signature incremental dedup lose to plain
-        recompute warm at sf0.1, VERDICT r3 #1).  Partitioned tables read
-        the ``_schema.json`` sidecar ``_commit`` writes (Delta keeps the
-        schema in its txn log for the same reason): partition columns live
-        in directory names, not file footers, and an all-empty commit has
-        NO files to infer from — the sidecar keeps empty partitioned
-        tables readable and pins the original column order."""
-        import glob
-        import json
-
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.types import StructType
-
-        if self.partition_by:
-            try:
-                with open(f"{vpath}/_schema.json") as fh:
-                    return StructType.fromJson(json.load(fh))
-            except Exception:
-                return None
-        files = glob.glob(f"{vpath}/*.parquet")
-        if not files:
-            return None
-        try:
-            kv = pq.ParquetFile(files[0]).schema_arrow.metadata or {}
-            raw = kv.get(b"org.apache.spark.sql.parquet.row.metadata")
-            if raw is None:
-                return None
-            return StructType.fromJson(json.loads(raw))
-        except Exception:
-            return None
-
-    def read(self, version_as_of: int | None = None) -> DataFrame:
-        """S16 (``spark.read.format("delta").load(path)``); pass
-        ``version_as_of`` for S17 time travel (``versionAsOf``)."""
+    def _resolve_version(self, version_as_of: int | None) -> int:
         vs = self._versions()
         if not vs:
             raise FileNotFoundError(f"no committed versions at {self.path}")
         v = version_as_of if version_as_of is not None else vs[-1]
         if v not in vs:
             raise ValueError(f"version {v} not in {vs}")
-        schema = self._footer_schema(self._vpath(v))
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(self._vpath(v))
+        return v
+
+    def read(self, version_as_of: int | None = None) -> DataFrame:
+        """S16 (``spark.read.format("delta").load(path)``); pass
+        ``version_as_of`` for S17 time travel (``versionAsOf``)."""
+        return self._backend.read(self._resolve_version(version_as_of))
 
     def row_count(self, version_as_of: int | None = None) -> int:
-        """Row count from parquet footer metadata — no Spark job, no data
-        read.  This is what Delta serves from transaction-log stats; at
-        100 TB a monitoring sweep over every table must stay metadata-only
-        (the reference runs a full ``count()`` job per table per catalog
-        rebuild, ``create_global_dw.py:451-540``)."""
-        import glob as _glob
-
-        import pyarrow.parquet as pq
-
-        vs = self._versions()
-        if not vs:
-            raise FileNotFoundError(f"no committed versions at {self.path}")
-        v = version_as_of if version_as_of is not None else vs[-1]
-        total = 0
-        for f in _glob.glob(f"{self._vpath(v)}/**/*.parquet", recursive=True):
-            total += pq.ParquetFile(f).metadata.num_rows
-        return total
+        """Row count from storage metadata — parquet footers on the
+        snapshot backend (no Spark job, no data read), transaction-log
+        stats on Delta; at 100 TB a monitoring sweep over every table
+        must stay metadata-only (the reference runs a full ``count()``
+        job per table per catalog rebuild,
+        ``create_global_dw.py:451-540``)."""
+        return self._backend.row_count(self._resolve_version(version_as_of))
 
     def restore_to_version(self, version: int) -> None:
         """S17: ``restoreToVersion`` — re-commit an old snapshot as newest."""
         self._commit(self.read(version_as_of=version))
 
-    def _writer(self, df: DataFrame, mode: str):
-        w = df.write.mode(mode)
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        return w
-
     def _commit(self, df: DataFrame) -> None:
-        vs = self._versions()
-        nxt = (vs[-1] + 1) if vs else 0
-        self._writer(df, "overwrite").parquet(self._vpath(nxt))
-        if self.partition_by:
-            # schema sidecar (Delta: txn-log schema): partitioned reads
-            # can't rely on footers — an empty commit writes no files
-            import json
-
-            with open(f"{self._vpath(nxt)}/_schema.json", "w") as fh:
-                json.dump(df.schema.jsonValue(), fh)
-        self._prune(keep_from=nxt)
-
-    def _prune(self, keep_from: int) -> None:
-        import shutil
-
-        for v in self._versions():
-            if v <= keep_from - self.keep_versions:
-                shutil.rmtree(self._vpath(v), ignore_errors=True)
+        self._backend.commit(df)
 
     # -- lifecycle ----------------------------------------------------------
     def create(self, df: DataFrame) -> None:
@@ -233,7 +170,7 @@ class ManagedTable:
         if not self.exists():
             self._commit(df)
             return
-        self._writer(df, "append").parquet(self._vpath(self._versions()[-1]))
+        self._backend.append_files(df)
 
     def overwrite(self, df: DataFrame) -> None:
         """S13: overwrite with schema evolution (Delta:

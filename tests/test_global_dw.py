@@ -66,6 +66,47 @@ def test_monthly_summary_matches_query(spark, dw):
     assert _rows(got_n.select(*cols)) == _rows(q.select(*cols))
 
 
+def test_global_facts_partitioned_and_pruned(spark, dw):
+    """r10 VERDICT missing #3 (global side): both global facts are
+    physically laid out by their date keys (the reference's layout,
+    ``create_global_dw.py:263,345``) and a date-keyed read prunes at
+    the scan."""
+    import contextlib
+    import glob
+    import io
+
+    act = dw.tables["global_fact_customer_activity"]
+    vdir = act._vpath(act._versions()[-1])
+    assert glob.glob(f"{vdir}/activity_date_key=*/*.parquet"), (
+        "activity fact not laid out by activity_date_key"
+    )
+    daily = dw.tables["global_fact_operational_daily"]
+    ddir = daily._vpath(daily._versions()[-1])
+    assert glob.glob(f"{ddir}/activity_date=*/*.parquet"), (
+        "daily fact not laid out by activity_date"
+    )
+
+    some_key = act.read().select("activity_date_key").first()[0]
+    df = act.read().filter(F.col("activity_date_key") == some_key)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    pf = buf.getvalue().split("PartitionFilters")[1][:200]
+    assert "activity_date_key" in pf, pf
+    assert df.count() > 0
+
+
+def test_activity_date_key_consistent_with_ts(spark, dw):
+    """The derived partition key equals yyyyMMdd of the activity date —
+    zero rows may disagree."""
+    act = dw.tables["global_fact_customer_activity"].read()
+    bad = act.filter(
+        F.col("activity_date_key")
+        != F.date_format(F.to_date("activity_ts"), "yyyyMMdd").cast("int")
+    )
+    assert bad.count() == 0
+
+
 def test_catalog_reports_all_tables_active(spark, dw):
     rows = {r["table_name"]: r for r in dw.catalog.collect()}
     assert len(rows) == 7

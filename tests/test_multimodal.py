@@ -128,6 +128,40 @@ def test_wav_parser_walks_chunks():
         mm._parse_wav(b"RIFX" + wav[4:])
 
 
+def test_wav_parser_rejects_truncated_chunks():
+    """A truncated data chunk must raise, not silently decode fewer
+    samples (r10 ADVICE — matching _parse_ppm's truncated-raster check);
+    a short fmt body raises ValueError, not struct.error."""
+    import struct
+
+    import numpy as np
+
+    samples = np.array([1, -2, 3, -4], dtype="<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    wav = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+           + b"fmt " + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    # intact decodes
+    rate, dec = mm._parse_wav(wav)
+    assert rate == 8000 and np.array_equal(dec, samples)
+    # chop the last sample byte: declared size now exceeds available
+    with pytest.raises(ValueError, match="truncated"):
+        mm._parse_wav(wav[:-1])
+    # fmt chunk declaring 16 bytes but carrying only 10 (file ends):
+    # ValueError, not struct.error
+    short = (b"RIFF" + struct.pack("<I", 30) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16) + b"\x01\x00" * 5)
+    with pytest.raises(ValueError):
+        mm._parse_wav(short)
+    # fmt chunk whose declared size itself is < 16: ValueError too
+    tiny_fmt = (b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 8) + b"\x01\x00" * 4
+                + b"data" + struct.pack("<I", 2) + b"\x00\x01")
+    with pytest.raises(ValueError, match="fmt"):
+        mm._parse_wav(tiny_fmt)
+
+
 def test_ppm_wav_round_trip_spark(spark):
     """Synthesized payloads decode to the closed-form stats through the
     full Arrow path, and the payloads are REAL files (stdlib wave opens

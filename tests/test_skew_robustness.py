@@ -165,6 +165,40 @@ def test_sessionize_bucketed_equals_session_window(spark):
     assert len(tie) == 1 and tie[0][3] == 2 and tie[0][4] == 11.0
 
 
+def test_sessionize_bucketed_drops_null_ts_like_session_window(spark):
+    """session_window silently DROPS null-timestamp rows; the bucketed
+    form must match (r10 ADVICE: it used to emit a NULL-start/NULL-end
+    session per key instead — a contract break on NULL-degradation
+    shapes invisible on the non-null data vintages)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, base, 1.0, 1),
+        (1, None, 2.0, 2),  # null ts: dropped by session_window
+        (1, base + dt.timedelta(minutes=5), 3.0, 3),
+        (2, None, 4.0, 4),  # key with ONLY null ts: no session at all
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double, event_id long"
+    )
+    one = agg.sessionize(df, "user_id", "ts", gap="30 minutes",
+                         aggs=[F.count("*").alias("n_events")])
+    buck = agg.sessionize_bucketed(
+        df, "user_id", "ts", gap="30 minutes", bucket="1 day",
+        partial_aggs=[F.count("*").alias("n_events")],
+        tiebreakers=["event_id"],
+    )
+    a = sorted(map(tuple, one.collect()))
+    b = sorted(map(tuple, buck.collect()))
+    assert a == b
+    assert len(a) == 1 and a[0][0] == 1 and a[0][3] == 2
+
+
 def test_sessionize_bucketed_rejects_bucket_lt_gap(spark):
     import pytest as pt
 
@@ -207,6 +241,89 @@ def test_agg_equals_window_with_nan_order_values(spark):
     # and the survivor per key is a NaN row (NaN outranks all doubles)
 
     assert all(r[1] == "NaN" for r in got_a)
+
+
+def test_sequence_number_bucketed_equals_window(spark):
+    """W2 robust sibling (r10 VERDICT ask #3): per-(key, bucket) local
+    row_number + prefix-sum offsets must equal the plain per-key
+    ROW_NUMBER window — swept across seeds, with a marathon key spanning
+    many buckets, exact bucket-boundary timestamps, and tie rows."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    for seed in (11, 47):
+        rng = random.Random(seed)
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        for i in range(600):
+            key = 7 if rng.random() < 0.3 else rng.randrange(6)
+            ts = base + dt.timedelta(
+                days=rng.randrange(8), seconds=rng.randrange(86_400)
+            )
+            rows.append((key, ts, i))
+        # exact midnight boundaries + duplicate timestamps (tiebreaker path)
+        mid = dt.datetime(2024, 1, 5)
+        rows += [(3, mid, 9_000), (3, mid, 9_001), (3, mid + dt.timedelta(days=1), 9_002)]
+        df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+        w = Window.partitionBy("k").orderBy("ts", "eid")
+        want = df.withColumn("seq", F.row_number().over(w).cast("long"))
+        got = agg.sequence_number_bucketed(
+            df, "k", "ts", tiebreakers=["eid"], out_col="seq", bucket="1 day"
+        )
+        assert sorted(map(tuple, want.collect())) == sorted(
+            map(tuple, got.collect())
+        ), f"seed={seed}"
+
+
+def test_sequence_number_bucketed_null_ts_first(spark):
+    """NULL order values sort FIRST in both forms (Spark ASC default),
+    via the sentinel bucket in the robust form."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    rows = [
+        (1, dt.datetime(2024, 2, 1), 3),
+        (1, None, 1),
+        (1, None, 2),
+        (1, dt.datetime(2024, 2, 9), 4),
+        (2, None, 5),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+    w = Window.partitionBy("k").orderBy(F.col("ts").asc_nulls_first(), "eid")
+    want = df.withColumn("seq", F.row_number().over(w).cast("long"))
+    got = agg.sequence_number_bucketed(
+        df, "k", "ts", tiebreakers=["eid"], out_col="seq", bucket="1 day"
+    )
+    assert sorted(map(tuple, want.collect()), key=repr) == sorted(
+        map(tuple, got.collect()), key=repr
+    )
+
+
+def test_keep_latest_agg_requires_orderable_columns(spark):
+    """Documented type restriction (r10 ADVICE): keep_latest_agg packs
+    every payload column into the max(struct) comparator, so a
+    map-typed column is rejected at analysis time — while the window
+    form, which only ORDERS by (order_col, ties), handles it fine."""
+    import pytest as pt
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k long, ts long, v string"
+    ).withColumn("attrs", F.create_map(F.lit("src"), F.col("v")))
+    got = keep_latest(df, ["k"], "ts").select("k", "v").collect()
+    assert sorted((r.k, r.v) for r in got) == [(1, "b"), (2, "c")]
+    with pt.raises(AnalysisException):
+        keep_latest_agg(df, ["k"], "ts").collect()
 
 
 def test_sessionize_bucketed_equivalence_multi_seed(spark):
