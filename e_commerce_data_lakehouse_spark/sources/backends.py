@@ -47,11 +47,13 @@ class ParquetSnapshotBackend:
     name = "parquet"
 
     def __init__(self, spark: SparkSession, path: str,
-                 partition_by: tuple[str, ...] = (), keep_versions: int = 3):
+                 partition_by: tuple[str, ...] = (), keep_versions: int = 3,
+                 optimized_write: bool = False):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = partition_by
         self.keep_versions = keep_versions
+        self.optimized_write = optimized_write
 
     # -- version bookkeeping ------------------------------------------------
     def versions(self) -> list[int]:
@@ -129,6 +131,16 @@ class ParquetSnapshotBackend:
 
     # -- writes ---------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
+        if self.optimized_write and self.partition_by:
+            # cluster rows by partition key before the partitioned write
+            # (Delta's autoOptimize.optimizeWrite): each partition key
+            # lives in exactly ONE shuffle partition, so every directory
+            # gets one file per commit instead of one per writing task —
+            # measured at sf0.1: the month-grain fact write drops from
+            # ~2.7k files to #months files.  Opt-in: a LOW-cardinality
+            # partition spec (e.g. the corpus gold's split×lang) would
+            # cap write parallelism at #keys, so the caller chooses.
+            df = df.repartition(*[df[c] for c in self.partition_by])
         w = df.write.mode(mode)
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
@@ -188,7 +200,8 @@ class DeltaBackend:
     name = "delta"
 
     def __init__(self, spark: SparkSession, path: str,
-                 partition_by: tuple[str, ...] = (), keep_versions: int = 3):
+                 partition_by: tuple[str, ...] = (), keep_versions: int = 3,
+                 optimized_write: bool = False):
         try:
             from delta.tables import DeltaTable  # noqa: F401
         except ImportError as e:
@@ -201,6 +214,7 @@ class DeltaBackend:
         self.path = path.rstrip("/")
         self.partition_by = partition_by
         self.keep_versions = keep_versions
+        self.optimized_write = optimized_write
 
     def _delta_table(self):
         from delta.tables import DeltaTable
@@ -233,6 +247,10 @@ class DeltaBackend:
         return self.read(version).count()
 
     def _writer(self, df: DataFrame, mode: str):
+        if self.optimized_write and self.partition_by:
+            # Delta clusters natively via delta.autoOptimize.optimizeWrite;
+            # the explicit repartition is the portable equivalent
+            df = df.repartition(*[df[c] for c in self.partition_by])
         w = df.write.format("delta").mode(mode)
         if mode == "overwrite":
             w = w.option("overwriteSchema", "true")
@@ -254,7 +272,8 @@ _BACKENDS = {
 
 
 def make_backend(kind: str, spark: SparkSession, path: str,
-                 partition_by: tuple[str, ...] = (), keep_versions: int = 3):
+                 partition_by: tuple[str, ...] = (), keep_versions: int = 3,
+                 optimized_write: bool = False):
     try:
         cls = _BACKENDS[kind]
     except KeyError:
@@ -262,4 +281,4 @@ def make_backend(kind: str, spark: SparkSession, path: str,
             f"unknown backend {kind!r}; available: {sorted(_BACKENDS)}"
         ) from None
     return cls(spark, path, partition_by=partition_by,
-               keep_versions=keep_versions)
+               keep_versions=keep_versions, optimized_write=optimized_write)

@@ -77,7 +77,7 @@ class ManagedTable:
 
     def __init__(self, spark: SparkSession, path: str,
                  partition_by: tuple[str, ...] = (), keep_versions: int = 3,
-                 backend: str = "parquet"):
+                 backend: str = "parquet", optimized_write: bool = False):
         from e_commerce_data_lakehouse_spark.sources.backends import (
             make_backend,
         )
@@ -97,6 +97,7 @@ class ManagedTable:
         self._backend = make_backend(
             backend, spark, self.path,
             partition_by=partition_by, keep_versions=keep_versions,
+            optimized_write=optimized_write,
         )
 
     # -- version bookkeeping ------------------------------------------------

@@ -214,12 +214,14 @@ def test_e2e_orders_pipeline_composition(spark, tmp_path):
 
 def test_fact_orders_partitioned_and_pruned(spark, tmp_path):
     """r10 VERDICT missing #3: fact_orders is PHYSICALLY laid out by its
-    date key (the reference's universal fact layout,
-    ``csv_to_deltalake_table.py:520``, ``create_global_dw.py:263,345``),
-    a date-filtered read prunes at the scan (PartitionFilters), and the
-    incremental rollup's touched-keys semi join prunes dynamically
-    (DPP) instead of scanning the whole fact — its docstring's promise,
-    now physical."""
+    date hierarchy (the reference's universal fact layout,
+    ``csv_to_deltalake_table.py:520``, ``create_global_dw.py:263,345``)
+    at the volume-aware month grain, a date-keyed read prunes at the
+    scan (PartitionFilters), the optimized write clusters each month
+    into ONE file per commit, and the incremental rollup's touched-days
+    predicate prunes statically — its docstring's promise, now
+    physical."""
+    import collections
     import contextlib
     import glob
     import io
@@ -227,37 +229,38 @@ def test_fact_orders_partitioned_and_pruned(spark, tmp_path):
     _results, tables = m.e2e_orders_pipeline(spark, SF, str(tmp_path))
     fact = tables["fact_orders"]
     vdir = fact._vpath(fact._versions()[-1])
-    # hive layout on disk: date_key=* directories hold the files
-    part_files = glob.glob(f"{vdir}/date_key=*/*.parquet")
-    assert part_files, "fact files not under date_key= directories"
+    # hive layout on disk: year=/month= directories hold the files
+    part_files = glob.glob(f"{vdir}/year=*/month=*/*.parquet")
+    assert part_files, "fact files not under year=/month= directories"
+    # optimized write: one file per month directory per commit
+    per_dir = collections.Counter(f.rsplit("/", 1)[0] for f in part_files)
+    assert max(per_dir.values()) == 1, per_dir.most_common(3)
 
-    # static pruning: a literal date-key filter reaches PartitionFilters
+    # static pruning: the touched-days predicate the incremental rollup
+    # pushes (year*100+month IN ...) reaches PartitionFilters, and the
+    # day-key IN list prunes row groups inside the touched months
     some_key = fact.read().select("date_key").first()[0]
-    df = fact.read().filter(F.col("date_key") == some_key)
+    pred = (
+        F.col("date_key").isin([some_key])
+        & m.date_key_partition_predicate([some_key])
+    )
+    df = fact.read().filter(pred)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    pf = buf.getvalue().split("PartitionFilters")[1][:200]
-    assert "date_key" in pf, pf
+    pf = buf.getvalue().split("PartitionFilters")[1][:300]
+    assert "year" in pf and "month" in pf, pf
     n = df.count()
     assert n > 0
     assert n == fact.read().filter(f"date_key = {some_key}").count()
 
-    # incremental rollup: the touched-days literal filter reaches
-    # PartitionFilters (static pruning — the operator collects the
-    # batch's bounded distinct-day set and pushes it as IN literals;
-    # probed r11: Spark plans NO dynamic pruning for a bare
-    # distinct-projection build side, so the semi-join form would
-    # rescan the whole fact)
+    # the incremental rollup itself (which pushes that predicate when
+    # the grain columns are present — probed r11: Spark plans NO dynamic
+    # pruning for a bare distinct-projection build side, so the literal
+    # push is the only plan that avoids rescanning the whole fact)
     batch = fact.read().filter(F.col("date_key") == some_key)
     agg_t = ManagedTable(spark, str(tmp_path / "agg_incr"))
     m.gold_daily_rollup_incremental(
         batch, fact, agg_t, "date_key", "o_totalprice", "o_orderkey"
     )
     assert agg_t.read().count() == 1
-    pruned = fact.read().filter(F.col("date_key").isin([some_key]))
-    buf2 = io.StringIO()
-    with contextlib.redirect_stdout(buf2):
-        pruned.groupBy("date_key").count().explain("formatted")
-    pf2 = buf2.getvalue().split("PartitionFilters")[1][:250]
-    assert "date_key" in pf2 and "IN" in pf2.upper(), pf2
