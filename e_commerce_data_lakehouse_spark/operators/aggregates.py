@@ -396,7 +396,9 @@ def sequence_number_bucketed(
     ``(ts, ties…)`` equals the global window order — equivalence is
     hash-proven (``union_activity_bucketed`` carries ``union_activity``'s
     oracle verbatim).  Rows with NULL ``ts`` land in a sentinel first
-    bucket, matching the window form's ASC NULLS FIRST placement."""
+    bucket, matching the window form's ASC NULLS FIRST placement; rows
+    with a NULL key survive too (null-safe offsets join) — one NULL-key
+    partition, exactly like the window form."""
     bkt_us = _duration_micros(bucket)
     ties = [F.col(t) for t in tiebreakers]
     # sentinel keeps the null-ts bucket joinable (plain equi-join drops
@@ -419,11 +421,22 @@ def sequence_number_bucketed(
     )
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__cnt").over(wo), F.lit(0))
-    ).select(key_col, "__bkt", "__off")
+    ).select(
+        F.col(key_col).alias("__ok"), F.col("__bkt").alias("__ob"), "__off"
+    )
+    # NULL-safe on the key: the window form (and the SQL oracles) treat
+    # NULL keys as their own partition, so a plain equi-join here would
+    # silently drop them (r11 review — the same defect class as the r9
+    # eqNullSafe broadcast-join finding); __bkt is never NULL (sentinel)
     return (
-        local.join(offsets, [key_col, "__bkt"], "inner")
+        local.join(
+            offsets,
+            F.col(key_col).eqNullSafe(F.col("__ok"))
+            & (F.col("__bkt") == F.col("__ob")),
+            "inner",
+        )
         .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("long"))
-        .drop("__tm", "__bkt", "__lrn", "__off")
+        .drop("__tm", "__bkt", "__lrn", "__off", "__ok", "__ob")
     )
 
 

@@ -32,7 +32,10 @@ from e_commerce_data_lakehouse_spark.functions.exact import dsum, sum_money
 from e_commerce_data_lakehouse_spark.operators import aggregates as agg
 from e_commerce_data_lakehouse_spark.operators import joins as jn
 from e_commerce_data_lakehouse_spark.operators.union import union_conform
-from e_commerce_data_lakehouse_spark.plans.medallion import build_catalog_table
+from e_commerce_data_lakehouse_spark.plans.medallion import (
+    build_catalog_table,
+    with_date_key_parts,
+)
 from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
 
 
@@ -95,13 +98,10 @@ def _activity_union(orders: DataFrame, events: DataFrame) -> DataFrame:
             "activity_date_key",
             F.date_format(F.to_date("activity_ts"), "yyyyMMdd").cast("int"),
         )
-        .withColumn(
-            "activity_year",
-            F.expr("activity_date_key div 10000").cast("int"),
-        )
-        .withColumn(
-            "activity_month",
-            F.expr("activity_date_key div 100 % 100").cast("int"),
+        .transform(
+            lambda d: with_date_key_parts(
+                d, "activity_date_key", prefix="activity_"
+            )
         )
     )
 

@@ -115,6 +115,8 @@ def bronze_to_silver(
     hash-proven (``dedup_latest_events_agg`` carries the window oracle
     verbatim); pass ``dedup="window"`` for schemas with non-orderable
     (map-typed) payload columns, which ``max(struct)`` rejects."""
+    if dedup not in ("agg", "window"):
+        raise ValueError(f"dedup must be 'agg' or 'window', got {dedup!r}")
     t0 = time.monotonic()
     src = bronze.read()
     if silver.exists():
@@ -134,21 +136,32 @@ def bronze_to_silver(
     return _timed("bronze_to_silver", out.count(), t0, [retention])
 
 
-def with_date_key_parts(df: DataFrame, date_key_name: str = "date_key") -> DataFrame:
-    """Derive the (year, month) partition columns from a yyyymmdd date
-    key (the ``-1`` sentinel lands in year=0/month=0 — its own pruned
-    partition).  Facts are laid out at MONTH grain: partition grain must
-    match data-per-partition, and day grain (the reference's
-    ``create_global_dw.py:263,345`` literal) measured 14,428 files /
-    2,405 directories and a 51 s fact write at sf0.1 (62 rows/day) —
-    over-partitioning that hurts at every tested scale.  Month grain
-    keeps any date-keyed read prunable (predicates over year/month are
-    partition filters); at 100 TB-per-year volumes extend
-    ``FACT_PARTITION_GRAIN`` to day — same code path, one tuple."""
-    return df.withColumn(
-        "year", F.expr(f"{date_key_name} div 10000").cast("int")
-    ).withColumn(
-        "month", F.expr(f"{date_key_name} div 100 % 100").cast("int")
+def with_date_key_parts(
+    df: DataFrame, date_key_name: str = "date_key", prefix: str = ""
+) -> DataFrame:
+    """Derive the (year, month, day) hierarchy columns from a yyyymmdd
+    date key (the ``-1`` sentinel lands in year=0/month=0/day=-1 —
+    Spark's div/% truncate toward zero — its own pruned partition).
+    All three columns always exist so ``FACT_PARTITION_GRAIN`` really is
+    a one-tuple flip (day grain at 100 TB-per-year volumes); facts
+    default to MONTH grain because grain must match data-per-partition:
+    the reference's literal day grain
+    (``create_global_dw.py:263,345``) measured 14,428 files / 2,405
+    directories and a 51 s fact write at sf0.1 (62 rows/day) —
+    over-partitioning that hurts at every tested scale, vs 26 files /
+    2.5 s at month grain.  ``prefix`` names the derived columns (the
+    global-DW activity fact uses ``activity_``)."""
+    return (
+        df.withColumn(
+            f"{prefix}year", F.expr(f"{date_key_name} div 10000").cast("int")
+        )
+        .withColumn(
+            f"{prefix}month",
+            F.expr(f"{date_key_name} div 100 % 100").cast("int"),
+        )
+        .withColumn(
+            f"{prefix}day", F.expr(f"{date_key_name} % 100").cast("int")
+        )
     )
 
 
@@ -157,12 +170,47 @@ def with_date_key_parts(df: DataFrame, date_key_name: str = "date_key") -> DataF
 FACT_PARTITION_GRAIN: tuple[str, ...] = ("year", "month")
 
 
-def date_key_partition_predicate(keys: list[int]):
+def _trunc_div(a: int, b: int) -> int:
+    """Truncate-toward-zero division — Spark's integer ``div`` (Python's
+    ``//`` floors: ``-1 // 10000 == -1`` where Spark says 0, which made
+    the -1 sentinel's predicate miss its own partition — r11 review)."""
+    return -(-a // b) if (a < 0) != (b < 0) else a // b
+
+
+def _trunc_mod(a: int, b: int) -> int:
+    """Remainder with the dividend's sign — Spark's ``%``."""
+    return a - _trunc_div(a, b) * b
+
+
+def date_key_partition_predicate(
+    keys: list[int], grain: tuple[str, ...] = FACT_PARTITION_GRAIN
+):
     """Partition predicate covering a set of yyyymmdd date keys at the
-    fact's (year, month) grain — arithmetic over partition columns IS a
-    PartitionFilter, so a touched-days read lists only touched months."""
-    ym = sorted({(k // 10000) * 100 + (k // 100) % 100 for k in keys})
-    return (F.col("year") * 100 + F.col("month")).isin(ym)
+    fact's grain — arithmetic over partition columns IS a
+    PartitionFilter, so a touched-days read lists only touched months
+    (and, at day grain, only touched days).  The Python arithmetic
+    mirrors Spark's truncate-toward-zero div/% exactly so the ``-1``
+    sentinel (year=0/month=0/day=-1) prunes to its own partition instead
+    of silently matching nothing; NULL keys are excluded here AND by the
+    caller's day-key IN list (neither an isin nor an equi semi join
+    matches NULL — the pre-r11 semi-join behavior, unchanged)."""
+    ks = [k for k in keys if k is not None]
+    ym = sorted(
+        {_trunc_div(k, 10000) * 100 + _trunc_mod(_trunc_div(k, 100), 100)
+         for k in ks}
+    )
+    pred = (F.col("year") * 100 + F.col("month")).isin(ym)
+    if "day" in grain:
+        ymd = sorted(
+            {_trunc_div(k, 10000) * 10000
+             + _trunc_mod(_trunc_div(k, 100), 100) * 100
+             + _trunc_mod(k, 100)
+             for k in ks}
+        )
+        pred = pred & (
+            F.col("year") * 10000 + F.col("month") * 100 + F.col("day")
+        ).isin(ymd)
+    return pred
 
 
 def silver_to_gold_star(

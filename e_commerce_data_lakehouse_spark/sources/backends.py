@@ -114,7 +114,16 @@ class ParquetSnapshotBackend:
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(self.vpath(version))
+        df = reader.parquet(self.vpath(version))
+        if schema is not None and self.partition_by:
+            # Spark appends discovered partition columns AFTER the data
+            # columns even under an explicit schema, so a partition
+            # column that wasn't last in the committed schema would move
+            # (caught by the backend contract suite's ordered-columns
+            # assert, r11); re-project to the sidecar's pinned order —
+            # a zero-cost projection, pruning unaffected
+            df = df.select(*schema.fieldNames())
+        return df
 
     def row_count(self, version: int) -> int:
         """Row count from parquet footer metadata — no Spark job, no data

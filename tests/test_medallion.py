@@ -212,6 +212,76 @@ def test_e2e_orders_pipeline_composition(spark, tmp_path):
     assert results2[1].rows_written == 0 and results2[2].rows_written == 0
 
 
+def test_date_key_parts_and_predicate_sentinel_and_day_grain(spark):
+    """r11 review pins: (1) the -1 sentinel's partition predicate must
+    match the partition with_date_key_parts actually writes it to —
+    Python // floors (-1//10000 == -1) where Spark div truncates
+    (-1 div 10000 == 0), so the predicate uses truncate-toward-zero
+    arithmetic; (2) the documented day-grain flip really works: all
+    three hierarchy columns exist and the day-grain predicate prunes
+    per day."""
+    df = spark.createDataFrame(
+        [(19980321,), (19980322,), (-1,), (None,)], "date_key int"
+    )
+    parts = m.with_date_key_parts(df, "date_key")
+    assert {"year", "month", "day"} <= set(parts.columns)
+    got = {r.date_key: (r.year, r.month, r.day) for r in parts.collect()}
+    assert got[19980321] == (1998, 3, 21)
+    assert got[-1] == (0, 0, -1)  # Spark truncating div/%
+    assert got[None] == (None, None, None)
+
+    # month-grain predicate keeps the sentinel row (the r11 review bug:
+    # floor division computed ym=-1 and silently excluded it); it keeps
+    # the whole touched MONTH by design — the caller's day-key IN list
+    # does the day-level filtering inside it
+    kept = parts.filter(
+        m.date_key_partition_predicate([-1, 19980321])
+    ).collect()
+    assert sorted(r.date_key for r in kept) == [-1, 19980321, 19980322]
+    exact = parts.filter(
+        m.date_key_partition_predicate([-1, 19980321])
+        & F.col("date_key").isin([-1, 19980321])
+    ).collect()
+    assert sorted(r.date_key for r in exact) == [-1, 19980321]
+
+    # day-grain predicate prunes to exactly the named days
+    kept_day = parts.filter(
+        m.date_key_partition_predicate(
+            [19980321, -1], grain=("year", "month", "day")
+        )
+    ).collect()
+    assert sorted(r.date_key for r in kept_day) == [-1, 19980321]
+
+    # None keys are excluded (consistent with the day-key IN list and
+    # the pre-r11 semi join — neither matches NULL), not a crash; the
+    # surviving month predicate still covers the whole touched month
+    kept_none = parts.filter(
+        m.date_key_partition_predicate([None, 19980322])
+    ).collect()
+    assert sorted(r.date_key for r in kept_none) == [19980321, 19980322]
+
+    # the one-tuple day-grain flip: a day-partitioned write round-trips
+    import tempfile
+
+    t = ManagedTable(
+        spark, tempfile.mkdtemp(prefix="daygrain_"),
+        partition_by=("year", "month", "day"), optimized_write=True,
+    )
+    t.create(parts.filter(F.col("date_key").isNotNull()))
+    assert t.read().count() == 3
+
+
+def test_bronze_to_silver_rejects_unknown_dedup(spark, tmp_path):
+    import pytest as pt
+
+    with pt.raises(ValueError, match="dedup"):
+        m.bronze_to_silver(
+            ManagedTable(spark, str(tmp_path / "b")),
+            ManagedTable(spark, str(tmp_path / "s")),
+            key=["k"], ts_col="ts", dedup="AGG",
+        )
+
+
 def test_fact_orders_partitioned_and_pruned(spark, tmp_path):
     """r10 VERDICT missing #3: fact_orders is PHYSICALLY laid out by its
     date hierarchy (the reference's universal fact layout,

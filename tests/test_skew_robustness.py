@@ -282,7 +282,9 @@ def test_sequence_number_bucketed_equals_window(spark):
 
 def test_sequence_number_bucketed_null_ts_first(spark):
     """NULL order values sort FIRST in both forms (Spark ASC default),
-    via the sentinel bucket in the robust form."""
+    via the sentinel bucket in the robust form; NULL KEYS survive as
+    their own partition exactly like the window form (r11 review: the
+    plain offsets equi-join silently dropped them — eqNullSafe now)."""
     import datetime as dt
 
     from pyspark.sql import Window
@@ -296,6 +298,9 @@ def test_sequence_number_bucketed_null_ts_first(spark):
         (1, None, 2),
         (1, dt.datetime(2024, 2, 9), 4),
         (2, None, 5),
+        (None, dt.datetime(2024, 2, 2), 6),  # NULL key: its own partition
+        (None, dt.datetime(2024, 2, 3), 7),
+        (None, None, 8),  # NULL key AND NULL ts
     ]
     df = spark.createDataFrame(rows, "k long, ts timestamp, eid long")
     w = Window.partitionBy("k").orderBy(F.col("ts").asc_nulls_first(), "eid")

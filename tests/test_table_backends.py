@@ -129,12 +129,14 @@ def test_partitioned_write_and_empty_commit(make_table, spark):
     t = make_table(partition_by=("v",))
     t.create(_df(spark, [(1, "a", 10), (2, "b", 20)]))
     assert sorted(r.k for r in t.read().collect()) == [1, 2]
-    # column order survives the partition layout (sidecar / txn-log schema)
-    assert set(t.read().columns) == {"k", "v", "ts"}
+    # column ORDER survives the partition layout (sidecar / txn-log
+    # schema — a naive partitioned read appends partition cols at the
+    # end, which is exactly what the sidecar exists to prevent)
+    assert t.read().columns == ["k", "v", "ts"]
     # an ALL-EMPTY commit must stay readable with the original schema
     t.overwrite(_df(spark, []).filter("1=0"))
     assert t.read().count() == 0
-    assert set(t.read().columns) == {"k", "v", "ts"}
+    assert t.read().columns == ["k", "v", "ts"]
 
 
 def test_compact_preserves_rows(make_table, spark):

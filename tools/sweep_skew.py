@@ -306,7 +306,13 @@ def main() -> None:
         unknown = any(s.get("summary_error") for s in stages)
         measured = [s["ratio"] for s in stages if s["ratio"] is not None]
         worst = max(measured) if measured else None
-        ok = (worst is None or worst <= args.bar or expect_skew) and not unknown
+        # a MEASURED above-bar stage labels the row 'skewed' even when
+        # another stage's summary is missing — the measured straggler
+        # must not hide behind 'unknown' (r11 review)
+        skewed = (
+            worst is not None and worst > args.bar and not expect_skew
+        )
+        ok = not skewed and not unknown
         if not ok:
             failed.append(name)
         row = {
@@ -316,7 +322,7 @@ def main() -> None:
             "worst_task_ratio": worst,
             "bar": args.bar,
             "expect_skew": expect_skew,
-            "status": "ok" if ok else ("unknown" if unknown else "skewed"),
+            "status": "ok" if ok else ("skewed" if skewed else "unknown"),
             "stages": stages,
         }
         rows.append(row)
