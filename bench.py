@@ -38,6 +38,7 @@ HEADLINE = [
     "hourly_device_health",
     "customer_360",
     "union_activity",
+    "union_activity_bucketed",
     "operational_daily",
     "dim_date",
     "dedup_exact",
@@ -52,6 +53,7 @@ HEADLINE = [
     "streaming_hourly_counts",
     "asof_purchase_view",
     "user_sessions",
+    "user_sessions_window",
     "langid_predictions",
     "global_dw_catalog",
     "training_corpus_build",
