@@ -406,7 +406,7 @@ def orders_dag(
         # measured 14,428 files / 51 s at sf0.1).  The incremental rollup's
         # touched-keys read then prunes at the scan instead of reading the
         # whole fact (r10 VERDICT missing #3); optimized_write clusters each
-        # commit so every partition directory gets one file per commit.
+        # commit to a bounded file count per partition directory.
         "fact_orders": ManagedTable(
             spark,
             f"{workdir}/fact_orders",

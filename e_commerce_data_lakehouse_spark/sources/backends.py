@@ -138,18 +138,43 @@ class ParquetSnapshotBackend:
             total += pq.ParquetFile(f).metadata.num_rows
         return total
 
+    # file-split fan-out for clustered writes: a HEAVY partition key (one
+    # month holding most of the data) writes through up to this many
+    # tasks/files instead of serializing through one — Delta's
+    # optimizeWrite solves the same problem with size-based bin packing.
+    # Measured: pure 1-file clustering funneled the sf10 activity fact's
+    # events months (10M rows in ~4 month keys) through 4 writer tasks.
+    OPTIMIZED_WRITE_MAX_FILES = 4
+
     # -- writes ---------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
         if self.optimized_write and self.partition_by:
             # cluster rows by partition key before the partitioned write
             # (Delta's autoOptimize.optimizeWrite): each partition key
-            # lives in exactly ONE shuffle partition, so every directory
-            # gets one file per commit instead of one per writing task —
-            # measured at sf0.1: the month-grain fact write drops from
-            # ~2.7k files to #months files.  Opt-in: a LOW-cardinality
-            # partition spec (e.g. the corpus gold's split×lang) would
-            # cap write parallelism at #keys, so the caller chooses.
-            df = df.repartition(*[df[c] for c in self.partition_by])
+            # lives in at most OPTIMIZED_WRITE_MAX_FILES shuffle
+            # partitions, so every directory gets a bounded file count
+            # per commit instead of one file per writing task — measured
+            # at sf0.1: the month-grain fact write drops from ~2.7k
+            # files to ≤4×#months.  The deterministic row-hash salt
+            # (xxhash64 over the data columns — stable under task
+            # retries, unlike rand()) keeps a heavy key's write parallel.
+            # Opt-in: a LOW-cardinality partition spec (e.g. the corpus
+            # gold's split×lang) caps parallelism at #keys×salt, so the
+            # caller chooses.
+            from pyspark.sql import functions as F
+            from pyspark.sql.types import MapType
+
+            hashable = [
+                f.name
+                for f in df.schema.fields
+                if f.name not in self.partition_by
+                and not isinstance(f.dataType, MapType)  # xxhash64 can't
+            ] or list(self.partition_by)
+            salt = F.pmod(
+                F.xxhash64(*[df[c] for c in hashable]),
+                F.lit(self.OPTIMIZED_WRITE_MAX_FILES),
+            )
+            df = df.repartition(*[df[c] for c in self.partition_by], salt)
         w = df.write.mode(mode)
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
@@ -256,11 +281,12 @@ class DeltaBackend:
         return self.read(version).count()
 
     def _writer(self, df: DataFrame, mode: str):
-        if self.optimized_write and self.partition_by:
-            # Delta clusters natively via delta.autoOptimize.optimizeWrite;
-            # the explicit repartition is the portable equivalent
-            df = df.repartition(*[df[c] for c in self.partition_by])
+        # Delta clusters natively: optimizeWrite's size-based bin packing
+        # is the real implementation of what the parquet backend's
+        # salted repartition approximates, so just request it
         w = df.write.format("delta").mode(mode)
+        if self.optimized_write:
+            w = w.option("optimizeWrite", "true")
         if mode == "overwrite":
             w = w.option("overwriteSchema", "true")
         if self.partition_by:

@@ -302,9 +302,16 @@ def test_fact_orders_partitioned_and_pruned(spark, tmp_path):
     # hive layout on disk: year=/month= directories hold the files
     part_files = glob.glob(f"{vdir}/year=*/month=*/*.parquet")
     assert part_files, "fact files not under year=/month= directories"
-    # optimized write: one file per month directory per commit
+    # optimized write: bounded files per month directory per commit
+    # (≤ the salt fan-out that keeps a HEAVY month's write parallel —
+    # pure 1-file clustering funneled 10M-row months through one task)
+    from e_commerce_data_lakehouse_spark.sources.backends import (
+        ParquetSnapshotBackend,
+    )
+
+    cap = ParquetSnapshotBackend.OPTIMIZED_WRITE_MAX_FILES
     per_dir = collections.Counter(f.rsplit("/", 1)[0] for f in part_files)
-    assert max(per_dir.values()) == 1, per_dir.most_common(3)
+    assert max(per_dir.values()) <= cap, per_dir.most_common(3)
 
     # static pruning: the touched-days predicate the incremental rollup
     # pushes (year*100+month IN ...) reaches PartitionFilters, and the
