@@ -542,6 +542,79 @@ def union_activity_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "union_activity_hybrid",
+    """
+WITH unioned AS (
+  SELECT o_custkey AS actor_id, o_orderkey AS activity_id,
+         'order' AS activity_type, o_orderdate AS activity_ts,
+         o_totalprice AS amount, CAST(NULL AS VARCHAR) AS props
+  FROM orders
+  UNION ALL
+  SELECT user_id, event_id, event_type, ts, value, props FROM events
+)
+SELECT actor_id, activity_id, activity_type, activity_ts, amount, props,
+       CAST(row_number() OVER (
+            PARTITION BY actor_id
+            ORDER BY activity_ts, activity_type, activity_id) AS INT)
+           AS activity_sequence
+FROM unioned
+""",
+)
+def union_activity_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HEAT-ROUTED sequence-numbering form (W2, r11 VERDICT #1) —
+    ``union_activity``'s oracle VERBATIM, so the hash proves
+    ``aggregates.sequence_number_hybrid`` assigns the identical
+    per-actor sequence with a MIXED routing: the thresholds here are
+    tuned so some actors exceed them (bucketed path) and the rest take
+    the plain window, exercising the split + union, not just one branch.
+    This is what ``plans/global_dw._activity_union`` runs (with
+    production thresholds): r11's unconditional bucketed form priced
+    uniform data at 3.3× the window plan — the router pays one
+    column-pruned counts pass and buckets only the keys that would
+    actually straggle."""
+    t = load(spark, sf_dir, "orders", "events")
+    orders_act = t["orders"].select(
+        F.col("o_custkey").alias("actor_id"),
+        F.col("o_orderkey").alias("activity_id"),
+        F.lit("order").alias("activity_type"),
+        F.col("o_orderdate").alias("activity_ts"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    events_act = t["events"].select(
+        F.col("user_id").alias("actor_id"),
+        F.col("event_id").alias("activity_id"),
+        F.col("event_type").alias("activity_type"),
+        F.col("ts").alias("activity_ts"),
+        F.col("value").alias("amount"),
+        F.col("props"),
+    )
+    unioned = union_conform([orders_act, events_act])
+    out = agg.sequence_number_hybrid(
+        unioned,
+        "actor_id",
+        "activity_ts",
+        tiebreakers=["activity_type", "activity_id"],
+        out_col="__seq",
+        bucket="1 day",
+        # force a mixed split at oracle scale: actors above 2x the mean
+        # activity count go bucketed, the rest window (the straggler
+        # term is disabled so the threshold is purely relative)
+        hot_multiple=2.0,
+        straggler_task_multiple=0.0,
+        max_hot_keys=100_000,
+    )
+    return out.select(
+        "actor_id",
+        "activity_id",
+        "activity_type",
+        "activity_ts",
+        "amount",
+        "props",
+        F.col("__seq").cast("int").alias("activity_sequence"),
+    )
+
+
+@register(
     "operational_daily",
     f"""
 WITH spine AS (

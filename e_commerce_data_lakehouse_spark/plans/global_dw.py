@@ -54,13 +54,16 @@ def _activity_union(orders: DataFrame, events: DataFrame) -> DataFrame:
     out by (the reference's layout: ``create_global_dw.py:263``
     partitions the activity fact by ``activity_date_key``).
 
-    The sequence runs the SKEW-ROBUST bucketed form since r11
-    (``aggregates.sequence_number_bucketed``): the plain per-actor
-    ``row_number`` window sorts an actor's whole history in one task —
-    a hot actor at 100 TB is a guaranteed straggler; the bucketed form
-    splits it across 1-day buckets and adds prefix-sum offsets back.
-    Equivalence is hash-proven: ``union_activity_bucketed`` carries the
-    window query's oracle verbatim.
+    The sequence runs the HEAT-ROUTED hybrid since r12
+    (``aggregates.sequence_number_hybrid``): hot actors take the bucketed
+    form (one task would otherwise sort a hot actor's whole history — a
+    guaranteed straggler at 100 TB), everyone else the plain window.
+    r11 ran the bucketed form UNCONDITIONALLY, which priced uniform data
+    at 3.3× the window plan and regressed ``global_dw_catalog`` 2.1×
+    (r11 ``weak`` #1); the router pays one column-pruned
+    ``groupBy(actor).count()`` pass instead.  Output is identical on
+    every path — ``union_activity_bucketed`` and ``union_activity_hybrid``
+    both carry the window query's oracle verbatim.
 
     Physical layout columns: ``activity_date_key`` (the reference's
     column) plus the (activity_year, activity_month) pair the fact is
@@ -84,7 +87,7 @@ def _activity_union(orders: DataFrame, events: DataFrame) -> DataFrame:
         F.col("value").alias("amount"),
     )
     return (
-        agg.sequence_number_bucketed(
+        agg.sequence_number_hybrid(
             union_conform([orders_act, events_act]),
             "actor_id",
             "activity_ts",

@@ -40,6 +40,7 @@ from e_commerce_data_lakehouse_spark.operators.dedup import (
 )
 from e_commerce_data_lakehouse_spark.operators.joins import date_key_lookup
 from e_commerce_data_lakehouse_spark.operators.merge import incremental_rows
+from e_commerce_data_lakehouse_spark.sources.backends import _contains_map
 from e_commerce_data_lakehouse_spark.sources.files import (
     with_lineage,
     with_partition_columns,
@@ -114,7 +115,10 @@ def bronze_to_silver(
     20%-hot key and growing with data, r10 sweep).  Equivalence is
     hash-proven (``dedup_latest_events_agg`` carries the window oracle
     verbatim); pass ``dedup="window"`` for schemas with non-orderable
-    (map-typed) payload columns, which ``max(struct)`` rejects."""
+    (map-typed) payload columns, which ``max(struct)`` rejects — and when
+    the default "agg" meets such a schema it FALLS BACK to the window
+    form with a warning instead of raising at analysis (r11 ADVICE: the
+    r11 default flip would otherwise break existing map-payload callers)."""
     if dedup not in ("agg", "window"):
         raise ValueError(f"dedup must be 'agg' or 'window', got {dedup!r}")
     t0 = time.monotonic()
@@ -126,6 +130,21 @@ def bronze_to_silver(
     if batch.limit(1).count() == 0:
         return _timed("bronze_to_silver", 0, t0)
     cleaned = clean_fn(batch) if clean_fn else batch
+    if dedup == "agg":
+        non_orderable = [
+            f.name for f in cleaned.schema.fields if _contains_map(f.dataType)
+        ]
+        if non_orderable:
+            import warnings
+
+            warnings.warn(
+                "bronze_to_silver: payload columns "
+                f"{non_orderable} are map-typed (non-orderable) — "
+                "max(struct) can't carry them; falling back to the "
+                "window dedup form (pass dedup='window' to silence)",
+                stacklevel=2,
+            )
+            dedup = "window"
     dedup_fn = keep_latest_agg if dedup == "agg" else keep_latest
     deduped = dedup_fn(cleaned, key, ts_col)
     retention = q.retention_rate(batch, deduped, warn_below=min_retention)

@@ -360,3 +360,100 @@ def test_sessionize_bucketed_equivalence_multi_seed(spark):
         a = sorted(map(tuple, one.collect()))
         b = sorted(map(tuple, buck.collect()))
         assert a == b, f"seed={seed} gap={gap} bucket={bucket}"
+
+
+def _seq_frame(spark, n=600, hot_share=0.3, seed=23):
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(n):
+        key = 9 if rng.random() < hot_share else rng.randrange(12)
+        ts = base + dt.timedelta(
+            days=rng.randrange(6), seconds=rng.randrange(86_400)
+        )
+        rows.append((key, ts, i))
+    rows.append((None, base, 10_000))  # NULL key survives routing
+    rows.append((None, None, 10_001))  # NULL key AND NULL ts
+    return spark.createDataFrame(rows, "k long, ts timestamp, eid long")
+
+
+def test_sequence_hybrid_equals_window_across_routing_regimes(spark):
+    """r11 VERDICT #1: the heat-routed hybrid must equal the plain
+    window in EVERY routing regime — mixed hot/cold split, all-cold
+    (no key over threshold), and the all-bucketed fallback (more hot
+    keys than the literal-list cap)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    df = _seq_frame(spark)
+    w = Window.partitionBy("k").orderBy(F.col("ts").asc_nulls_first(), "eid")
+    want = sorted(
+        map(tuple, df.withColumn("seq", F.row_number().over(w).cast("long"))
+            .collect()),
+        key=repr,
+    )
+    regimes = {
+        # hot key 9 (~30% of rows) routes bucketed, the rest window
+        "mixed": dict(hot_multiple=2.0, straggler_task_multiple=0.0),
+        # nothing exceeds 1000x the mean: pure window path
+        "all_cold": dict(hot_multiple=1000.0, straggler_task_multiple=0.0),
+        # every key "hot" but the cap is 0: all-bucketed fallback
+        "fallback": dict(
+            hot_multiple=0.0, straggler_task_multiple=0.0, max_hot_keys=0
+        ),
+    }
+    for name, kw in regimes.items():
+        got = sorted(
+            map(tuple, agg.sequence_number_hybrid(
+                df, "k", "ts", tiebreakers=["eid"], out_col="seq", **kw
+            ).collect()),
+            key=repr,
+        )
+        assert got == want, f"regime={name}"
+
+
+def test_sequence_hybrid_routes_only_hot_keys(spark):
+    """The router's point: with a planted hot key and a discriminating
+    threshold, the cold branch must be a plain window (no bucketed temp
+    machinery) and the hot branch bucketed — verified on the physical
+    plan: a mixed run contains BOTH a union and exactly one offsets
+    join; an all-cold run contains neither."""
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    df = _seq_frame(spark)
+    mixed = agg.sequence_number_hybrid(
+        df, "k", "ts", tiebreakers=["eid"],
+        hot_multiple=2.0, straggler_task_multiple=0.0,
+    )
+    plan = mixed._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in plan
+    cold = agg.sequence_number_hybrid(
+        df, "k", "ts", tiebreakers=["eid"],
+        hot_multiple=1000.0, straggler_task_multiple=0.0,
+    )
+    cold_plan = cold._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in cold_plan and "Join" not in cold_plan
+
+
+def test_bucketed_forms_reject_temp_column_collisions(spark):
+    """r11 ADVICE: an input already carrying an internal temp name would
+    be silently overwritten and dropped — both bucketed forms must
+    refuse it loudly."""
+    import datetime as dt
+
+    import pytest as pt
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1, 0)],
+        "k long, ts timestamp, eid long, __bkt long",
+    )
+    with pt.raises(ValueError, match="__bkt"):
+        agg.sequence_number_bucketed(df, "k", "ts", tiebreakers=["eid"])
+    with pt.raises(ValueError, match="__bkt"):
+        agg.sessionize_bucketed(df, "k", "ts")

@@ -107,11 +107,13 @@ def _run_streaming_sessions(spark, skew_dir: str) -> None:
 
     ckpt = tempfile.mkdtemp(prefix="skew_sessions_ckpt_")
     try:
+        # schema from the batch read of the SAME file — a string literal
+        # here would silently yield NULL columns if the generator schema
+        # drifted, and the sweep would measure near-empty sessions
+        # instead of failing (r11 ADVICE)
+        schema = spark.read.parquet(f"{skew_dir}/events_skew.parquet").schema
         sdf = (
-            spark.readStream.schema(
-                "event_id long, ts timestamp, user_id long, "
-                "event_type string, value double, props string"
-            )
+            spark.readStream.schema(schema)
             .format("parquet")
             .option("pathGlobFilter", "events_skew.parquet")
             .load(skew_dir)
@@ -251,6 +253,18 @@ def main() -> None:
             False,  # the seq_number repair: local row_number per (key,
             # 1-day bucket) + prefix-sum offsets — no task holds more
             # than one bucket of the hot key (r10 VERDICT ask #3)
+        ),
+        (
+            "seq_number_hybrid_hot_user",
+            lambda: aggregates.sequence_number_hybrid(
+                events, "user_id", "ts", tiebreakers=["event_id"],
+                out_col="rn", bucket="1 day",
+            ).filter("rn <= 5"),
+            False,  # the r12 router (production thresholds): the planted
+            # hot key exceeds the straggler criterion and takes the
+            # bucketed path, every other key the plain window — measured
+            # here so the routed form's flatness is a sweep row, not an
+            # assertion (r11 VERDICT ask #7)
         ),
         (
             "silver_dedup_agg_stage",
