@@ -174,9 +174,50 @@ def _host_snapshot() -> dict:
     return {"load1": load1, "nproc": nproc}
 
 
+def _wait_quiet(max_minutes: float, threshold: float = 2.0) -> dict:
+    """Poll load1 until the host is quiet (< threshold) or the budget is
+    spent — so a bench launched right after other work produces an
+    ADJUDICABLE vintage instead of a self-flagged contaminated one (r11
+    VERDICT #5: every driver-run BENCH_r{N}.json started hot).  Returns
+    the wait evidence for the host record."""
+    t0 = time.monotonic()
+    waited = 0.0
+    while True:
+        try:
+            load1 = os.getloadavg()[0]
+        except OSError:
+            return {"waited_sec": 0, "quiet": None}
+        if load1 < threshold:
+            return {"waited_sec": round(waited, 1), "quiet": True,
+                    "load1": round(load1, 2)}
+        waited = time.monotonic() - t0
+        if waited >= max_minutes * 60:
+            return {"waited_sec": round(waited, 1), "quiet": False,
+                    "load1": round(load1, 2)}
+        time.sleep(10.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # --wait-quiet[=minutes] / SPARK_GRAFT_WAIT_QUIET=minutes: ON by
+    # default (5 min) so the driver's own artifact has a chance of being
+    # adjudicable; 0 disables.  The wait happens BEFORE the start
+    # snapshot — the snapshot then records the load the queries actually
+    # ran under.
+    wait_min = 5.0
+    env_wait = os.environ.get("SPARK_GRAFT_WAIT_QUIET")
+    if env_wait is not None:
+        wait_min = float(env_wait)
+    for a in sys.argv[1:]:
+        if a == "--wait-quiet":
+            wait_min = 5.0
+        elif a.startswith("--wait-quiet="):
+            wait_min = float(a.split("=", 1)[1])
+    wait_evidence = (
+        _wait_quiet(wait_min) if wait_min > 0 else {"waited_sec": 0,
+                                                    "quiet": None}
+    )
     host_start = _host_snapshot()
     spark = get_spark(app_name="bench")
 
@@ -257,6 +298,7 @@ def main() -> None:
             "cpus": os.cpu_count(),
             "start": host_start,
             "end": _host_snapshot(),
+            "wait_quiet": wait_evidence,
         },
     }
     # flag a contaminated vintage at generation time, not at adjudication:

@@ -34,6 +34,7 @@ from e_commerce_data_lakehouse_spark.operators import joins as jn
 from e_commerce_data_lakehouse_spark.operators.union import union_conform
 from e_commerce_data_lakehouse_spark.plans.medallion import (
     build_catalog_table,
+    measure_fact_partition_grain,
     with_date_key_parts,
 )
 from e_commerce_data_lakehouse_spark.sources.sinks import ManagedTable
@@ -126,16 +127,24 @@ def build_global_dw(
     """
     # the activity fact is physically partitioned by its date hierarchy —
     # the reference's universal fact layout (``create_global_dw.py:263``
-    # partitions it by activity_date_key) at the volume-aware MONTH grain
-    # (day grain measured 2.4k single-day directories and a 119 s build at
-    # sf0.1 — see _activity_union), so date-ranged downstream reads prune
-    # at the scan.  The daily fact (``:345`` partitions it by date_key) is
-    # left UNPARTITIONED deliberately: it is one row per day by
-    # construction at every scale, so partitioning it means one directory
-    # per row — pure filesystem overhead with nothing to prune (the whole
-    # table is smaller than one healthy parquet file).
+    # partitions it by activity_date_key) at a grain DERIVED from the
+    # measured batch volume (r11 VERDICT #3: month until a month averages
+    # DAY_GRAIN_ROWS_PER_MONTH rows, then day), so date-ranged downstream
+    # reads prune at the scan.  The measurement is one column-pruned
+    # aggregate over the SOURCE date columns (not the built union — that
+    # would recompute the window+join upstream).  The daily fact
+    # (``:345`` partitions it by date_key) is left UNPARTITIONED
+    # deliberately: it is one row per day by construction at every scale,
+    # so partitioning it means one directory per row — pure filesystem
+    # overhead with nothing to prune (the whole table is smaller than one
+    # healthy parquet file).
+    activity_dates = orders.select(
+        F.to_date("o_orderdate").alias("d")
+    ).unionByName(events.select(F.to_date("ts").alias("d")))
     fact_partitioning = {
-        "global_fact_customer_activity": ("activity_year", "activity_month"),
+        "global_fact_customer_activity": measure_fact_partition_grain(
+            activity_dates, "d", prefix="activity_"
+        ),
     }
     t = {
         name: ManagedTable(

@@ -60,6 +60,50 @@ def stream_events(
     return df
 
 
+def bucketed_session_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    bucket_col: str = "__day",
+    aggs: list | None = None,
+) -> DataFrame:
+    """The SKEW-ROBUST streaming sessionization stage (r11 VERDICT #2,
+    the one measured past-bar scale shape: 15.31× max/median task at
+    skew30): group by ``(key, to_date(ts), session_window(ts, gap))``
+    instead of ``(key, session_window)``.
+
+    The day bucket is a PLAIN derived column (``to_date``, not a second
+    ``window()`` call — Spark's one-time-window restriction doesn't
+    apply; probed in-sandbox, r12), so a hot key's session-window state
+    splits across state-store partitions by day: the merge work per
+    partition is bounded by the key's per-day activity, not its total
+    history, and state for closed days is evicted by the watermark
+    exactly as before.  The output is LOCAL (per-day) sessions; a
+    downstream batch pass (:func:`operators.aggregates.stitch_sessions`)
+    merges the ≤ 2 boundary sessions per (key, day) into global ones —
+    the same two-pass shape as the batch ``sessionize_bucketed``.
+
+    ``aggs`` must be SUM-combinable partials (the stitch sums them)."""
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            key_col,
+            F.to_date(ts_col).alias(bucket_col),
+            F.session_window(ts_col, gap).alias("__sw"),
+        )
+        .agg(*(aggs or [F.count("*").alias("n_events")]))
+    )
+    return out.select(
+        key_col,
+        bucket_col,
+        F.col("__sw.start").alias("session_start"),
+        F.col("__sw.end").alias("session_end"),
+        *[c for c in out.columns if c not in (key_col, bucket_col, "__sw")],
+    )
+
+
 def hourly_event_counts(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -341,3 +341,43 @@ def test_fact_orders_partitioned_and_pruned(spark, tmp_path):
         batch, fact, agg_t, "date_key", "o_totalprice", "o_orderkey"
     )
     assert agg_t.read().count() == 1
+
+
+def test_partition_grain_is_computed_from_volume(spark):
+    """r11 VERDICT #3: the fact partition grain is a computed property
+    of batch volume, not a constant — month at tested volumes, day once
+    a month averages DAY_GRAIN_ROWS_PER_MONTH rows."""
+    # pure thresholds: a 100 TB-class year (300M rows/month) flips to day
+    assert m.choose_fact_partition_grain(300_000_000 * 12, 12) == (
+        "year", "month", "day",
+    )
+    assert m.choose_fact_partition_grain(
+        3_600_000_000, 12, prefix="activity_"
+    ) == ("activity_year", "activity_month", "activity_day")
+    # the tested sf volumes stay month grain
+    assert m.choose_fact_partition_grain(150_000, 28) == ("year", "month")
+    # boundary: exactly AT the threshold stays month; one row past flips
+    assert m.choose_fact_partition_grain(
+        m.DAY_GRAIN_ROWS_PER_MONTH * 3, 3
+    ) == ("year", "month")
+    assert m.choose_fact_partition_grain(
+        m.DAY_GRAIN_ROWS_PER_MONTH * 3 + 3, 3
+    ) == ("year", "month", "day")
+    # empty/degenerate input: month grain, no division by zero
+    assert m.choose_fact_partition_grain(0, 0) == ("year", "month")
+
+    # the DataFrame measurement: one aggregate over the date column
+    df = spark.range(1000).selectExpr(
+        "date_add(date'2024-01-01', CAST(id % 60 AS INT)) AS d"
+    )
+    # 1000 rows / 2 months = 500 rows/month: flips only under a low bar
+    assert m.measure_fact_partition_grain(df, "d") == ("year", "month")
+    assert m.measure_fact_partition_grain(
+        df, "d", day_flip_rows_per_month=400
+    ) == ("year", "month", "day")
+
+    # the sf0.1 orders frame chooses month grain with the real threshold
+    orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    assert m.measure_fact_partition_grain(orders, "o_orderdate") == (
+        "year", "month",
+    )

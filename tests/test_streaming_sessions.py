@@ -151,3 +151,136 @@ def test_append_mode_emits_session_ending_exactly_at_watermark(
     run_available_now_append(sessions, str(tmp_path / "ck"), target)
     got = {r["user_id"] for r in target.read().collect()}
     assert got == {"u_tie", "u_under"}, got
+
+
+def test_bucketed_session_stream_converges_to_batch(spark, tmp_path):
+    """r11 VERDICT #2: the day-bucketed streaming stage + batch edge
+    stitch must equal the single-pass batch sessionize — including a
+    CROSS-MIDNIGHT session (merged by the stitch), a session spanning
+    THREE days (chained merges), an exact last+gap tie at a midnight
+    boundary (session_window's INCLUSIVE merge, defect class #9), and a
+    mid-day session that never touches a boundary."""
+    import random
+
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        bucketed_session_stream,
+    )
+
+    rows = [
+        # u1: session crossing midnight (23:50 -> 00:10 next day)
+        ("u1", "2024-01-01 23:50:00", 1.0),
+        ("u1", "2024-01-02 00:10:00", 2.0),
+        # u1: separate mid-day session
+        ("u1", "2024-01-02 12:00:00", 3.0),
+        # u2: session spanning THREE days (events every ~20 min around
+        # both midnights)
+        ("u2", "2024-01-01 23:55:00", 1.0),
+        ("u2", "2024-01-02 00:15:00", 1.0),
+        ("u2", "2024-01-02 23:58:00", 5.0),
+        ("u2", "2024-01-03 00:20:00", 7.0),
+        # u3: exact tie at the boundary — event at exactly prev + gap
+        # (00:25 = 23:55 + 30 min) must MERGE
+        ("u3", "2024-01-01 23:55:00", 1.0),
+        ("u3", "2024-01-02 00:25:00", 1.0),
+        # u3: and an event one second past a gap elsewhere splits
+        ("u3", "2024-01-02 10:00:00", 1.0),
+        ("u3", "2024-01-02 10:30:01", 1.0),
+    ]
+    # plus random bulk so buckets hold interior sessions too
+    rng = random.Random(7)
+    for i in range(200):
+        day = rng.choice(("01", "02", "03"))
+        rows.append(
+            (
+                f"u{rng.randrange(4)}",
+                f"2024-01-{day} {rng.randrange(8, 20):02d}:"
+                f"{rng.randrange(60):02d}:00",
+                float(i),
+            )
+        )
+    src = str(tmp_path / "src")
+    batch_df = (
+        spark.createDataFrame(rows, ["user_id", "ts_raw", "value"])
+        .withColumn("ts", F.col("ts_raw").cast("timestamp"))
+        .drop("ts_raw")
+    )
+    batch_df.coalesce(1).write.parquet(src)
+
+    want = sorted(
+        map(
+            tuple,
+            agg.sessionize(
+                batch_df,
+                "user_id",
+                "ts",
+                gap="30 minutes",
+                aggs=[
+                    F.count("*").cast("long").alias("n_events"),
+                    F.sum(F.col("value").cast("decimal(30,6)")).alias(
+                        "sum_value"
+                    ),
+                ],
+            ).collect(),
+        ),
+        key=repr,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id string, value double, ts timestamp")
+        .format("parquet")
+        .load(src)
+    )
+    local = bucketed_session_stream(
+        stream,
+        "user_id",
+        "ts",
+        gap="30 minutes",
+        watermark="2 hours",
+        aggs=[
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_value"),
+        ],
+    )
+    q = (
+        local.writeStream.format("memory")
+        .queryName("bkt_sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            agg.stitch_sessions(
+                spark.table("bkt_sess_out"),
+                "user_id",
+                "__day",
+                gap="30 minutes",
+                sum_cols=["n_events", "sum_value"],
+            )
+            .select(
+                "user_id", "session_start", "session_end", "n_events",
+                "sum_value",
+            )
+            .collect(),
+        ),
+        key=repr,
+    )
+    assert got == want
+
+
+def test_stitch_sessions_rejects_temp_collisions(spark):
+    import datetime as dt
+
+    import pytest as pt
+
+    df = spark.createDataFrame(
+        [("u1", dt.date(2024, 1, 1), dt.datetime(2024, 1, 1),
+          dt.datetime(2024, 1, 1, 0, 30), 1)],
+        "user_id string, __day date, session_start timestamp, "
+        "session_end timestamp, __chain long",
+    )
+    with pt.raises(ValueError, match="__chain"):
+        agg.stitch_sessions(df, "user_id", "__day")

@@ -97,11 +97,16 @@ def _stage_ratios(base: str, app_id: str, seen: set) -> list[dict]:
     return out
 
 
-def _run_streaming_sessions(spark, skew_dir: str) -> None:
+def _run_streaming_sessions(
+    spark, skew_dir: str, bucketed: bool = False
+) -> None:
     """Watermarked streaming session_window over the skew events (the
     registered ``streaming_user_sessions`` shape), drained via
     AvailableNow into a noop sink.  Returns None — the op executes its
-    own query (the OPS loop writes DataFrame-returning builds itself)."""
+    own query (the OPS loop writes DataFrame-returning builds itself).
+    ``bucketed=True`` runs the day-bucketed grouping key instead (the
+    ``streaming_user_sessions_bucketed`` streaming stage, r11 VERDICT
+    #2) — the hot key's merge state splits across day partitions."""
     import shutil
     import tempfile
 
@@ -118,10 +123,17 @@ def _run_streaming_sessions(spark, skew_dir: str) -> None:
             .option("pathGlobFilter", "events_skew.parquet")
             .load(skew_dir)
         )
+        # watermarks require TIMESTAMP; the generator writes NTZ — with
+        # the session pinned to UTC the instant equals the NTZ value
+        # (same contract as streaming/pipeline.stream_events)
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+        keys = ["user_id"]
+        if bucketed:
+            keys.append(F.to_date("ts").alias("__day"))
         res = (
             sdf.withWatermark("ts", "2 hours")
             .groupBy(
-                "user_id", F.session_window("ts", "30 minutes").alias("sw")
+                *keys, F.session_window("ts", "30 minutes").alias("sw")
             )
             .agg(F.count("*").alias("n"))
         )
@@ -144,6 +156,11 @@ def main() -> None:
     ap.add_argument("--dim-dir", default=f"{root}/.scaledata/sf1")
     ap.add_argument("--out", default=f"{root}/artifacts/sweep_skew.jsonl")
     ap.add_argument("--bar", type=float, default=8.0)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated op names to sweep (default: all)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -295,12 +312,30 @@ def main() -> None:
         (
             "streaming_user_sessions",
             lambda: _run_streaming_sessions(spark, args.skew_dir),
-            True,  # the streaming side must keep session_window (bucket-
-            # and-stitch doesn't compose with watermark eviction): swept
-            # at skew10 AND skew30 so the ratio-vs-scale SLOPE is on
-            # record (r10 VERDICT ask #6); mitigation notes in SCALING.md
+            True,  # the UNBUCKETED streaming shape, kept in the sweep so
+            # the artifact shows the bite next to the repair: one
+            # state-store partition merges the hot key's whole history
+            # (5.21x at skew10 -> 15.31x at skew30, r11)
+        ),
+        (
+            "streaming_user_sessions_bucketed",
+            lambda: _run_streaming_sessions(
+                spark, args.skew_dir, bucketed=True
+            ),
+            False,  # the repair (r11 VERDICT #2): day-bucketed grouping
+            # key splits the hot key's session state across day
+            # partitions; the batch edge-stitch downstream merges
+            # cross-midnight sessions (hash-proven sibling:
+            # streaming_user_sessions_bucketed)
         ),
     ]
+
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown_ops = wanted - {n for n, _, _ in OPS}
+        if unknown_ops:
+            raise SystemExit(f"--only names not in OPS: {sorted(unknown_ops)}")
+        OPS = [op for op in OPS if op[0] in wanted]
 
     seen: set = set()
     _stage_ratios(base, app_id, seen)  # absorb warmup stages
