@@ -10028,7 +10028,7 @@ def streaming_user_sessions_bucketed(
     )
     from e_commerce_data_lakehouse_spark.streaming.pipeline import (
         bucketed_session_stream,
-        run_available_now,
+        run_available_now_complete_parquet,
         stream_events,
     )
 
@@ -10049,10 +10049,15 @@ def streaming_user_sessions_bucketed(
             F.sum(F.col("value").cast("decimal(30,6)")).alias("sum_value"),
         ],
     )
-    table = f"user_sessions_bkt_{uuid.uuid4().hex[:8]}"
-    run_available_now(local, tempfile.mkdtemp(prefix="ckpt_"), table)
+    # executor-side parquet drain, NOT the memory sink: the local-session
+    # frame is ~rows-of-sessions sized and the memory sink materializes
+    # all of it on the driver (maxResultSize aborted the gen-sf10 run)
+    sink = tempfile.mkdtemp(prefix=f"sess_bkt_{uuid.uuid4().hex[:8]}_")
+    run_available_now_complete_parquet(
+        local, tempfile.mkdtemp(prefix="ckpt_"), sink
+    )
     stitched = agg_ops.stitch_sessions(
-        spark.table(table),
+        spark.read.parquet(sink),
         "user_id",
         "__day",
         gap="30 minutes",

@@ -537,6 +537,8 @@ def sequence_number_hybrid(
     hot_multiple: float = 8.0,
     straggler_task_multiple: float = 2.0,
     max_hot_keys: int = 1_000,
+    sample_fraction: float = 1.0,
+    min_sampled_rows: int = 20,
 ) -> DataFrame:
     """Per-key sequence numbering routed by KEY HEAT (r11 VERDICT #1):
     hot keys take :func:`sequence_number_bucketed`, everything else the
@@ -568,11 +570,30 @@ def sequence_number_hybrid(
 
     NULL keys route like any other key (the window form puts them in one
     partition; if that partition is hot it belongs on the bucketed
-    path)."""
+    path).
+
+    ``sample_fraction`` < 1 measures key heat on a seeded SAMPLE instead
+    of exact counts: routing is a purely physical decision (both paths
+    produce identical output), and a straggler key by definition holds
+    ≥ a task's fair share of rows — a fraction that survives any
+    uniform sample — so exact counts buy nothing but a full extra
+    aggregate (measured at sf10: the exact pass cost 1.76× the plain
+    window it was routing for).  All thresholds compare in SAMPLED
+    units; ``min_sampled_rows`` floors the threshold so Poisson flukes
+    on rare keys can't route them (keys too small to appear ≥ that
+    often in the sample are by construction too small to straggle at a
+    sensible fraction).  The sampled-mean term overstates the true mean
+    (keys with zero sampled rows drop out) — conservative: it only
+    raises the bar for the relative term, never the straggler term."""
+    src = (
+        df
+        if sample_fraction >= 1.0
+        else df.sample(fraction=sample_fraction, seed=42)
+    )
     # persist the counts frame: the stats row and the hot-key probe are
-    # two jobs over it, and without the persist each would re-scan df
-    # (two extra column-pruned passes instead of one)
-    counts = df.groupBy(key_col).agg(F.count("*").alias("__hcnt")).persist()
+    # two jobs over it, and without the persist each would re-scan the
+    # source (two extra column-pruned passes instead of one)
+    counts = src.groupBy(key_col).agg(F.count("*").alias("__hcnt")).persist()
     try:
         stats = counts.agg(
             F.avg("__hcnt").alias("mean"), F.sum("__hcnt").alias("total")
@@ -588,6 +609,8 @@ def sequence_number_hybrid(
             * float(stats["total"])
             / max(n_shuffle, 1),
         )
+        if sample_fraction < 1.0:
+            thr = max(thr, float(min_sampled_rows))
         # bounded-metadata collect: hot keys only, capped — the cap probe
         # is limit(max+1), the same pattern as the medallion touched-keys
         # read

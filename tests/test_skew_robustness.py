@@ -457,3 +457,48 @@ def test_bucketed_forms_reject_temp_column_collisions(spark):
         agg.sequence_number_bucketed(df, "k", "ts", tiebreakers=["eid"])
     with pt.raises(ValueError, match="__bkt"):
         agg.sessionize_bucketed(df, "k", "ts")
+
+
+def test_sequence_hybrid_sampled_heat_equals_window(spark):
+    """r12: heat measured on a 50% seeded sample must still produce the
+    exact window result — routing is a purely physical decision, so ANY
+    sampled routing split is output-equivalent; what the test pins is
+    that the sampled-units thresholds don't break either branch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    df = _seq_frame(spark)
+    w = Window.partitionBy("k").orderBy(F.col("ts").asc_nulls_first(), "eid")
+    want = sorted(
+        map(tuple, df.withColumn("seq", F.row_number().over(w).cast("long"))
+            .collect()),
+        key=repr,
+    )
+    got = sorted(
+        map(tuple, agg.sequence_number_hybrid(
+            df, "k", "ts", tiebreakers=["eid"], out_col="seq",
+            hot_multiple=2.0, straggler_task_multiple=0.0,
+            sample_fraction=0.5, min_sampled_rows=2,
+        ).collect()),
+        key=repr,
+    )
+    assert got == want
+
+
+def test_sequence_hybrid_sampled_floor_blocks_poisson_flukes(spark):
+    """``min_sampled_rows`` floors the sampled-units threshold: on a
+    frame whose every key is far too small to straggle, a tiny sample
+    with a high floor must route NOTHING — pure window plan, no Union,
+    regardless of which rows the sample happened to keep."""
+    from e_commerce_data_lakehouse_spark.operators import aggregates as agg
+
+    df = _seq_frame(spark)
+    out = agg.sequence_number_hybrid(
+        df, "k", "ts", tiebreakers=["eid"],
+        hot_multiple=0.0, straggler_task_multiple=0.0,
+        sample_fraction=0.05, min_sampled_rows=1_000_000,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan and "Join" not in plan

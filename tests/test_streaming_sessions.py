@@ -284,3 +284,61 @@ def test_stitch_sessions_rejects_temp_collisions(spark):
     )
     with pt.raises(ValueError, match="__chain"):
         agg.stitch_sessions(df, "user_id", "__day")
+
+
+def test_complete_parquet_drain_matches_memory_sink(spark, tmp_path):
+    """r12: the executor-side complete-mode drain
+    (run_available_now_complete_parquet) must leave exactly the final
+    complete result in the directory — across MULTIPLE micro-batches
+    (each foreachBatch overwrite replaces the previous), since the
+    entry-query swap away from the memory sink exists precisely because
+    the driver-side collect aborted at gen-sf10 (maxResultSize)."""
+    from e_commerce_data_lakehouse_spark.streaming.pipeline import (
+        run_available_now_complete_parquet,
+    )
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-01 10:10:00"),
+        ("u1", "2024-01-01 11:00:00"),
+        ("u2", "2024-01-01 09:00:00"),
+        ("u2", "2024-01-01 09:20:00"),
+    ]
+    src = str(tmp_path / "src")
+    batch_df = (
+        spark.createDataFrame(rows, ["user_id", "ts_raw"])
+        .withColumn("ts", F.col("ts_raw").cast("timestamp"))
+        .drop("ts_raw")
+    )
+    # two files + maxFilesPerTrigger=1 forces >=2 micro-batches, so the
+    # test exercises overwrite-replaces-overwrite, not just one batch
+    batch_df.limit(2).coalesce(1).write.mode("append").parquet(src)
+    batch_df.subtract(batch_df.limit(2)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    want = sorted(
+        map(
+            tuple,
+            agg.sessionize(
+                batch_df, "user_id", "ts", gap="30 minutes"
+            ).collect(),
+        ),
+        key=repr,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withWatermark("ts", "1 hour")
+    )
+    sink = str(tmp_path / "sink")
+    run_available_now_complete_parquet(
+        agg.sessionize(stream, "user_id", "ts", gap="30 minutes"),
+        str(tmp_path / "ck"),
+        sink,
+    )
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()), key=repr)
+    assert got == want

@@ -275,7 +275,7 @@ def main() -> None:
             "seq_number_hybrid_hot_user",
             lambda: aggregates.sequence_number_hybrid(
                 events, "user_id", "ts", tiebreakers=["event_id"],
-                out_col="rn", bucket="1 day",
+                out_col="rn", bucket="1 day", sample_fraction=0.01,
             ).filter("rn <= 5"),
             False,  # the r12 router (production thresholds): the planted
             # hot key exceeds the straggler criterion and takes the
