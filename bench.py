@@ -181,8 +181,11 @@ def _wait_quiet(max_minutes: float, threshold: float = 2.0) -> dict:
     VERDICT #5: every driver-run BENCH_r{N}.json started hot).  Returns
     the wait evidence for the host record."""
     t0 = time.monotonic()
-    waited = 0.0
     while True:
+        # measure elapsed FIRST: a quiet exit right after a sleep must
+        # report the time actually waited, not the previous iteration's
+        # (r12 review: the stale value under-reported by one interval)
+        waited = time.monotonic() - t0
         try:
             load1 = os.getloadavg()[0]
         except OSError:
@@ -190,7 +193,6 @@ def _wait_quiet(max_minutes: float, threshold: float = 2.0) -> dict:
         if load1 < threshold:
             return {"waited_sec": round(waited, 1), "quiet": True,
                     "load1": round(load1, 2)}
-        waited = time.monotonic() - t0
         if waited >= max_minutes * 60:
             return {"waited_sec": round(waited, 1), "quiet": False,
                     "load1": round(load1, 2)}

@@ -408,7 +408,15 @@ def stitch_sessions(
     ``next.start ≤ prev.end`` (``end`` already carries ``+ gap``; the
     tie is INCLUSIVE, matching ``session_window``'s merge of an event at
     exactly last + gap — defect class #9).  ``sum_cols``: partial
-    aggregate columns whose combine is SUM."""
+    aggregate columns whose combine is SUM.
+
+    NOTE: :func:`sessionize_bucketed`'s phase 2 encodes this same
+    edge-flag/chain/merge algorithm over its internal ``__smin/__smax``
+    MICROSECOND columns (it never materializes timestamp sessions
+    mid-plan).  The inclusive-tie merge semantics (defect class #9)
+    lives in BOTH places — any change to the tie or edge rule here must
+    be mirrored there; each side is pinned by its own
+    equivalence/convergence pytest."""
     _assert_temp_names_free(
         df, ("__is_edge", "__chain"), "stitch_sessions"
     )

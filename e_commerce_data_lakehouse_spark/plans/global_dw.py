@@ -67,12 +67,14 @@ def _activity_union(orders: DataFrame, events: DataFrame) -> DataFrame:
     both carry the window query's oracle verbatim.
 
     Physical layout columns: ``activity_date_key`` (the reference's
-    column) plus the (activity_year, activity_month) pair the fact is
-    partitioned by — MONTH grain, not the reference's day grain, by
-    measurement: day grain wrote one directory per distinct day (~2.4k
-    dirs of 62-row files at sf0.1, a 119 s build); any date-keyed
-    predicate over year/month is still a partition filter.  A
-    100 TB-per-year deploy extends the grain to day — one tuple."""
+    column) plus the full (activity_year, activity_month, activity_day)
+    hierarchy; :func:`build_global_dw` partitions the fact at a grain
+    MEASURED from the batch volume (``measure_fact_partition_grain``:
+    month until a month averages ``DAY_GRAIN_ROWS_PER_MONTH`` rows,
+    then day — the reference's literal day grain wrote one directory
+    per distinct day, ~2.4k dirs of 62-row files at sf0.1, a 119 s
+    build).  Any date-keyed predicate over the grain columns is still
+    a partition filter."""
     orders_act = orders.select(
         F.col("o_custkey").alias("actor_id"),
         F.col("o_orderkey").alias("activity_id"),

@@ -40,7 +40,9 @@ from e_commerce_data_lakehouse_spark.operators.dedup import (
 )
 from e_commerce_data_lakehouse_spark.operators.joins import date_key_lookup
 from e_commerce_data_lakehouse_spark.operators.merge import incremental_rows
-from e_commerce_data_lakehouse_spark.sources.backends import _contains_map
+from e_commerce_data_lakehouse_spark.sources.backends import (
+    contains_map_type,
+)
 from e_commerce_data_lakehouse_spark.sources.files import (
     with_lineage,
     with_partition_columns,
@@ -132,7 +134,9 @@ def bronze_to_silver(
     cleaned = clean_fn(batch) if clean_fn else batch
     if dedup == "agg":
         non_orderable = [
-            f.name for f in cleaned.schema.fields if _contains_map(f.dataType)
+            f.name
+            for f in cleaned.schema.fields
+            if contains_map_type(f.dataType)
         ]
         if non_orderable:
             import warnings
@@ -257,25 +261,55 @@ def _trunc_mod(a: int, b: int) -> int:
     return a - _trunc_div(a, b) * b
 
 
+def _grain_columns(grain: tuple[str, ...]) -> dict[str, str]:
+    """Resolve a fact grain tuple to its year/month/day column names.
+
+    Grains are minted by :func:`choose_fact_partition_grain` /
+    :func:`with_date_key_parts` as ``(f"{prefix}year", f"{prefix}month"
+    [, f"{prefix}day"])`` — the prefix varies per fact (the global-DW
+    activity fact uses ``activity_``), so anything that builds
+    predicates over grain columns must resolve names by suffix instead
+    of hardcoding the unprefixed trio (r12 review: the rollup passed a
+    prefixed grain into a predicate over ``F.col("year")`` —
+    AnalysisException on prefixed facts, and ``"day" in grain`` never
+    matched ``activity_day``, silently dropping day-level pruning)."""
+    cols: dict[str, str] = {}
+    for c in grain:
+        for part in ("year", "month", "day"):
+            if c == part or c.endswith(part):
+                cols[part] = c
+                break
+    missing = {"year", "month"} - cols.keys()
+    if missing:
+        raise ValueError(
+            f"grain {grain!r} lacks year/month columns ({sorted(missing)})"
+        )
+    return cols
+
+
 def date_key_partition_predicate(
     keys: list[int], grain: tuple[str, ...] = FACT_PARTITION_GRAIN
 ):
     """Partition predicate covering a set of yyyymmdd date keys at the
     fact's grain — arithmetic over partition columns IS a
     PartitionFilter, so a touched-days read lists only touched months
-    (and, at day grain, only touched days).  The Python arithmetic
+    (and, at day grain, only touched days).  Grain column names are
+    resolved by suffix (:func:`_grain_columns`), so prefixed grains
+    (``activity_year`` …) build predicates over the columns the fact
+    actually carries.  The Python arithmetic
     mirrors Spark's truncate-toward-zero div/% exactly so the ``-1``
     sentinel (year=0/month=0/day=-1) prunes to its own partition instead
     of silently matching nothing; NULL keys are excluded here AND by the
     caller's day-key IN list (neither an isin nor an equi semi join
     matches NULL — the pre-r11 semi-join behavior, unchanged)."""
+    gc = _grain_columns(grain)
     ks = [k for k in keys if k is not None]
     ym = sorted(
         {_trunc_div(k, 10000) * 100 + _trunc_mod(_trunc_div(k, 100), 100)
          for k in ks}
     )
-    pred = (F.col("year") * 100 + F.col("month")).isin(ym)
-    if "day" in grain:
+    pred = (F.col(gc["year"]) * 100 + F.col(gc["month"])).isin(ym)
+    if "day" in gc:
         ymd = sorted(
             {_trunc_div(k, 10000) * 10000
              + _trunc_mod(_trunc_div(k, 100), 100) * 100
@@ -283,7 +317,9 @@ def date_key_partition_predicate(
              for k in ks}
         )
         pred = pred & (
-            F.col("year") * 10000 + F.col("month") * 100 + F.col("day")
+            F.col(gc["year"]) * 10000
+            + F.col(gc["month"]) * 100
+            + F.col(gc["day"])
         ).isin(ymd)
     return pred
 
@@ -485,7 +521,10 @@ def orders_dag(
         # hive y/m/d; global facts by date key, ``create_global_dw.py:263,345``)
         # at a grain DERIVED from the measured batch volume (r11 VERDICT
         # #3: month until a month averages DAY_GRAIN_ROWS_PER_MONTH rows,
-        # then day — one column-pruned aggregate over the raw source).
+        # then day — one column-pruned aggregate).  The measurement runs
+        # inside the gold_star TASK, not here: orders_dag returns an
+        # UN-RUN dag, and an eager count at construction would be a
+        # full-scan job before any task is scheduled (r12 review).
         # The incremental rollup's touched-keys read then prunes at the
         # scan instead of reading the whole fact (r10 VERDICT missing
         # #3); optimized_write bin-packs each commit's files per
@@ -493,10 +532,6 @@ def orders_dag(
         "fact_orders": ManagedTable(
             spark,
             f"{workdir}/fact_orders",
-            partition_by=measure_fact_partition_grain(
-                spark.read.parquet(f"{sf_dir}/orders.parquet"),
-                "o_orderdate",
-            ),
             optimized_write=True,
         ),
         "agg_daily": ManagedTable(spark, f"{workdir}/agg_daily"),
@@ -554,6 +589,16 @@ def orders_dag(
         )
 
     def gold_star() -> StageResult:
+        fact = tables["fact_orders"]
+        if not fact.partition_by:
+            # grain from the measured batch volume, on the SILVER table
+            # the fact is actually built from (one column-pruned
+            # count+distinct-months aggregate, deferred to run time)
+            fact.set_partition_by(
+                measure_fact_partition_grain(
+                    tables["silver_orders"].read(), "o_orderdate"
+                )
+            )
         return silver_to_gold_star(
             tables["silver_orders"],
             dim_specs={

@@ -33,7 +33,7 @@ class BackendUnavailable(RuntimeError):
     """The backend's runtime dependency is absent in this environment."""
 
 
-def _contains_map(dtype) -> bool:
+def contains_map_type(dtype) -> bool:
     """True when a MapType is embedded at ANY depth (map, array<map>,
     struct-of-map, …) — those columns can't feed ``xxhash64`` (maps have
     no canonical element order, so Spark rejects hashing them)."""
@@ -42,9 +42,9 @@ def _contains_map(dtype) -> bool:
     if isinstance(dtype, MapType):
         return True
     if isinstance(dtype, ArrayType):
-        return _contains_map(dtype.elementType)
+        return contains_map_type(dtype.elementType)
     if isinstance(dtype, StructType):
-        return any(_contains_map(f.dataType) for f in dtype.fields)
+        return any(contains_map_type(f.dataType) for f in dtype.fields)
     return False
 
 
@@ -190,7 +190,7 @@ class ParquetSnapshotBackend:
                     f.name
                     for f in df.schema.fields
                     if f.name not in self.partition_by
-                    and not _contains_map(f.dataType)  # xxhash64 can't
+                    and not contains_map_type(f.dataType)  # xxhash64 can't
                     # hash maps at ANY nesting depth (array<map>,
                     # struct-of-map included — r11 ADVICE: a top-level
                     # test let nested maps fail every commit at analysis)

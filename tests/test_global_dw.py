@@ -88,6 +88,10 @@ def test_global_facts_partitioned_and_pruned(spark, dw):
         ParquetSnapshotBackend,
     )
 
+    # small-frame coalescing pin (see test_medallion's twin): the cap
+    # constant bounds the AQE-off salt fallback; under the default AQE
+    # rebalance a heavy key splits by advisory SIZE, so at volume the
+    # per-dir count scales — at sf0.001 it must stay under the cap
     cap = ParquetSnapshotBackend.OPTIMIZED_WRITE_MAX_FILES
     per_dir = collections.Counter(f.rsplit("/", 1)[0] for f in part_files)
     assert max(per_dir.values()) <= cap, per_dir.most_common(3)
