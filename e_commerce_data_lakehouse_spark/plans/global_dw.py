@@ -150,7 +150,10 @@ def build_global_dw(
     ).unionByName(events.select(F.to_date("ts").alias("d")))
     fact_partitioning = {
         "global_fact_customer_activity": measure_fact_partition_grain(
-            activity_dates, "d", prefix="activity_"
+            # 1% seeded sample: the decision threshold (20M rows/month)
+            # is far above anything a uniform sample can misjudge, and
+            # at 100 TB the unsampled one-column scan is a real pass
+            activity_dates, "d", prefix="activity_", sample_fraction=0.01
         ),
     }
     t = {

@@ -232,19 +232,37 @@ def measure_fact_partition_grain(
     date_col,
     day_flip_rows_per_month: int = DAY_GRAIN_ROWS_PER_MONTH,
     prefix: str = "",
+    sample_fraction: float = 1.0,
 ) -> tuple[str, ...]:
     """:func:`choose_fact_partition_grain` from a DataFrame: ONE
     column-pruned aggregate over ``date_col`` (count + distinct months —
     both cheap: the scan reads a single column and the distinct is over
     ≤ hundreds of month values).  Callers measure the cheap SOURCE
     frames, not the built fact (counting a fact that embeds windows and
-    joins would recompute the whole build)."""
-    row = df.agg(
+    joins would recompute the whole build).
+
+    ``sample_fraction`` < 1 measures on a seeded sample (row count
+    scaled back by 1/fraction) — at 100 TB even the one-column scan is
+    a real pass, and the grain decision tolerates sampling by
+    construction: the flip threshold is 20M rows/month, so any month
+    big enough to MATTER appears in any non-degenerate sample, and a
+    tiny month missing from the sample only RAISES the estimated
+    rows/month — erring toward the finer grain exactly when the table
+    is near the flip point.  Tiny frames stay correct too: their
+    estimate lands orders of magnitude under the threshold no matter
+    how sparse the sample."""
+    src = (
+        df
+        if sample_fraction >= 1.0
+        else df.sample(fraction=sample_fraction, seed=42)
+    )
+    row = src.agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.trunc(date_col, "month")).alias("m"),
     ).first()
+    n = int(row["n"] / sample_fraction) if sample_fraction < 1.0 else row["n"]
     return choose_fact_partition_grain(
-        row["n"], row["m"] or 0,
+        n, row["m"] or 0,
         day_flip_rows_per_month=day_flip_rows_per_month, prefix=prefix,
     )
 
@@ -596,7 +614,9 @@ def orders_dag(
             # count+distinct-months aggregate, deferred to run time)
             fact.set_partition_by(
                 measure_fact_partition_grain(
-                    tables["silver_orders"].read(), "o_orderdate"
+                    tables["silver_orders"].read(),
+                    "o_orderdate",
+                    sample_fraction=0.01,
                 )
             )
         return silver_to_gold_star(

@@ -397,6 +397,16 @@ def test_partition_grain_is_computed_from_volume(spark):
     assert m.measure_fact_partition_grain(
         df, "d", day_flip_rows_per_month=400
     ) == ("year", "month", "day")
+    # SAMPLED measurement (r12: at 100 TB even the one-column scan is a
+    # real pass): the scaled estimate must reproduce the exact decision
+    # on both sides of the bar — the threshold is far coarser than any
+    # sampling error at a meaningful volume
+    assert m.measure_fact_partition_grain(
+        df, "d", sample_fraction=0.5
+    ) == ("year", "month")
+    assert m.measure_fact_partition_grain(
+        df, "d", day_flip_rows_per_month=150, sample_fraction=0.5
+    ) == ("year", "month", "day")
 
     # the sf0.1 orders frame chooses month grain with the real threshold
     orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
