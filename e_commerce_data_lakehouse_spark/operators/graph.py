@@ -512,7 +512,13 @@ def triangle_counts(
     (vertex, n_triangles) for vertices in >= 1 triangle; each triangle
     contributes once to each of its three corners.
     """
-    e = (
+    # persist the dedup'd edge set: it feeds the symmetrized degree build
+    # (twice, via the union) and both sides of the orientation join — an
+    # unpersisted `e` replays its upstream plan (often an expensive pair
+    # self-join, e.g. the co-purchase build) up to five times (guide §5:
+    # cache what is reused and expensive; the 98-Exchange before-plan of
+    # copurchase_triangles was mostly this recomputation)
+    e = tracked_persist(
         edges.select(
             F.col(src_col).cast("long").alias("u"),
             F.col(dst_col).cast("long").alias("v"),
@@ -522,7 +528,10 @@ def triangle_counts(
         .distinct()
     )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    # vertex-sized; consumed by two orientation joins
+    deg = tracked_persist(
+        sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    )
     oriented = tracked_persist(
         e.join(deg.select(F.col("u"), F.col("d").alias("du")), "u")
         .join(

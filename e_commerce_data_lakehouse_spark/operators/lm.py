@@ -163,16 +163,28 @@ def score_positions(
 ) -> DataFrame:
     """Stupid-Backoff qlog2 score per token position.
 
-    Adds ``q`` (BIGINT score, <= 0) and ``is_oov`` to the stream.  The five
-    probes are left joins against the vocab-sized count tables; the total
-    token count ``N`` is a bounded driver-side scalar off the (persisted,
-    vocab-sized) unigram table, plugged in as a literal — a scalar-subquery
-    cross join would put a BroadcastNestedLoopJoin in the hot path for a
-    value that is one number.
+    Adds ``q`` (BIGINT score, <= 0) and ``is_oov`` to the stream.  The
+    score is a PURE FUNCTION of the ``(t2, t1, t)`` triple — the five
+    count probes, the backoff order ``m`` and the OOV flag all derive
+    from the triple alone — so it is computed once per DISTINCT triple
+    (the five probe joins and the qlog2 arithmetic run over the
+    vocab-sized triple table) and attached to the corpus-sized stream by
+    ONE null-safe lookup join.  The previous form ran all five probe
+    joins over the position stream itself: five corpus-sized join passes
+    (shuffles, once the gram tables outgrow broadcast — measured 40 s at
+    gen-sf10 where this was the registry's slowest non-quadratic row)
+    and the heavyweight qlog2 expression per POSITION instead of per
+    distinct triple (guide §2.3: aggregate before you shuffle / compute
+    on the deduplicated domain).  The total token count ``N`` is a
+    bounded driver-side scalar off the (persisted, vocab-sized) unigram
+    table, plugged in as a literal — a scalar-subquery cross join would
+    put a BroadcastNestedLoopJoin in the hot path for a value that is
+    one number.
     """
     n_tok = int(uni.agg(F.sum("c1")).first()[0] or 1)  # empty train -> N=1
+    triples = stream.select("t2", "t1", "t").distinct()
     probed = (
-        stream.join(tri, ["t2", "t1", "t"], "left")
+        triples.join(tri, ["t2", "t1", "t"], "left")
         .join(bi, ["t1", "t"], "left")
         .join(
             bi.select(
@@ -202,11 +214,26 @@ def score_positions(
         f" ELSE -{BACKOFF} * ({m} - 1) - {qn}"
         " END"
     )
-    return probed.selectExpr(
-        "*",
+    lut = probed.selectExpr(
+        "t2 AS __t2",
+        "t1 AS __t1",
+        "t AS __t",
         f"CAST({score} AS BIGINT) AS q",
         "c1 IS NULL AS is_oov",
     )
+    # null-safe equi-join: t1/t2 are NULL at the first two positions of
+    # every document, and the triple table keeps those NULL-context rows
+    # as their own entries; EqualNullSafe keys still plan as hash joins.
+    # Inner join is exact — every stream triple is in `triples` by
+    # construction, and `triples` is unique-keyed, so row multiplicity
+    # is preserved.
+    return stream.join(
+        lut,
+        stream["t2"].eqNullSafe(lut["__t2"])
+        & stream["t1"].eqNullSafe(lut["__t1"])
+        & stream["t"].eqNullSafe(lut["__t"]),
+        "inner",
+    ).drop("__t2", "__t1", "__t")
 
 
 def lm_doc_scores(

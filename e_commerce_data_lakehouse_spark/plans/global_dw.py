@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 
 from e_commerce_data_lakehouse_spark.functions.exact import dsum, sum_money
 from e_commerce_data_lakehouse_spark.operators import aggregates as agg
-from e_commerce_data_lakehouse_spark.operators import joins as jn
 from e_commerce_data_lakehouse_spark.operators.union import union_conform
 from e_commerce_data_lakehouse_spark.plans.medallion import (
     build_catalog_table,
@@ -174,68 +173,94 @@ def build_global_dw(
         ]
     }
 
-    # -- dims (tiny distinct projections, S13 overwrite semantics) ---------
-    t["global_dim_date"].overwrite(dim_date)
-    t["global_dim_customer"].overwrite(
-        customer.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-    )
-    t["global_dim_product"].overwrite(
-        part.select("p_partkey", "p_name", "p_type", "p_brand")
-    )
+    # -- wave 1: dims + the activity fact, CONCURRENT (guide §2.6) ---------
+    # The three dim writes and the fact build touch disjoint tables and
+    # disjoint inputs; submitting them from a small thread pool lets the
+    # tiny dim jobs back-fill executor cores the fact build's stage tails
+    # leave idle (actions are only sequential because driver code calls
+    # them sequentially).  Job descriptions are thread-local, so each job
+    # stays correctly labelled.  The fact write IS the materialization
+    # point: the union + per-actor sequence compute exactly once into
+    # parquet, and the downstream aggregates re-read the written table
+    # with column pruning (cheaper than a serialized memory persist of
+    # the full rows, and identical semantics).
+    from concurrent.futures import ThreadPoolExecutor
 
-    # -- shared intermediate: built once, feeds three outputs --------------
-    # The activity fact write IS the materialization point: the union +
-    # per-actor sequence window compute exactly once into parquet, and the
-    # three downstream aggregates re-read the written table with column
-    # pruning (cheaper than a serialized memory persist of the full rows,
-    # and identical semantics).
-    t["global_fact_customer_activity"].overwrite(_activity_union(orders, events))
+    wave1 = {
+        "global_dim_date": lambda: dim_date,
+        "global_dim_customer": lambda: customer.select(
+            "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        ),
+        "global_dim_product": lambda: part.select(
+            "p_partkey", "p_name", "p_type", "p_brand"
+        ),
+        "global_fact_customer_activity": lambda: _activity_union(
+            orders, events
+        ),
+    }
+    with ThreadPoolExecutor(max_workers=len(wave1)) as pool:
+        futs = [
+            pool.submit(lambda n=n, b=build: t[n].overwrite(b()))
+            for n, build in wave1.items()
+        ]
+        for f in futs:
+            f.result()
     activity = t["global_fact_customer_activity"].read()
 
-    # daily operational fact: date spine folded with per-domain metrics
-    # (J5+P9) — computed FROM the written union, not the source tables
-    om = (
-        activity.filter(F.col("activity_type") == "order")
-        .groupBy(F.to_date("activity_ts").alias("activity_date"))
-        .agg(
-            sum_money("amount").alias("order_revenue"),
-            F.count("*").alias("n_orders"),
+    # daily operational fact: ONE conditional-aggregation scan of the fact
+    # (was: spine distinct + order slice agg + event slice agg + two left
+    # joins — three fact scans and three shuffles; guide §2.3/§2.4).  A
+    # date appears iff it has any activity (== the old spine), order/event
+    # metrics come from condition-gated aggregates over the same rows the
+    # old slices kept, and absent-side metrics coalesce to the old
+    # fill-zero values.  A NULL activity_type contributes its date and
+    # neither side — exactly the old outer-spine semantics.
+    is_order = F.col("activity_type") == "order"
+
+    def build_op_daily() -> DataFrame:
+        return (
+            activity.groupBy(
+                F.to_date("activity_ts").alias("activity_date")
+            ).agg(
+                F.coalesce(
+                    sum_money(F.when(is_order, F.col("amount"))),
+                    F.lit(0.0),
+                ).alias("order_revenue"),
+                F.count(F.when(is_order, F.lit(1))).alias("n_orders"),
+                F.coalesce(
+                    dsum(F.when(~is_order, F.col("amount"))), F.lit(0.0)
+                ).alias("event_value"),
+                F.count(F.when(~is_order, F.lit(1))).alias("n_events"),
+            )
         )
-    )
-    em = (
-        activity.filter(F.col("activity_type") != "order")
-        .groupBy(F.to_date("activity_ts").alias("activity_date"))
-        .agg(
-            dsum("amount").alias("event_value"),
-            F.count("*").alias("n_events"),
-        )
-    )
-    spine = activity.select(
-        F.to_date("activity_ts").alias("activity_date")
-    ).distinct()
-    t["global_fact_operational_daily"].overwrite(
-        jn.fold_left_join(
-            spine,
-            [om, em],
-            ["activity_date"],
-            fill_zero_cols=[
-                "order_revenue", "n_orders", "event_value", "n_events",
-            ],
-        )
-    )
 
     # customer-360 (A5/A6) from the written union's event slice
-    ev_slice = activity.filter(F.col("activity_type") != "order").select(
-        F.col("actor_id").alias("user_id"),
-        F.col("activity_type").alias("event_type"),
-        F.col("amount").alias("value"),
-    )
-    t["global_agg_customer_360"].overwrite(agg.customer_360(ev_slice))
+    def build_c360() -> DataFrame:
+        ev_slice = activity.filter(~is_order).select(
+            F.col("actor_id").alias("user_id"),
+            F.col("activity_type").alias("event_type"),
+            F.col("amount").alias("value"),
+        )
+        return agg.customer_360(ev_slice)
 
     # monthly rollup (A12) from the order slice
-    order_slice = activity.filter(F.col("activity_type") == "order")
-    t["global_agg_monthly_summary"].overwrite(
-        agg.monthly_summary(order_slice, "activity_ts", "amount")
-    )
+    def build_monthly() -> DataFrame:
+        return agg.monthly_summary(
+            activity.filter(is_order), "activity_ts", "amount"
+        )
+
+    # -- wave 2: the three downstream aggregates, CONCURRENT (§2.6) -------
+    wave2 = {
+        "global_fact_operational_daily": build_op_daily,
+        "global_agg_customer_360": build_c360,
+        "global_agg_monthly_summary": build_monthly,
+    }
+    with ThreadPoolExecutor(max_workers=len(wave2)) as pool:
+        futs = [
+            pool.submit(lambda n=n, b=build: t[n].overwrite(b()))
+            for n, build in wave2.items()
+        ]
+        for f in futs:
+            f.result()
 
     return GlobalDW(tables=t, catalog=build_catalog_table(spark, t))
