@@ -9151,15 +9151,28 @@ def late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late"),
         )
     )
+    # two-level aggregation instead of the twin COUNT(DISTINCT): the
+    # multi-distinct plan ran an Expand that tripled every lineitem row
+    # through the first exchange (r12 before-plan).  Collapsing to one
+    # row per (order, supplier) first — max(is_late) = "this supplier
+    # shipped anything late on this order" — gets map-side partial
+    # aggregation on the raw rows and shuffles each pair once (guide
+    # §2.3: aggregate before you shuffle).  Equivalence: n_supp =
+    # COUNT(DISTINCT suppkey) = COUNT(*) over pairs; a supplier is late
+    # iff any of its lines is (max of booleans, NULL-ignoring like the
+    # DISTINCT form); late_supp = max over late pairs.
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("pair_late")
+    )
     per_order = (
-        li.groupBy("l_orderkey")
+        per_pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("is_late"), F.col("l_suppkey"))
-            ).alias("n_late_supp"),
+            F.count("*").alias("n_supp"),
+            F.count(F.when(F.col("pair_late"), F.lit(1))).alias(
+                "n_late_supp"
+            ),
             F.max(
-                F.when(F.col("is_late"), F.col("l_suppkey"))
+                F.when(F.col("pair_late"), F.col("l_suppkey"))
             ).alias("late_supp"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))

@@ -161,13 +161,28 @@ def _token_base(
     df: DataFrame, id_col: str, text_col: str, block_cols: list[str]
 ) -> DataFrame:
     """(id, blocks..., distinct-token array, token count) — the shared
-    input shape of the token-set similarity joins."""
+    input shape of the token-set similarity joins.
+
+    PERSISTED (guide §5: cache what is reused AND expensive): every
+    caller consumes this frame several times — the prefix-candidate
+    builder reads it three ways (document-frequency aggregate, prefix
+    side, full side) and the exact verify re-joins it twice more — and
+    without the persist each consumer replays the scan AND the regex
+    normalize + split + array_distinct chain, the most expensive
+    per-row expression in the family (the r12 before-plan of
+    ``near_dup_token_jaccard`` showed TEN parquet scans of the
+    documents table, each re-running the normalize chain 2-4× inside
+    its Filter/Project pair).  Serialized MEMORY_AND_DISK via
+    ``tracked_persist``: spills gracefully when the token arrays
+    outgrow memory, and re-reads pay one decode instead of the regex."""
     toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        toks.alias("toks"),
-        F.size(toks).cast("double").alias("__nt"),
+    return tracked_persist(
+        ensure_parallelism(df).select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            toks.alias("toks"),
+            F.size(toks).cast("double").alias("__nt"),
+        )
     )
 
 

@@ -275,6 +275,13 @@ def exact_values_at(
         # that searchsorted could land on; weights must be >= 0
         hist = hist.filter(F.col("__cnt") > 0)
     order_cols = keys + [value_col]
+    # persist the histogram BEFORE the range shuffle: repartitionByRange
+    # runs a sampling job over its input to pick partition bounds, so an
+    # unpersisted hist would compute twice — and its upstream is the one
+    # full pass over the base data this machinery makes (guide §5: the
+    # sampling recompute was a second hidden base scan).  Histogram-sized,
+    # so the cache is bounded by the distinct-value count, not the data.
+    hist = tracked_persist(hist)
     sdf = tracked_persist(
         (
             hist.repartitionByRange(num_partitions, *order_cols)
@@ -305,6 +312,7 @@ def exact_values_at(
         )
         if over:
             sdf.unpersist()
+            hist.unpersist()
             raise ValueError(
                 f"exact_values_at: group_cols {keys!r} exceed "
                 f"max_groups={max_groups} distinct groups — this engine "
@@ -323,6 +331,7 @@ def exact_values_at(
 
     if not totals:
         sdf.unpersist()
+        hist.unpersist()
         return {}, {}
 
     needed: dict[tuple, set[int]] = {
@@ -422,6 +431,7 @@ def exact_values_at(
         g = tuple(r[k] for k in keys)
         by_group.setdefault(g, {})[int(r["__idx"])] = r[value_col]
     sdf.unpersist()
+    hist.unpersist()
     return by_group, totals
 
 

@@ -46,7 +46,6 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window
 
 from e_commerce_data_lakehouse_spark.functions import text as tx
 from e_commerce_data_lakehouse_spark.operators import corpus as cp
@@ -65,6 +64,30 @@ DECON_NGRAM = 4  # word n-gram size (synthetic corpus: 4, prod default 8)
 def _stage(name: str, table: ManagedTable, t0: float) -> StageResult:
     return StageResult(
         name, table.read().count(), round(time.monotonic() - t0, 3)
+    )
+
+
+def _keep_min_doc(df: DataFrame) -> DataFrame:
+    """Collapse exact near-copies to the LOWEST doc_id per fingerprint
+    as ONE hash aggregate: ``min(struct(doc_id, rest...))`` picks the
+    same row the old ``row_number() OVER (PARTITION BY fp ORDER BY
+    doc_id) = 1`` window picked (doc_id is unique, so the struct's
+    first field alone decides), but gets map-side partial aggregation —
+    duplicate fingerprints collapse to their local winner BEFORE the
+    shuffle, and the reduce side is a hash merge instead of a per-group
+    sort (guide §2.3 "aggregate before you shuffle"; the same
+    window→agg swap the orders medallion's dedup already runs).  The
+    corpus schemas here are all orderable types (no maps), so the
+    struct comparison is legal."""
+    cols = df.columns
+    rest = [c for c in cols if c not in ("fp", "doc_id")]
+    return (
+        df.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", *rest)).alias("__r"))
+        .select(*[
+            F.col(f"__r.{c}").alias(c) if c != "fp" else F.col("fp")
+            for c in cols
+        ])
     )
 
 
@@ -96,12 +119,7 @@ def curate_silver(
         (F.col("doc_id") % BENCH_MOD != 0)
         & (F.col("quality") >= QUALITY_FLOOR)
     )
-    w = Window.partitionBy("fp").orderBy("doc_id")
-    silver_curated.overwrite(
-        src.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    silver_curated.overwrite(_keep_min_doc(src))
     return _stage("curate_silver", silver_curated, t0)
 
 
@@ -317,12 +335,7 @@ def ingest_corpus_batch(
             (F.col("doc_id") % BENCH_MOD != 0)
             & (F.col("quality") >= QUALITY_FLOOR)
         )
-        w = Window.partitionBy("fp").orderBy("doc_id")
-        in_batch = (
-            gated.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+        in_batch = _keep_min_doc(gated)
         sc_t = tables["silver_curated"]
         # localCheckpoint (eager), NOT persist: the append below
         # writes INTO the directory these plans read, and Spark's

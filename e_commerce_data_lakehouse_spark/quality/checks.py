@@ -224,21 +224,26 @@ def robust_outlier_stats(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__v")
     )
     g_field = vals.schema["__g"]
-    # COUNT(*) per group incl. NULL-value rows (SQL count semantics: the
-    # medians ignore NULLs, the row count does not, and an all-NULL
-    # group still gets an output row with NULL statistics) — bounded:
-    # one row per audit group
+    # ONE pass over the base data for EVERYTHING: the (group, value)
+    # histogram keeps a NULL-value bucket so the per-group row counts
+    # (SQL COUNT(*) semantics: medians ignore NULLs, the row count does
+    # not, and an all-NULL group still gets an output row with NULL
+    # statistics) come from a histogram-sized re-aggregate of the same
+    # persisted frame — the old separate COUNT(*) pass re-scanned the
+    # base table (guide §2.3/§1.2: don't pay a second full pass for a
+    # bounded side-statistic the first pass already saw)
+    hist_all = tracked_persist(
+        vals.groupBy("__g", "__v").agg(
+            F.count("*").cast("long").alias("__w")
+        )
+    )
     counts_all = {
         r["__g"]: int(r["__n"])
-        for r in vals.groupBy("__g").agg(F.count("*").alias("__n"))
+        for r in hist_all.groupBy("__g")
+        .agg(F.sum("__w").cast("long").alias("__n"))
         .collect()
     }
-    # the ONLY pass over the base data for the statistics
-    hist = tracked_persist(
-        vals.filter(F.col("__v").isNotNull())
-        .groupBy("__g", "__v")
-        .agg(F.count("*").cast("long").alias("__w"))
-    )
+    hist = hist_all.filter(F.col("__v").isNotNull())
     med_q, _ = rk.exact_quantiles_cont(
         hist, "__v", [0.5], group_cols=["__g"], weight_col="__w"
     )
