@@ -9231,19 +9231,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e_commerce_data_lakehouse_spark.operators import ranking as rk
 
     o = load(spark, sf_dir, "orders")["orders"]
-    # persisted: the first global_row_number's range shuffle SAMPLES its
-    # input for partition bounds and then shuffles it — without the
-    # persist the orders aggregate computes twice (guide §5: cache only
-    # what is reused AND expensive; this is the one frame here that reads
-    # the base table)
-    per_cust = tracked_persist(
-        o.groupBy("o_custkey").agg(
-            F.max("o_orderdate").alias("last_order"),
-            F.count("*").alias("n_orders"),
-            F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(30,0))"))
-            .cast("long")
-            .alias("spend_cents"),
-        )
+    # (global_row_number itself persists its input across the range
+    # shuffle's bound-sampling job now, so the orders aggregate computes
+    # once without a caller-side persist)
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(30,0))"))
+        .cast("long")
+        .alias("spend_cents"),
     )
     # three independent total orders → three range shuffles of the same
     # 4-column frame (no custkey re-join needed: each pass carries the

@@ -27,7 +27,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     ByteType,
+    DateType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -35,9 +38,63 @@ from pyspark.sql.types import (
     ShortType,
     StructField,
     StructType,
+    TimestampNTZType,
+    TimestampType,
 )
 
 from e_commerce_data_lakehouse_spark.caching import tracked_persist
+
+# exact_values_at's adaptive fast-path ceiling: histograms at or below
+# this many (group, value, weight) rows are limit-collected and solved
+# driver-side (a few tens of MB of Row objects at worst); above it the
+# distributed range-shard machinery runs unchanged.  Same size-class
+# trade as connected_components' union-find ceiling.
+_SMALL_HIST_ROWS = 262_144
+
+
+def _order_stats_driver_side(
+    rows, keys: list[str], value_col: str, index_fn, max_groups
+) -> tuple[dict, dict]:
+    """Driver-side order statistics over a bounded collected histogram —
+    the exact semantics of the distributed pick pass (per group: values
+    in Spark sort order, weighted cumulative counts, emit the value
+    covering each requested 0-based position).  Values are raw collected
+    Row cells (the same JVM->Python conversion the pick pass's collect
+    used), so type fidelity is identical."""
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        g = tuple(r[k] for k in keys)
+        groups.setdefault(g, []).append((r[value_col], int(r["__cnt"])))
+    if keys and max_groups is not None and len(groups) > max_groups:
+        raise ValueError(
+            f"exact_values_at: group_cols {keys!r} exceed "
+            f"max_groups={max_groups} distinct groups — this engine "
+            "keys bounded driver-side dicts by group; raise "
+            "max_groups only if the driver can hold that many "
+            "(or pre-bucket the keys)"
+        )
+    totals = {g: sum(c for _, c in vs) for g, vs in groups.items()}
+    by_group: dict[tuple, dict[int, object]] = {}
+    for g, vs in groups.items():
+        n = totals[g]
+        needed = sorted({int(i) for i in index_fn(n) if 0 <= int(i) < n})
+        if not needed:
+            continue
+        # every supported type compares identically in Python and Spark
+        # (NaN never reaches here — the caller routes NaN-bearing
+        # histograms to the distributed path)
+        vs.sort(key=lambda t: t[0])
+        out: dict[int, object] = {}
+        ni, cum = 0, 0
+        for v, c in vs:
+            cum += c
+            while ni < len(needed) and needed[ni] < cum:
+                out[needed[ni]] = v
+                ni += 1
+            if ni == len(needed):
+                break
+        by_group[g] = out
+    return by_group, totals
 
 
 def global_row_number(
@@ -54,6 +111,12 @@ def global_row_number(
     """
     import numpy as np
 
+    # persist the input: repartitionByRange's bound-sampling job runs the
+    # FULL upstream plan once before the real shuffle runs it again
+    # (guide §5; profiled on rfm_segments — each of its three chained
+    # rank passes re-ran its predecessor's join during sampling).
+    # Unpersisted after the ranked frame materializes below.
+    df = tracked_persist(df)
     sdf = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -87,6 +150,7 @@ def global_row_number(
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
+    df.unpersist()  # ranked frame materialized — input no longer needed
     offsets, acc = [], 0
     for pid in sorted(counts):
         offsets.append((pid, acc))
@@ -129,6 +193,9 @@ def global_cumsum(
     """
     import numpy as np
 
+    # same input-persist rationale as global_row_number: the range
+    # shuffle's sampling job would re-run the full upstream plan
+    df = tracked_persist(df)
     sdf = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -162,6 +229,7 @@ def global_cumsum(
         .agg(F.sum(value_col).cast("long").alias("s"))
         .collect()
     }
+    df.unpersist()  # cumsum frame materialized — input no longer needed
     offsets, acc = [], 0
     for pid in sorted(sums):
         offsets.append((pid, acc))
@@ -282,6 +350,42 @@ def exact_values_at(
     # sampling recompute was a second hidden base scan).  Histogram-sized,
     # so the cache is bounded by the distinct-value count, not the data.
     hist = tracked_persist(hist)
+
+    # ---- adaptive small-histogram fast path ---------------------------
+    # (the connected_components precedent: below a bounded driver budget
+    # the distributed machinery is pure job latency.)  When the WHOLE
+    # (group, value, weight) histogram fits _SMALL_HIST_ROWS, one bounded
+    # limit-collect replaces the range shuffle + offsets collect + Arrow
+    # pick pass — profiled on robust_price_outliers: the two pick jobs
+    # alone cost 0.87 + 0.86 s WARM, a third of the query.  The probe
+    # doubles as the cache-materializing job, so an over-ceiling
+    # histogram wastes only the bounded transfer and proceeds
+    # distributed, unchanged — the 100 TB path.  Driver-side ordering
+    # must equal Spark's, so the fast path is restricted to
+    # numeric/decimal/date/timestamp/boolean value types (float NaN is
+    # ordered LAST, matching Spark's NaN-greatest sort); strings stay
+    # distributed (Python str order is not UTF8-binary order).
+    if isinstance(
+        hist.schema[value_col].dataType,
+        (
+            ByteType, ShortType, IntegerType, LongType,
+            FloatType, DoubleType, DecimalType,
+            DateType, TimestampType, TimestampNTZType, BooleanType,
+        ),
+    ):
+        probe = hist.limit(_SMALL_HIST_ROWS + 1).collect()
+        # NaN values fall back to the distributed path: the Arrow pick
+        # pass has always surfaced a picked NaN as None (pyarrow
+        # from_pandas treats NaN as null), and matching that legacy
+        # byte-for-byte beats silently changing it here
+        if len(probe) <= _SMALL_HIST_ROWS and not any(
+            r[value_col] != r[value_col] for r in probe
+        ):
+            hist.unpersist()
+            return _order_stats_driver_side(
+                probe, keys, value_col, index_fn, max_groups
+            )
+
     sdf = tracked_persist(
         (
             hist.repartitionByRange(num_partitions, *order_cols)

@@ -62,8 +62,13 @@ DECON_NGRAM = 4  # word n-gram size (synthetic corpus: 4, prod default 8)
 
 
 def _stage(name: str, table: ManagedTable, t0: float) -> StageResult:
+    # row_count() = parquet-footer metadata (Delta: txn-log stats) — the
+    # old read().count() launched a Spark job per stage just to report
+    # the row count the storage layer already knows (guide §1.2: these
+    # pipelines are JOB-COUNT bound — profiled 28-31 sequential jobs with
+    # 1.7-2.3 s of pure scheduling gap per run)
     return StageResult(
-        name, table.read().count(), round(time.monotonic() - t0, 3)
+        name, table.row_count(), round(time.monotonic() - t0, 3)
     )
 
 
@@ -355,12 +360,15 @@ def ingest_corpus_batch(
         survivors = survivors.localCheckpoint(eager=True)
         state["new_curated"] = survivors
         # commit even an EMPTY first batch: downstream stages read
-        # this table, and a never-created table fails them all
-        if survivors.count() > 0 or not sc_t.exists():
+        # this table, and a never-created table fails them all.  ONE
+        # count job (survivors is an eager localCheckpoint, but each
+        # .count() was still its own Spark job)
+        n_surv = survivors.count()
+        if n_surv > 0 or not sc_t.exists():
             sc_t.append(survivors)
         return StageResult(
             "curate_silver",
-            survivors.count(),  # delta rows, not table size
+            n_surv,  # delta rows, not table size
             round(time.monotonic() - t0, 3),
         )
 

@@ -95,7 +95,9 @@ def ingest_raw_to_bronze(
     df = with_partition_columns(with_lineage(read_fn(new)), ts_col)
     bronze.append(df)
     ledger.mark_processed(new)
-    return _timed("raw_to_bronze", bronze.read().count(), t0)
+    # row_count() = storage metadata (parquet footers / Delta txn-log
+    # stats) — no Spark job for a number the storage layer knows
+    return _timed("raw_to_bronze", bronze.row_count(), t0)
 
 
 def bronze_to_silver(
@@ -156,7 +158,8 @@ def bronze_to_silver(
     silver.merge_scd1(deduped, key)
     out = silver.read()
     q.uniqueness(out, key).expect()
-    return _timed("bronze_to_silver", out.count(), t0, [retention])
+    # metadata-only count of the just-committed snapshot (== out.count())
+    return _timed("bronze_to_silver", silver.row_count(), t0, [retention])
 
 
 def with_date_key_parts(
@@ -372,7 +375,7 @@ def silver_to_gold_star(
             date_key_name,
         )
         fact.overwrite(fact_df)
-        n = fact.read().count()
+        n = fact.row_count()  # footer metadata, no Spark job
     finally:
         s.unpersist()
     return _timed("silver_to_gold", n, t0)
@@ -398,7 +401,7 @@ def gold_daily_rollup(
         )
     )
     agg_table.overwrite(df)
-    return _timed("gold_daily_rollup", agg_table.read().count(), t0)
+    return _timed("gold_daily_rollup", agg_table.row_count(), t0)
 
 
 def gold_daily_rollup_incremental(
@@ -465,7 +468,7 @@ def gold_daily_rollup_incremental(
     )
     agg_table.merge_scd1(df, [date_key_name])
     return _timed(
-        "gold_daily_rollup_incremental", agg_table.read().count(), t0
+        "gold_daily_rollup_incremental", agg_table.row_count(), t0
     )
 
 
