@@ -46,10 +46,16 @@ from e_commerce_data_lakehouse_spark.caching import tracked_persist
 
 # exact_values_at's adaptive fast-path ceiling: histograms at or below
 # this many (group, value, weight) rows are limit-collected and solved
-# driver-side (a few tens of MB of Row objects at worst); above it the
-# distributed range-shard machinery runs unchanged.  Same size-class
-# trade as connected_components' union-find ceiling.
-_SMALL_HIST_ROWS = 262_144
+# driver-side; above it the distributed range-shard machinery runs
+# unchanged.  Same size-class trade as connected_components' union-find
+# ceiling, but the budget is set by py4j Row-collect THROUGHPUT, not
+# driver memory: a Row costs ~10 µs to build, so the r12 close-pair
+# bench caught a 262 Ki ceiling REGRESSING the near-unique-price
+# histograms (~150 k rows ≈ +2 s per call, more than the 4-5 jobs it
+# replaced).  64 Ki keeps the collect under ~0.5 s — bounded-domain
+# histograms (statuses, priorities, deviation tables, integer buckets)
+# take the 1-job path, near-unique value domains stay distributed.
+_SMALL_HIST_ROWS = 65_536
 
 
 def _order_stats_driver_side(
@@ -373,18 +379,23 @@ def exact_values_at(
             DateType, TimestampType, TimestampNTZType, BooleanType,
         ),
     ):
-        probe = hist.limit(_SMALL_HIST_ROWS + 1).collect()
-        # NaN values fall back to the distributed path: the Arrow pick
-        # pass has always surfaced a picked NaN as None (pyarrow
-        # from_pandas treats NaN as null), and matching that legacy
-        # byte-for-byte beats silently changing it here
-        if len(probe) <= _SMALL_HIST_ROWS and not any(
-            r[value_col] != r[value_col] for r in probe
-        ):
-            hist.unpersist()
-            return _order_stats_driver_side(
-                probe, keys, value_col, index_fn, max_groups
-            )
+        # COUNT probe, not a limit-collect probe: counting the persisted
+        # histogram ships zero rows and doubles as the cache-materializing
+        # job (which the distributed path needs anyway before its range
+        # shuffle), whereas a limit-collect probe shipped ~64 Ki wasted
+        # Rows (~0.7 s) on every over-ceiling histogram (r12 close-pair
+        # finding — near-unique price domains).
+        if hist.count() <= _SMALL_HIST_ROWS:
+            probe = hist.collect()
+            # NaN values fall back to the distributed path: the Arrow
+            # pick pass has always surfaced a picked NaN as None (pyarrow
+            # from_pandas treats NaN as null), and matching that legacy
+            # byte-for-byte beats silently changing it here
+            if not any(r[value_col] != r[value_col] for r in probe):
+                hist.unpersist()
+                return _order_stats_driver_side(
+                    probe, keys, value_col, index_fn, max_groups
+                )
 
     sdf = tracked_persist(
         (
