@@ -44,17 +44,18 @@ from pyspark.sql.types import (
 
 from e_commerce_data_lakehouse_spark.caching import tracked_persist
 
-# exact_values_at's adaptive fast-path ceiling: histograms at or below
-# this many (group, value, weight) rows are limit-collected and solved
-# driver-side; above it the distributed range-shard machinery runs
-# unchanged.  Same size-class trade as connected_components' union-find
-# ceiling, but the budget is set by py4j Row-collect THROUGHPUT, not
-# driver memory: a Row costs ~10 µs to build, so the r12 close-pair
-# bench caught a 262 Ki ceiling REGRESSING the near-unique-price
-# histograms (~150 k rows ≈ +2 s per call, more than the 4-5 jobs it
-# replaced).  64 Ki keeps the collect under ~0.5 s — bounded-domain
-# histograms (statuses, priorities, deviation tables, integer buckets)
-# take the 1-job path, near-unique value domains stay distributed.
+# exact_values_at's adaptive shortcut ceiling: when the sorted histogram
+# holds at most this many (group, value, weight) rows — known for free
+# from the offsets aggregate — it is collected and solved driver-side
+# instead of running the Arrow pick pass.  Same size-class trade as
+# connected_components' union-find ceiling, but the budget is set by
+# py4j Row-collect THROUGHPUT, not driver memory: a Row costs ~10 µs to
+# build, so the r12 close-pair bench caught a 262 Ki ceiling REGRESSING
+# near-unique-price histograms (~150 k rows ≈ +2 s per call, more than
+# the jobs it replaced).  64 Ki keeps the collect under ~0.5 s —
+# bounded-domain histograms (statuses, priorities, deviation tables,
+# spend aggregates) take the shortcut, near-unique value domains run
+# the pick pass unchanged with zero added jobs or transfers.
 _SMALL_HIST_ROWS = 65_536
 
 
@@ -357,46 +358,6 @@ def exact_values_at(
     # so the cache is bounded by the distinct-value count, not the data.
     hist = tracked_persist(hist)
 
-    # ---- adaptive small-histogram fast path ---------------------------
-    # (the connected_components precedent: below a bounded driver budget
-    # the distributed machinery is pure job latency.)  When the WHOLE
-    # (group, value, weight) histogram fits _SMALL_HIST_ROWS, one bounded
-    # limit-collect replaces the range shuffle + offsets collect + Arrow
-    # pick pass — profiled on robust_price_outliers: the two pick jobs
-    # alone cost 0.87 + 0.86 s WARM, a third of the query.  The probe
-    # doubles as the cache-materializing job, so an over-ceiling
-    # histogram wastes only the bounded transfer and proceeds
-    # distributed, unchanged — the 100 TB path.  Driver-side ordering
-    # must equal Spark's, so the fast path is restricted to
-    # numeric/decimal/date/timestamp/boolean value types (float NaN is
-    # ordered LAST, matching Spark's NaN-greatest sort); strings stay
-    # distributed (Python str order is not UTF8-binary order).
-    if isinstance(
-        hist.schema[value_col].dataType,
-        (
-            ByteType, ShortType, IntegerType, LongType,
-            FloatType, DoubleType, DecimalType,
-            DateType, TimestampType, TimestampNTZType, BooleanType,
-        ),
-    ):
-        # COUNT probe, not a limit-collect probe: counting the persisted
-        # histogram ships zero rows and doubles as the cache-materializing
-        # job (which the distributed path needs anyway before its range
-        # shuffle), whereas a limit-collect probe shipped ~64 Ki wasted
-        # Rows (~0.7 s) on every over-ceiling histogram (r12 close-pair
-        # finding — near-unique price domains).
-        if hist.count() <= _SMALL_HIST_ROWS:
-            probe = hist.collect()
-            # NaN values fall back to the distributed path: the Arrow
-            # pick pass has always surfaced a picked NaN as None (pyarrow
-            # from_pandas treats NaN as null), and matching that legacy
-            # byte-for-byte beats silently changing it here
-            if not any(r[value_col] != r[value_col] for r in probe):
-                hist.unpersist()
-                return _order_stats_driver_side(
-                    probe, keys, value_col, index_fn, max_groups
-                )
-
     sdf = tracked_persist(
         (
             hist.repartitionByRange(num_partitions, *order_cols)
@@ -409,8 +370,12 @@ def exact_values_at(
     # (partition, group).  spark_partition_id() is evaluated before the
     # aggregate's shuffle, so it tags the persisted sorted layout — the
     # same physical partition ids the pick pass's TaskContext sees.
+    # __nrows additionally counts HISTOGRAM rows per (partition, group)
+    # — free in this aggregate — so the driver can decide the adaptive
+    # small-histogram shortcut below without a probe job.
     sum_df = sdf.groupBy(F.spark_partition_id().alias("__pid"), *keys).agg(
-        F.sum("__cnt").cast("long").alias("__s")
+        F.sum("__cnt").cast("long").alias("__s"),
+        F.count("*").alias("__nrows"),
     )
     if keys and max_groups is not None:
         # runaway-group guard at ZERO extra cost: the offsets collect we
@@ -448,6 +413,38 @@ def exact_values_at(
         sdf.unpersist()
         hist.unpersist()
         return {}, {}
+
+    # ---- adaptive small-histogram shortcut ----------------------------
+    # (the connected_components precedent: below a bounded driver budget
+    # the remaining distributed step is pure job latency.)  The offsets
+    # aggregate above counted histogram ROWS for free; when the whole
+    # sorted histogram fits _SMALL_HIST_ROWS, one bounded collect of the
+    # already-persisted sdf replaces the Arrow pick pass — profiled on
+    # robust_price_outliers: the two pick jobs cost 0.87 + 0.86 s WARM,
+    # a third of the query — with ZERO extra jobs on the over-ceiling
+    # (100 TB) path, which runs the pick pass unchanged.  Driver-side
+    # ordering must equal Spark's, so the shortcut is restricted to
+    # numeric/decimal/date/timestamp/boolean value types (strings stay
+    # distributed: Python str order is not UTF8-binary order), and
+    # NaN-bearing histograms keep the pick pass so its legacy NaN→None
+    # surface (pyarrow from_pandas: NaN becomes null) is preserved
+    # byte-for-byte.
+    n_hist_rows = sum(int(r["__nrows"]) for r in sum_rows)
+    if n_hist_rows <= _SMALL_HIST_ROWS and isinstance(
+        sdf.schema[value_col].dataType,
+        (
+            ByteType, ShortType, IntegerType, LongType,
+            FloatType, DoubleType, DecimalType,
+            DateType, TimestampType, TimestampNTZType, BooleanType,
+        ),
+    ):
+        probe = sdf.collect()
+        if not any(r[value_col] != r[value_col] for r in probe):
+            sdf.unpersist()
+            hist.unpersist()
+            return _order_stats_driver_side(
+                probe, keys, value_col, index_fn, max_groups
+            )
 
     needed: dict[tuple, set[int]] = {
         g: {int(i) for i in index_fn(n) if 0 <= int(i) < n}
