@@ -23,6 +23,12 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from e_commerce_data_lakehouse_spark.caching import tracked_persist
 
+# robust_outlier_stats: per-group stat lookups attach as a literal
+# when-chain at or below this many groups (saves the tiny-frame
+# createDataFrame + broadcast-build jobs); above it the broadcast join
+# returns — a thousands-deep when-chain would blow codegen.
+_LOOKUP_CHAIN_MAX = 64
+
 
 @dataclass(frozen=True)
 class CheckResult:
@@ -247,21 +253,53 @@ def robust_outlier_stats(
     med_q, _ = rk.exact_quantiles_cont(
         hist, "__v", [0.5], group_cols=["__g"], weight_col="__w"
     )
-    med = spark.createDataFrame(
-        [(gk[0], int(2 * q[0.5])) for gk, q in med_q.items()],
-        StructType([g_field, StructField("med2", LongType())]),
-    )
+    # the per-group medians/MADs are bounded driver-side dicts: attach
+    # them to the histogram as a LITERAL when-chain lookup instead of a
+    # createDataFrame + broadcast join — the r12 profile priced each of
+    # those tiny-frame broadcast builds at 0.2-0.5 s of job latency (4
+    # such jobs per audit), pure overhead for a ≤-handful-of-groups
+    # audit dimension.  NULL-group semantics preserved exactly: the old
+    # inner join dropped NULL-__g rows (NULL != NULL), and the chain's
+    # NULL default sends that group's deviations to NULL, which the
+    # quantile machinery filters and the outlier condition zeroes — same
+    # outputs.  Guarded: past _LOOKUP_CHAIN_MAX groups the broadcast
+    # join returns (a 10k-deep when-chain is a codegen bomb).
+    def _lookup_long(mapping: dict):
+        expr = F.lit(None).cast("long")
+        for gv, val in mapping.items():
+            if gv is None:
+                continue  # match the inner join: NULL group -> NULL
+            expr = F.when(F.col("__g") == F.lit(gv), F.lit(val)).otherwise(
+                expr
+            )
+        return expr
+
+    med_map = {gk[0]: int(2 * q[0.5]) for gk, q in med_q.items()}
+    if len(med_map) <= _LOOKUP_CHAIN_MAX:
+        med2_col = _lookup_long(med_map)
+    else:
+        med = spark.createDataFrame(
+            list(med_map.items()),
+            StructType([g_field, StructField("med2", LongType())]),
+        )
+        med2_col = None
     # deviation HISTOGRAM: distinct values map to d and re-aggregate
     # (two values can fold onto one d) — histogram-sized, not base-sized
-    dev_hist = tracked_persist(
-        hist.join(F.broadcast(med), "__g")
-        .select(
+    dev_src = (
+        hist.select(
+            "__g",
+            F.abs(2 * F.col("__v") - med2_col).alias("__d"),
+            "__w",
+        )
+        if med2_col is not None
+        else hist.join(F.broadcast(med), "__g").select(
             "__g",
             F.abs(2 * F.col("__v") - F.col("med2")).alias("__d"),
             "__w",
         )
-        .groupBy("__g", "__d")
-        .agg(F.sum("__w").alias("__w"))
+    )
+    dev_hist = tracked_persist(
+        dev_src.groupBy("__g", "__d").agg(F.sum("__w").alias("__w"))
     )
     mad_q, _ = rk.exact_quantiles_cont(
         dev_hist, "__d", [0.5], group_cols=["__g"], weight_col="__w"
@@ -272,16 +310,23 @@ def robust_outlier_stats(
     }
     out_counts: dict = {}
     if stats:
-        mad = spark.createDataFrame(
-            [(gv, m4) for gv, (_m2, m4) in stats.items()],
-            StructType([g_field, StructField("mad4", LongType())]),
-        )
+        mad_map = {gv: m4 for gv, (_m2, m4) in stats.items()}
+        if len(mad_map) <= _LOOKUP_CHAIN_MAX:
+            flagged = dev_hist.select(
+                "__g", "__d", "__w",
+                _lookup_long(mad_map).alias("mad4"),
+            )
+        else:
+            mad = spark.createDataFrame(
+                list(mad_map.items()),
+                StructType([g_field, StructField("mad4", LongType())]),
+            )
+            flagged = dev_hist.join(F.broadcast(mad), "__g")
         # weighted outlier counts over the deviation histogram — one
         # bounded row per group
         out_counts = {
             r["__g"]: int(r["__n"] or 0)
-            for r in dev_hist.join(F.broadcast(mad), "__g")
-            .groupBy("__g")
+            for r in flagged.groupBy("__g")
             .agg(
                 F.sum(
                     F.when(
