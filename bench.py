@@ -174,6 +174,56 @@ def _host_snapshot() -> dict:
     return {"load1": load1, "nproc": nproc}
 
 
+def _proc_snapshot() -> dict:
+    """Driver-side memory/worker evidence sampled between queries (r12
+    VERDICT #1: the 32-core driver vintage collapsed late in the run and
+    nothing recorded whether driver heap / Python-worker pool / ambient
+    load was the cause — sample it per query so the artifact adjudicates
+    itself).  One /proc scan: JVM driver RSS, summed Python-worker RSS,
+    live pyspark worker count, load1.  Runs OUTSIDE the timed region."""
+    jvm_rss_kb = 0
+    py_rss_kb = 0
+    n_workers = 0
+    try:
+        pids = [d for d in os.listdir("/proc") if d.isdigit()]
+    except OSError:
+        pids = []
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+        except OSError:
+            continue
+        is_jvm = b"org.apache.spark" in cmd and b"java" in cmd.split(b"\0", 1)[0]
+        is_pyworker = b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd
+        if not (is_jvm or is_pyworker):
+            continue
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                rss_kb = 0
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        rss_kb = int(line.split()[1])
+                        break
+        except (OSError, ValueError, IndexError):
+            continue
+        if is_jvm:
+            jvm_rss_kb += rss_kb
+        else:
+            py_rss_kb += rss_kb
+            n_workers += 1
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    return {
+        "load1": load1,
+        "jvm_rss_mb": jvm_rss_kb // 1024,
+        "py_rss_mb": py_rss_kb // 1024,
+        "n_pyworkers": n_workers,
+    }
+
+
 def _wait_quiet(max_minutes: float, threshold: float = 2.0) -> dict:
     """Poll load1 until the host is quiet (< threshold) or the budget is
     spent — so a bench launched right after other work produces an
@@ -250,6 +300,7 @@ def main() -> None:
     runs = 1 if cold else 2
     timings: dict[str, float] = {}
     cold_timings: dict[str, float] = {}
+    per_query_host: dict[str, dict] = {}
     for name in HEADLINE:
         # Each query is an independent job: drop DataFrames persisted by the
         # PREVIOUS query (the minhash/simhash family caches signatures and
@@ -269,6 +320,8 @@ def main() -> None:
             if i == 0:
                 cold_timings[name] = elapsed
             timings[name] = elapsed
+        # sampled AFTER the timed runs — evidence, not overhead
+        per_query_host[name] = _proc_snapshot()
 
     total = round(sum(timings.values()), 3)
     funnel = _funnel_stats(spark, sf_dir)
@@ -298,6 +351,15 @@ def main() -> None:
         # either endpoint cannot adjudicate a regression
         "host": {
             "cpus": os.cpu_count(),
+            # the ACTUAL parallelism the queries ran under, not the host
+            # core count (r12 VERDICT #2: a run with SPARK_GRAFT_CPUS=8
+            # still stamped "cpus": 32, so no A/B claim could prove its
+            # own master) — additions-only, the harness contract holds
+            "master": spark.sparkContext.master,
+            "default_parallelism": spark.sparkContext.defaultParallelism,
+            "shuffle_partitions": spark.conf.get(
+                "spark.sql.shuffle.partitions", None
+            ),
             "start": host_start,
             "end": _host_snapshot(),
             "wait_quiet": wait_evidence,
@@ -318,6 +380,9 @@ def main() -> None:
         out,
         queries=timings,
         queries_cold=cold_timings,
+        # per-query host evidence (load1 / driver-JVM RSS / python-worker
+        # pool) — the r12 late-run-collapse forensics, full record only
+        per_query_host=per_query_host,
     )
     prev = _load_previous_round(timings)
     if prev:
