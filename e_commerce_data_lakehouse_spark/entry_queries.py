@@ -1610,11 +1610,10 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointing + full recompute (T1/T5,
     ``transactions_processor.py:27-116``)."""
     import tempfile
-    import uuid
 
     from e_commerce_data_lakehouse_spark.streaming.pipeline import (
         hourly_event_counts,
-        run_available_now,
+        run_available_now_parquet,
         stream_events,
     )
 
@@ -1622,9 +1621,10 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = _events_stream_schema(spark, sf_dir)
     stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
     result = hourly_event_counts(stream, watermark="2 hours")
-    table = f"hourly_counts_{uuid.uuid4().hex[:8]}"
-    run_available_now(result, tempfile.mkdtemp(prefix="ckpt_"), table)
-    out = spark.table(table)
+    out = run_available_now_parquet(
+        result, tempfile.mkdtemp(prefix="ckpt_"),
+        tempfile.mkdtemp(prefix="drain_"),
+    )
     return out.withColumn(
         "hour_start", F.col("hour_start").cast("timestamp_ntz")
     )
@@ -2902,11 +2902,10 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch join — AvailableNow over a bounded source must produce exactly
     the batch answer."""
     import tempfile
-    import uuid
 
     from e_commerce_data_lakehouse_spark.streaming.joins import interval_join
     from e_commerce_data_lakehouse_spark.streaming.pipeline import (
-        run_available_now,
+        run_available_now_parquet,
         stream_events,
     )
 
@@ -2933,11 +2932,10 @@ def streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_watermark="2 hours",
         right_watermark="3 hours",
     ).select("purchase_id", "view_id", F.col("l.user_id").alias("user_id"))
-    table = f"attribution_{uuid.uuid4().hex[:8]}"
-    run_available_now(
-        joined, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="append"
+    return run_available_now_parquet(
+        joined, tempfile.mkdtemp(prefix="ckpt_"),
+        tempfile.mkdtemp(prefix="drain_"), output_mode="append",
     )
-    return spark.table(table)
 
 
 @register(
@@ -5427,10 +5425,16 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``bm25_search_topk`` and the RRF hybrid fusion)."""
     docs = load(spark, sf_dir, "documents")["documents"]
     toks = F.split(dd.normalize_text(F.col("text")), " ")
-    base = docs.select(
-        "doc_id",
-        toks.alias("toks"),
-        F.size(toks).cast("double").alias("dl"),
+    # persisted: the corpus-stats aggregate below AND the returned scored
+    # frame both consume the tokenized base — unpersisted it re-ran the
+    # regex normalize + split chain over every document twice per call
+    # (guide §5; the same recompute _token_base's r12 persist removed)
+    base = tracked_persist(
+        docs.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.size(toks).cast("double").alias("dl"),
+        )
     )
     stat_row = base.agg(
         F.count("*").alias("n_docs"),
@@ -7724,10 +7728,9 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     within ±5% (~3σ at lg_k=12) of the exact batch COUNT(DISTINCT); the
     pinned boolean plus the exact counts are what DuckDB reproduces."""
     import tempfile
-    import uuid
 
     from e_commerce_data_lakehouse_spark.streaming.pipeline import (
-        run_available_now,
+        run_available_now_parquet,
         stream_events,
     )
 
@@ -7744,8 +7747,10 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sketch").alias("approx_distinct"),
         )
     )
-    table = f"sketch_distinct_{uuid.uuid4().hex[:8]}"
-    run_available_now(est, tempfile.mkdtemp(prefix="ckpt_"), table)
+    est_out = run_available_now_parquet(
+        est, tempfile.mkdtemp(prefix="ckpt_"),
+        tempfile.mkdtemp(prefix="drain_"),
+    )
     ev = load(spark, sf_dir, "events")["events"]
     # cast to ntz BEFORE the join/output: an LTZ hour would re-render in
     # the driver's host timezone at collect time (the TZ probe catches it)
@@ -7753,7 +7758,7 @@ def streaming_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
         "event_type",
     ).agg(F.count_distinct("user_id").cast("long").alias("n_exact"))
-    drained = spark.table(table).withColumn(
+    drained = est_out.withColumn(
         "hour_start", F.col("hour_start").cast("timestamp_ntz")
     )
     return exact.join(
@@ -8544,10 +8549,9 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     Watermark set past the table's full time span so no duplicate pair
     straddles a state expiry in this bounded replay."""
     import tempfile
-    import uuid
 
     from e_commerce_data_lakehouse_spark.streaming.pipeline import (
-        run_available_now,
+        run_available_now_parquet,
         stream_events,
     )
     from e_commerce_data_lakehouse_spark.streaming.stateful import (
@@ -8561,11 +8565,10 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(
         keyed, ["user_id", "event_type", "day"], "ts", watermark="24 hours"
     ).select("user_id", "event_type", "day")
-    table = f"dedup_keys_{uuid.uuid4().hex[:8]}"
-    run_available_now(
-        deduped, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="append"
+    return run_available_now_parquet(
+        deduped, tempfile.mkdtemp(prefix="ckpt_"),
+        tempfile.mkdtemp(prefix="drain_"), output_mode="append",
     )
-    return spark.table(table)
 
 
 @register(
@@ -8941,11 +8944,10 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     path no batch query exercises, promoted from scale-bench-only to a
     driver-checked registry entry."""
     import tempfile
-    import uuid
 
     from e_commerce_data_lakehouse_spark.streaming import stateful as st
     from e_commerce_data_lakehouse_spark.streaming.pipeline import (
-        run_available_now,
+        run_available_now_parquet,
         stream_events,
     )
 
@@ -8953,11 +8955,10 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = _events_stream_schema(spark, sf_dir)
     stream = stream_events(spark, sf_dir, schema, glob="events.parquet")
     totals = st.running_totals_per_key(stream, "user_id", "ts")
-    table = f"running_totals_{uuid.uuid4().hex[:8]}"
-    run_available_now(
-        totals, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="update"
+    return run_available_now_parquet(
+        totals, tempfile.mkdtemp(prefix="ckpt_"),
+        tempfile.mkdtemp(prefix="drain_"), output_mode="update",
     )
-    return spark.table(table)
 
 
 @register(
@@ -9864,10 +9865,9 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics: the reference recomputes sessions per nightly batch,
     ``transactions_processor.py:27-116``)."""
     import tempfile
-    import uuid
 
     from e_commerce_data_lakehouse_spark.streaming.pipeline import (
-        run_available_now,
+        run_available_now_parquet,
         stream_events,
     )
 
@@ -9893,9 +9893,10 @@ def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    table = f"user_sessions_{uuid.uuid4().hex[:8]}"
-    run_available_now(sessions, tempfile.mkdtemp(prefix="ckpt_"), table)
-    out = spark.table(table)
+    out = run_available_now_parquet(
+        sessions, tempfile.mkdtemp(prefix="ckpt_"),
+        tempfile.mkdtemp(prefix="drain_"),
+    )
     return out.select(
         "user_id",
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
@@ -10411,12 +10412,11 @@ def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-static left join over a drained AvailableNow stream must equal
     the batch join exactly."""
     import tempfile
-    import uuid
 
     from e_commerce_data_lakehouse_spark.functions.dates import build_dim_date
     from e_commerce_data_lakehouse_spark.streaming.joins import enrich_with_dim
     from e_commerce_data_lakehouse_spark.streaming.pipeline import (
-        run_available_now,
+        run_available_now_parquet,
         stream_events,
     )
 
@@ -10441,11 +10441,10 @@ def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("iso_dow").cast("int").alias("iso_dow"),
         F.col("value").cast("double").alias("value"),
     )
-    table = f"enriched_purchases_{uuid.uuid4().hex[:8]}"
-    run_available_now(
-        enriched, tempfile.mkdtemp(prefix="ckpt_"), table, output_mode="append"
+    out = run_available_now_parquet(
+        enriched, tempfile.mkdtemp(prefix="ckpt_"),
+        tempfile.mkdtemp(prefix="drain_"), output_mode="append",
     )
-    out = spark.table(table)
     return out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 

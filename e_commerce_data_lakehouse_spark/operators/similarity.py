@@ -68,14 +68,19 @@ def brute_force_topk(
     vec_col: str,
     k: int = 10,
     include_self: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     ``queries`` is broadcast (it must be the small side); the candidate table
     is scanned once with map-side scoring — the right exact-kNN plan shape
     for a huge candidate set.
+
+    ``dim``: the vector dimension, when the caller already knows it —
+    skips the one-row ``infer_dim`` probe job (composed operators like
+    :func:`mmr_rerank` otherwise pay that bounded scalar job twice).
     """
-    dim = infer_dim(candidates, vec_col)
+    dim = dim or infer_dim(candidates, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -791,7 +796,9 @@ def mmr_rerank(
     LLM-pipeline extension surface.
     """
     dim = infer_dim(candidates, vec_col)
-    pool = brute_force_topk(queries, candidates, id_col, vec_col, k=pool_k)
+    pool = brute_force_topk(
+        queries, candidates, id_col, vec_col, k=pool_k, dim=dim
+    )
     rel = pool.select(
         "query_id",
         "neighbor_id",

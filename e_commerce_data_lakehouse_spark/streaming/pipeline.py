@@ -185,6 +185,51 @@ def run_available_now_complete_parquet(
     q.awaitTermination()
 
 
+def run_available_now_parquet(
+    result: DataFrame,
+    checkpoint_dir: str,
+    path: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a bounded stream into a parquet directory EXECUTOR-SIDE and
+    return a batch DataFrame over it — the memory sink's exact row
+    semantics (complete: each batch replaces the result; append/update:
+    each batch's output rows accumulate) without either driver-side
+    materialization or a session-lifetime in-memory table.
+
+    Why not the memory sink (r12 VERDICT #1): ``format("memory")`` (a)
+    collects every batch's output to the DRIVER (caps complete mode at
+    driver heap / maxResultSize — the sf10 sweep hit it), and (b)
+    registers a temp view backed by driver memory that
+    ``spark.catalog.clearCache()`` does NOT drop, so a long-lived
+    session running many streaming queries accumulates dead result
+    tables for its whole life.  foreachBatch writes stay on the
+    executors, the returned frame reads ordinary parquet, and nothing
+    outlives the caller's temp directory.
+
+    The one-shot checkpoint is deleted after the drain: each invocation
+    passes a FRESH checkpoint dir (the bounded replay is per-call), so
+    keeping it would only leak disk across a many-query session.
+    """
+    import shutil
+
+    mode = "overwrite" if output_mode == "complete" else "append"
+    q = (
+        result.writeStream.foreachBatch(
+            lambda batch, _id: batch.write.mode(mode).parquet(path)
+        )
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    # explicit schema: exact streaming result types (and a valid empty
+    # frame even if no batch produced rows)
+    return result.sparkSession.read.schema(result.schema).parquet(path)
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, table_name: str,
     output_mode: str = "complete",
