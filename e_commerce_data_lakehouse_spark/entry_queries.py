@@ -9252,14 +9252,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur, [F.col("n_orders"), F.col("o_custkey")], "__f_rn"
     )
     cur = rk.global_row_number(
-        cur, [F.col("spend_cents"), F.col("o_custkey")], "__m_rn"
+        cur, [F.col("spend_cents"), F.col("o_custkey")], "__m_rn",
+        total_col="__n",  # exact n from the rank pass — no count() job
     )
-    n = cur.count()  # bounded scalar over the already-persisted rank frame
     scored = cur.select(
         "spend_cents",
-        rk.ntile_from_rank("__r_rn", n, 5).alias("r_score"),
-        rk.ntile_from_rank("__f_rn", n, 5).alias("f_score"),
-        rk.ntile_from_rank("__m_rn", n, 5).alias("m_score"),
+        rk.ntile_from_rank("__r_rn", "__n", 5).alias("r_score"),
+        rk.ntile_from_rank("__f_rn", "__n", 5).alias("f_score"),
+        rk.ntile_from_rank("__m_rn", "__n", 5).alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count("*").alias("n_customers"),
@@ -10833,11 +10833,11 @@ def customer_global_spend_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust,
         [F.col("spend_cents").desc(), F.col("o_custkey")],
         out_col="global_rank",
+        total_col="__n",  # exact n from the rank pass — no count() job
     )
-    n = ranked.count()  # bounded scalar (avoids a 1-row cross join)
     return ranked.select(
         "o_custkey",
         "spend_cents",
         "global_rank",
-        rk.ntile_from_rank("global_rank", n, 5).alias("quintile"),
+        rk.ntile_from_rank("global_rank", "__n", 5).alias("quintile"),
     )

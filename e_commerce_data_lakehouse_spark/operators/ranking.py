@@ -127,12 +127,18 @@ def global_row_number(
     order_cols: list[Column | str],
     out_col: str = "global_rank",
     num_partitions: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Exact 1-based global row numbers in ``order_cols`` order.
 
     ``order_cols`` must be a total order (add a unique id tiebreaker) or
     equal-key rows get an arbitrary—though still valid—relative rank.
     Returns ``df``'s columns plus ``out_col``.
+
+    ``total_col``: attach the TOTAL row count as a literal column — the
+    driver already holds it exactly (the prefix-sum of the bounded
+    per-partition counts), so NTILE-style callers that need ``n`` stop
+    paying a separate ``count()`` job over the ranked frame.
     """
     import numpy as np
 
@@ -189,11 +195,14 @@ def global_row_number(
         acc += counts[pid]
     spark = df.sparkSession
     off = spark.createDataFrame(offsets, "__pid int, __off long")
-    return (
+    out = (
         local.join(F.broadcast(off), "__pid")
         .withColumn(out_col, F.col("__off") + F.col("__lrn") + F.lit(1))
         .drop("__pid", "__lrn", "__off")
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(acc).cast("long"))
+    return out
 
 
 def global_cumsum(
