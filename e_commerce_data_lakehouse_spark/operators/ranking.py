@@ -39,6 +39,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampNTZType,
+    TimestampType,
 )
 
 from e_commerce_data_lakehouse_spark.caching import tracked_persist
@@ -506,6 +507,15 @@ def exact_values_at(
                 FloatType, DoubleType, DecimalType,
                 DateType, TimestampNTZType, BooleanType,
             ),
+        )
+        # group KEYS must also collect identically via Arrow and py4j:
+        # a TimestampType key would come back tz-aware from toArrow but
+        # naive from the offsets collect, silently missing every dict
+        # lookup — route such groupings to the distributed pick pass
+        and not any(
+            isinstance(f.dataType, TimestampType)
+            for f in sdf.schema.fields
+            if f.name in keys
         )
     ):
         by_group = _order_stats_from_arrow(

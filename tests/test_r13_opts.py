@@ -87,6 +87,39 @@ def test_arrow_fast_path_timestamp_gating(spark, monkeypatch):
     assert isinstance(vals_n[()][0], datetime.datetime)
 
 
+def test_arrow_fast_path_timestamp_group_key_routes_distributed(
+    spark, monkeypatch
+):
+    """A TimestampType GROUP KEY must route to the distributed pick pass:
+    toArrow returns tz-aware key cells while the offsets collect returns
+    naive ones, so the driver solver's dict lookups would miss."""
+    called = {"n": 0}
+    real = rk._order_stats_from_arrow
+
+    def spy(*a, **k):
+        called["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(rk, "_order_stats_from_arrow", spy)
+    rows = [
+        (datetime.datetime(2022, 5, 1 + i % 2, 8), float(i))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g timestamp, v double")
+    vals, totals = rk.exact_values_at(
+        df, "v", lambda n: {0, n - 1}, group_cols=["g"]
+    )
+    assert called["n"] == 0  # stayed distributed
+    assert sum(totals.values()) == 30
+    assert len(totals) == 2
+    for g, picks in vals.items():
+        assert picks[0] == min(
+            v for gt, v in rows
+            if (gt.replace(tzinfo=None) if gt.tzinfo else gt)
+            == (g[0].replace(tzinfo=None) if g[0].tzinfo else g[0])
+        )
+
+
 def test_arrow_fast_path_nan_routes_distributed_without_collect(
     spark, monkeypatch
 ):
